@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-plane [[QueryPack]]s. Key collisions across packs
+  * are a bug; [[packs]] order is load order only (keys are disjoint).
+  */
 object SparkEntry {
+
+  private def packs: Seq[QueryPack] = Seq(
+    apps.TextQueries,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    apps.TextApps.topWords(Tables.documents(spark, "/root/testdata/sf0.001"), 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
+  /** For each key in queries, equivalent DuckDB SQL over the same
+    * parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracleSql).toMap
 }

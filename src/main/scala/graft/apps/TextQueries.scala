@@ -1,0 +1,51 @@
+package graft.apps
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-checkable queries for the MapReduce text plane
+  * (reference apps wc.go / ii.go, SURVEY §2.2-2.4).
+  */
+object TextQueries extends QueryPack {
+
+  // Same token contract as TextApps.TOKEN_SPLIT, RE2 spelling for DuckDB.
+  private val SPLIT_SQL = "[^\\p{L}\\p{N}]+"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_wordcount" -> ((s, dir) =>
+      TextApps.wordCount(Tables.documents(s, dir)).orderBy("word")),
+    "wc_top10" -> ((s, dir) =>
+      TextApps.topWords(Tables.documents(s, dir), 10)),
+    "ii_postings" -> ((s, dir) =>
+      TextApps.invertedIndex(Tables.documents(s, dir)).orderBy("word")),
+    "mr_grep" -> ((s, dir) =>
+      TextApps.grep(Tables.documents(s, dir), "stream").orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wc_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(regexp_split_to_array(text, '$SPLIT_SQL')) AS word
+         |      FROM documents)
+         |WHERE word <> ''
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "wc_top10" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(regexp_split_to_array(text, '$SPLIT_SQL')) AS word
+         |      FROM documents)
+         |WHERE word <> ''
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    "ii_postings" ->
+      s"""SELECT word, count(*) AS n_docs,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+         |FROM (SELECT DISTINCT doc_id, word
+         |      FROM (SELECT doc_id,
+         |                   unnest(regexp_split_to_array(text, '$SPLIT_SQL')) AS word
+         |            FROM documents)
+         |      WHERE word <> '')
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "mr_grep" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE regexp_matches(text, 'stream') ORDER BY doc_id""".stripMargin,
+  )
+}
