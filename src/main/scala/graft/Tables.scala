@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    // default; read it as a long (ns since epoch) and convert with
+    // eventTime(). Set here, not only in session builders, because the
+    // driver may hand us its own session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events.ts (ns-since-epoch long under nanosAsLong) -> TimestampType
+    * at microsecond precision, truncating like DuckDB's CAST(ts AS
+    * TIMESTAMP). Oracle SQL counterpart: epoch_us(ts) for the long form.
+    */
+  def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.floor(tsNanos / 1000L).cast("long"))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -1,0 +1,92 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch replay of the reference's linearizable KV store
+  * (reference: src/kvraft/server.go — apply loop :166-214, dedup
+  * :72-80, Put/Append :113-121; invariants from test_test.go:57-99).
+  *
+  * The log is already totally ordered by `seq` (Raft's applyCh order,
+  * reference raft.go:711-727), so replay is deterministic:
+  *
+  *   dedup (exactly-once) -> per-key ordered fold -> state table
+  *
+  * All stages are distributed: dedup is a window over (clientId,reqId)
+  * partitions, the fold shuffles once on key and streams key-sorted
+  * runs — no per-key materialization, no driver involvement. At 100 TB
+  * the single fold shuffle on `key` is the only wide dependency.
+  */
+object KVEngine {
+
+  /** Exactly-once dedup (K4): a retried (clientId, reqId) pair applies
+    * only once — the reference skips ops whose reqId was already acked
+    * (src/kvraft/server.go:72-80, 187-189); in batch replay "first
+    * occurrence in log order wins" is the same observable semantics.
+    */
+  def dedup(ops: Dataset[Op]): Dataset[Op] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("clientId", "reqId").orderBy("seq")
+    ops
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .as[Op]
+  }
+
+  /** Ack table (A7): highest applied reqId per client — what the
+    * reference keeps in `ack map[int64]int` (src/kvraft/server.go:44).
+    */
+  def ackTable(ops: Dataset[Op]): DataFrame =
+    dedup(ops)
+      .groupBy(col("clientId"))
+      .agg(max("reqId").as("maxReqId"))
+
+  /** Order-sensitive per-key fold (K2/K3): put overwrites, append
+    * concatenates (src/kvraft/server.go:113-121). A commutative agg
+    * cannot express this; instead shuffle once on key, sort each
+    * partition by (key, seq), and stream contiguous key runs through
+    * the fold — the same secondary-sort shape as MapReduceJob.
+    */
+  def replay(ops: Dataset[Op], numPartitions: Int = 0): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val writes = dedup(ops).filter(col("kind") =!= "get")
+    val parted =
+      if (numPartitions > 0) writes.repartition(numPartitions, col("key"))
+      else writes.repartition(col("key"))
+    parted
+      .sortWithinPartitions("key", "seq")
+      .mapPartitions { rows =>
+        new Iterator[(String, String)] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, String) = {
+            val k = buf.head.key
+            val sb = new StringBuilder
+            while (buf.hasNext && buf.head.key == k) {
+              val op = buf.next()
+              if (op.kind == "put") { sb.clear(); sb ++= op.value }
+              else sb ++= op.value
+            }
+            (k, sb.result())
+          }
+        }
+      }
+      .toDF("key", "value")
+  }
+
+  /** Point lookup (K1): Get over the folded state as-of max seq.
+    * Missing key -> empty string (reference: Get on absent key returns
+    * "" via ErrNoKey handling, src/kvraft/client.go:37).
+    */
+  def get(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val probe = keys.toDF("key")
+    probe.join(state, Seq("key"), "left")
+      .select(col("key"), coalesce(col("value"), lit("")).as("value"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.kv
+
+import graft.{QueryPack, Tables}
+import graft.shard.Key2Shard
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the KV serving plane (SURVEY §2.5):
+  * op-log synthesis, exactly-once dedup, ack table, ordered fold to
+  * final state, point gets, and shard routing.
+  *
+  * Query outputs use snake_case column names (DuckDB lowercases are
+  * case-insensitive; snake_case sidesteps the issue entirely).
+  */
+object KVQueries extends QueryPack {
+
+  private def ops(s: SparkSession, dir: String) = OpLog.fromEvents(Tables.events(s, dir))
+
+  private def opsCols = Seq(
+    col("seq"), col("clientId").as("client_id"), col("reqId").as("req_id"),
+    col("kind"), col("key"), col("value"))
+
+  private val probeKeys = Seq("7", "23", "nokey")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv_oplog" -> ((s, dir) => ops(s, dir).select(opsCols: _*).orderBy("seq")),
+    "kv_dedup" -> ((s, dir) => KVEngine.dedup(ops(s, dir)).select(opsCols: _*).orderBy("seq")),
+    "kv_ack" -> ((s, dir) =>
+      KVEngine.ackTable(ops(s, dir))
+        .select(col("clientId").as("client_id"), col("maxReqId").as("max_req_id"))
+        .orderBy("client_id")),
+    "kv_state" -> ((s, dir) => KVEngine.replay(ops(s, dir)).orderBy("key")),
+    "kv_get" -> ((s, dir) => KVEngine.get(KVEngine.replay(ops(s, dir)), probeKeys).orderBy("key")),
+    "kv_shard_counts" -> ((s, dir) =>
+      ops(s, dir)
+        .select(col("key")).distinct()
+        .select(Key2Shard.shardOf(col("key")).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+        .orderBy("shard")),
+  )
+
+  /** DuckDB mirror of [[OpLog.fromEvents]] + [[KVEngine.dedup]] —
+    * keep in sync with those definitions. */
+  private val OPS_SQL =
+    """WITH ops AS (
+      |  SELECT event_id AS seq, user_id AS client_id, event_id % 200 AS req_id,
+      |         CASE WHEN event_type = 'signup' THEN 'put'
+      |              WHEN event_type = 'view' THEN 'get'
+      |              ELSE 'append' END AS kind,
+      |         CAST(user_id % 50 AS VARCHAR) AS key,
+      |         CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value
+      |  FROM events),
+      |dedup AS (
+      |  SELECT seq, client_id, req_id, kind, key, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY client_id, req_id ORDER BY seq) AS rn
+      |    FROM ops)
+      |  WHERE rn = 1)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "kv_oplog" ->
+      s"""$OPS_SQL
+         |SELECT seq, client_id, req_id, kind, key, value FROM ops ORDER BY seq""".stripMargin,
+    "kv_dedup" ->
+      s"""$OPS_SQL
+         |SELECT seq, client_id, req_id, kind, key, value FROM dedup ORDER BY seq""".stripMargin,
+    "kv_ack" ->
+      s"""$OPS_SQL
+         |SELECT client_id, max(req_id) AS max_req_id FROM dedup
+         |GROUP BY client_id ORDER BY client_id""".stripMargin,
+    "kv_state" ->
+      s"""$OPS_SQL,
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |anchor AS (SELECT key, max(CASE WHEN kind = 'put' THEN seq END) AS put_seq
+         |           FROM writes GROUP BY key)
+         |SELECT w.key AS key,
+         |       coalesce(string_agg(
+         |         CASE WHEN (w.kind = 'put' AND w.seq = a.put_seq)
+         |                OR (w.kind = 'append' AND (a.put_seq IS NULL OR w.seq > a.put_seq))
+         |              THEN w.value END, '' ORDER BY w.seq), '') AS value
+         |FROM writes w JOIN anchor a ON w.key = a.key
+         |GROUP BY w.key ORDER BY w.key""".stripMargin,
+    "kv_get" ->
+      s"""$OPS_SQL,
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |anchor AS (SELECT key, max(CASE WHEN kind = 'put' THEN seq END) AS put_seq
+         |           FROM writes GROUP BY key),
+         |state AS (
+         |  SELECT w.key AS key,
+         |         coalesce(string_agg(
+         |           CASE WHEN (w.kind = 'put' AND w.seq = a.put_seq)
+         |                  OR (w.kind = 'append' AND (a.put_seq IS NULL OR w.seq > a.put_seq))
+         |                THEN w.value END, '' ORDER BY w.seq), '') AS value
+         |  FROM writes w JOIN anchor a ON w.key = a.key
+         |  GROUP BY w.key)
+         |SELECT p.key AS key, coalesce(s.value, '') AS value
+         |FROM (VALUES ('7'), ('23'), ('nokey')) p(key)
+         |LEFT JOIN state s ON p.key = s.key
+         |ORDER BY p.key""".stripMargin,
+    "kv_shard_counts" ->
+      s"""$OPS_SQL
+         |SELECT ${Key2Shard.shardOfSql("key")} AS shard, count(*) AS n_keys
+         |FROM (SELECT DISTINCT key FROM ops)
+         |GROUP BY shard ORDER BY shard""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.kv.{KVEngine, Op, OpLog}
+import scala.util.Random
+
+/** KV replay invariants, mirroring the reference's randomized client
+  * checks (reference: src/kvraft/test_test.go:57-99, 131-235):
+  * retried ops apply exactly once, appends apply in log order, and the
+  * distributed fold equals a naive sequential interpreter.
+  */
+class KVEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference semantics, interpreted sequentially in memory:
+    * apply in seq order, skipping (clientId, reqId) pairs already seen
+    * (src/kvraft/server.go:72-80, 113-121). */
+  private def interpret(ops: Seq[Op]): Map[String, String] = {
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val db = scala.collection.mutable.Map[String, String]()
+    ops.sortBy(_.seq).foreach { op =>
+      if (!seen.contains((op.clientId, op.reqId))) {
+        seen += ((op.clientId, op.reqId))
+        op.kind match {
+          case "put" => db(op.key) = op.value
+          case "append" => db(op.key) = db.getOrElse(op.key, "") + op.value
+          case _ => ()
+        }
+      }
+    }
+    db.toMap
+  }
+
+  private def genOps(n: Int, seed: Long): Seq[Op] = {
+    val rnd = new Random(seed)
+    val raw = (0 until n).map { i =>
+      val client = rnd.nextInt(5).toLong
+      Op(
+        seq = 0, // assigned below
+        clientId = client,
+        reqId = rnd.nextInt(n / 2 + 1).toLong, // collisions = retries
+        kind = rnd.nextInt(10) match { case 0 | 1 => "put"; case 2 => "get"; case _ => "append" },
+        key = s"k${rnd.nextInt(8)}",
+        value = rnd.nextInt(100).toString)
+    }
+    // duplicate some ops wholesale (network-level retry of the same request)
+    val withRetries = raw ++ raw.filter(_ => rnd.nextBoolean()).take(n / 4)
+    rnd.shuffle(withRetries).zipWithIndex.map { case (op, i) => op.copy(seq = i.toLong) }
+  }
+
+  test("distributed replay == sequential interpreter (randomized, incl. retries)") {
+    (1L to 8L).foreach { seed =>
+      val opsSeq = genOps(200, seed)
+      val got = KVEngine
+        .replay(opsSeq.toDS(), numPartitions = 4)
+        .as[(String, String)]
+        .collect()
+        .toMap
+      assert(got == interpret(opsSeq), s"seed=$seed")
+    }
+  }
+
+  test("dedup keeps exactly the first occurrence of each (client, reqId)") {
+    val opsSeq = genOps(300, 42L)
+    val deduped = KVEngine.dedup(opsSeq.toDS()).collect()
+    val expected = opsSeq.sortBy(_.seq)
+      .groupBy(o => (o.clientId, o.reqId))
+      .values.map(_.head).toSet
+    assert(deduped.toSet == expected)
+  }
+
+  test("read-your-writes: per-client appends appear in order in final value (K6)") {
+    // one client, one key, no put after the appends: final value must be
+    // the in-order concat of that client's deduped appends
+    val opsSeq = (0 until 50).map(i =>
+      Op(seq = i, clientId = 1, reqId = i, kind = "append", key = "k", value = s"[$i]"))
+    val got = KVEngine.replay(opsSeq.toDS()).as[(String, String)].collect().toMap
+    assert(got("k") == (0 until 50).map(i => s"[$i]").mkString)
+  }
+
+  test("get returns empty string for missing keys (ErrNoKey semantics)") {
+    val state = Seq(("a", "1")).toDF("key", "value")
+    val got = KVEngine.get(state, Seq("a", "zzz")).as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "1", "zzz" -> ""))
+  }
+
+  test("oplog synthesis from events is deterministic and well-typed") {
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001)).collect()
+    assert(ops.length == 1000)
+    assert(ops.map(_.seq).distinct.length == 1000)
+    assert(ops.forall(o => Set("put", "get", "append").contains(o.kind)))
+    // retries must exist at this scale or kv_dedup tests nothing
+    val dups = ops.groupBy(o => (o.clientId, o.reqId)).count(_._2.length > 1)
+    assert(dups > 0, "expected (clientId, reqId) collisions in synthesized oplog")
+  }
+}
