@@ -12,6 +12,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     apps.TextQueries,
     kv.KVQueries,
+    shard.ShardQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
