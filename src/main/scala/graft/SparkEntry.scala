@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     apps.TextQueries,
+    apps.RelationalQueries,
     kv.KVQueries,
     shard.ShardQueries,
   )

@@ -1,0 +1,225 @@
+package graft.apps
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytics plane over the TPC-H-ish tables — the bench
+  * headliners. The reference has no joins or window functions
+  * (SURVEY §2.9); these cover the standard operator set a user of a
+  * general engine needs, planned Spark-first:
+  *
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact table for them;
+  *  - aggregations rely on Catalyst partial aggregation;
+  *  - double aggregates are rounded on both sides (oracle parity —
+  *    IEEE summation order differs between engines);
+  *  - every query ends in a deterministic ORDER BY.
+  *
+  * events.ts arrives as ns-since-epoch long (see Tables.load); the
+  * oracle uses epoch_ns()/date_trunc on its TIMESTAMP_NS reading.
+  */
+object RelationalQueries extends QueryPack {
+
+  private val SESSION_GAP_NS = 1800000000000L // 30 min
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: full-scan aggregate, 4 groups.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // TPC-H Q6 shape: selective scan, single-row answer — exercises
+    // predicate pushdown into the parquet reader.
+    "q6_filter" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    // TPC-H Q3 shape: 3-way join, top-10 by revenue.
+    "q3_join" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5 shape: 6-table star join, revenue by nation.
+    "q5_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    },
+    // Part-brand rollup: fact x 2k-row dimension, broadcast.
+    "part_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    // Event-time daily rollup.
+    "ev_daily" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          to_date(Tables.eventTime(col("ts"))).as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("day", "event_type")
+    },
+    // Sessionization: 30-min-gap sessions per user via lag window.
+    "ev_sessions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts") - col("prev") > SESSION_GAP_NS, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    // Top spenders: agg + rank window, deterministic tie-break.
+    "ev_top_spenders" -> { (s, dir) =>
+      val spend = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(round(sum("value"), 2).as("spend"), count(lit(1)).as("n_purchases"))
+      spend
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("spend"), asc("user_id"))))
+        .filter(col("rank") <= 20)
+        .orderBy("rank")
+    },
+    // CUBE rollup over (event_type, user bucket) — grouping sets.
+    "ev_cube" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 10).as("bucket"), col("value"))
+        .cube(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("bucket").cast("string"), lit("ALL")).as("bucket"),
+          col("n"), col("total"))
+        .orderBy("event_type", "bucket")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "part_revenue" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "ev_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+    "ev_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |m AS (SELECT user_id, tsn,
+        |             CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL
+        |                    OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) > 1800000000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_top_spenders" ->
+      """WITH spend AS (
+        |  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, spend, n_purchases,
+        |       CAST(row_number() OVER (ORDER BY spend DESC, user_id) AS INTEGER) AS rank
+        |FROM spend
+        |QUALIFY rank <= 20
+        |ORDER BY rank""".stripMargin,
+    "ev_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type, user_id % 10 AS bucket, value FROM events)
+        |GROUP BY CUBE (event_type, bucket)
+        |ORDER BY coalesce(event_type, 'ALL'), coalesce(CAST(bucket AS VARCHAR), 'ALL')""".stripMargin,
+  )
+}
