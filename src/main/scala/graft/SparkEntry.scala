@@ -14,6 +14,7 @@ object SparkEntry {
     apps.RelationalQueries,
     kv.KVQueries,
     shard.ShardQueries,
+    pipeline.PipelineQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

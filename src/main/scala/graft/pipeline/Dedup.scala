@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content hash), MinHash+LSH banding, SimHash fingerprints,
+  * and shingle-join n-gram Jaccard. All hashing is md5-based so every
+  * operator has an exact DuckDB oracle (Spark's murmur3/xxhash64 are
+  * not portable); at production scale md5 would be swapped for
+  * xxhash64 behind the same plan shapes.
+  *
+  * Scale notes (the shapes matter more than the constants):
+  *  - exact dedup: one shuffle on the content hash;
+  *  - minhash: one pass computes all K signatures as K min() aggregates
+  *    (single shuffle on doc), band join is an equi-join on band
+  *    signature — candidates only, never all pairs;
+  *  - jaccard: inverted shingle-index self-join — pairs sharing >= 1
+  *    shingle only, plus a broadcast of per-doc sizes;
+  *  - simhash: fixed 32-bit fingerprint, grouping is an equi-join.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val BandRows = 2 // 4 bands of 2 rows
+
+  /** Exact dedup summary: total vs distinct by full-content hash. */
+  def exactSummary(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+
+  /** Exact-duplicate groups (by content hash): representative doc +
+    * group size, only groups with > 1 member. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** Per-doc MinHash signature: NumHashes columns mh0..mhK-1, each the
+    * min over the doc's shingles of md5(seed|shingle). One aggregation
+    * pass, one shuffle. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
+    val aggs = (0 until NumHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh$s"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: docs whose band signature (concat of BandRows
+    * minhashes) collides are candidate near-dup pairs. */
+  def minhashCandidates(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, k)
+    val nBands = NumHashes / BandRows
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("sig"))
+    }.reduce(_ unionAll _)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Pairwise n-gram Jaccard via the inverted shingle index: only
+    * pairs sharing at least one shingle are materialized. Exact
+    * integer counts -> deterministic double division. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash: 32-bit fingerprint from the hex digits of md5(token),
+    * majority-weighted by term frequency. Exact-collision groups are
+    * near-identical docs. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+    val bits = tf
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("pos"))
+      .withColumn("digit", col("h").substr(col("pos") + 1, lit(1)))
+      .groupBy("doc_id", "pos")
+      .agg(sum(when(col("digit") >= "8", col("cnt")).otherwise(-col("cnt"))).as("w"))
+      .withColumn("bit", when(col("w") >= 0, "1").otherwise("0"))
+    bits
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("bit")))), _.getField("bit")),
+          "").as("fp"))
+  }
+
+  /** SimHash collision groups (fingerprint shared by > 1 doc). */
+  def simhashGroups(docs: DataFrame): DataFrame =
+    simhash(docs)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+      .filter(col("n_docs") > 1)
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media as opaque `binary` payloads with typed
+  * metadata, plus decode / feature-extraction / frame-sampling
+  * plumbing.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic stand-in (byte histogram) — the
+  * Spark-side contract is the real deliverable: binary column schema,
+  * per-partition batched processing (the JVM shape of `mapInPandas`),
+  * fixed-width feature output, and partition-preserving plans. Swap
+  * `decodeStub` for a real codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** Media record: payload is opaque bytes; metadata is typed. */
+  case class Media(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, n_bytes: Long)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Double])
+
+  val HistBins = 16
+
+  /** Synthesize a media table from documents: text bytes stand in for
+    * encoded image/audio payloads; width/height derived
+    * deterministically. At 100 TB this would be a parquet/iceberg table
+    * with a real binary column — the schema is the same. */
+  def mediaTable(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("n_chars") % 48 + 12).cast("int").as("height"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[Media]
+  }
+
+  /** STUB DECODER — deterministic fake in place of a real image/audio
+    * decode (no codecs in this container). Produces a normalized
+    * HistBins-bin byte histogram; a real implementation would decode
+    * pixels/samples here with the same signature. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](HistBins)
+    payload.foreach { b => hist((b & 0xff) * HistBins / 256) += 1.0 }
+    val n = math.max(payload.length, 1)
+    hist.map(h => h / n)
+  }
+
+  /** Batched per-partition feature extraction — the JVM analogue of
+    * `mapInPandas`: one iterator per partition, codec state (a real
+    * decoder handle) would be initialized once per partition, rows
+    * stream through. No shuffle; partitioning is preserved. */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init of the (stub) codec would go here
+      rows.map(m => MediaFeatures(m.media_id, m.kind, m.n_bytes, decodeStub(m.payload)))
+    }
+  }
+
+  /** Frame sampling: every `stride`-th byte-window of the payload as a
+    * "frame" (video decode stand-in). Output is (media_id, frame_no,
+    * frame: binary) — the explode shape a real frame sampler has. */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(_.kind == "video")
+      .flatMap { m =>
+        val nFrames = math.max(m.payload.length / (frameBytes * stride), 0)
+        (0 until nFrames).map { f =>
+          (m.media_id, f, m.payload.slice(f * frameBytes * stride, f * frameBytes * stride + frameBytes))
+        }
+      }
+      .toDF("media_id", "frame_no", "frame")
+  }
+
+  /** Metadata rollup per media kind (oracle-checkable: arithmetic on
+    * metadata only). */
+  def kindStats(docs: DataFrame): DataFrame =
+    mediaTable(docs).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        round(sum("width").cast("double") / count(lit(1)), 4).as("avg_width"),
+        round(sum("height").cast("double") / count(lit(1)), 4).as("avg_height"))
+}

@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the training-data pipeline plane:
+  * dedup (exact / minhash-LSH / simhash / n-gram jaccard), similarity
+  * search (brute-force top-k, LSH ANN, centroids), text analysis
+  * (stats, langid, quality, BPE-ish counts, fingerprints) and
+  * multimodal metadata.
+  *
+  * Everything except mm_features has an exact DuckDB oracle: hashing
+  * is md5-only, vector math is integer-quantized (see Similarity),
+  * averages are computed as sum/count to avoid engine-specific
+  * accumulators.
+  */
+object PipelineQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exactSummary(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
+    "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
+    "text_bpe" -> ((s, d) => TextAnalysis.bpeCounts(docs(s, d)).orderBy("lang")),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label")),
+    "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
+    // STUBBED decode path — schema/partitioning real, features from the
+    // deterministic stand-in decoder; rows-only driver check (no oracle).
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(docs(s, d)))
+        .toDF().orderBy("media_id")),
+  )
+
+  // ---- shared SQL fragments (DuckDB dialect) ----
+
+  private val TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
+
+  private def shinglesSql(k: Int): String =
+    s"""SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, array_to_string(toks[pos:pos+${k - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS pos
+       |        FROM ($TOKS) WHERE len(toks) >= $k))""".stripMargin
+
+  private val QV =
+    """SELECT vec_id, label,
+      |       list_transform(embedding,
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings""".stripMargin
+
+  private val QV2 =
+    s"""SELECT vec_id, label, q,
+       |       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |FROM ($QV)""".stripMargin
+
+  private def planeSql(j: Int): String =
+    s"((pos * ${j + 3} * 2654435761) % 2000001 - 1000000)"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    "dedup_minhash" -> {
+      val mins = (0 until Dedup.NumHashes)
+        .map(s => s"min(md5('$s' || '|' || shingle)) AS mh$s").mkString(",\n  ")
+      val bandSelects = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+        val lo = b * Dedup.BandRows
+        s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (${shinglesSql(3)}),
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dedup_jaccard" ->
+      s"""WITH sh AS (${shinglesSql(3)}),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |           JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |bits AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN sum(CASE WHEN substring(h, pos + 1, 1) >= '8'
+        |                            THEN cnt ELSE -cnt END) >= 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM tf, (SELECT unnest(range(0, 32)) AS pos)
+        |  GROUP BY doc_id, pos),
+        |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
+        |        FROM bits GROUP BY doc_id)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc
+        |FROM fps GROUP BY fp HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS n_tok_chars,
+         |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+         |       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_tok_len
+         |FROM ($TOKS)
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val sw = TextAnalysis.stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+      s"""WITH sw(cand_lang, word) AS (VALUES $sw),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |langs AS (SELECT DISTINCT cand_lang FROM sw),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM toks JOIN sw USING (word) GROUP BY doc_id, cand_lang),
+         |allscores AS (
+         |  SELECT d.doc_id, l.cand_lang, coalesce(s.hits, 0) AS hits
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN langs l
+         |  LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.cand_lang = l.cand_lang)
+         |SELECT doc_id, cand_lang AS pred_lang, CAST(hits AS BIGINT) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY hits DESC, cand_lang) AS rn
+         |      FROM allscores)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(w => s"'${w._2}'").mkString(", ")
+      s"""SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(toks, t -> t IN ($enStop))) AS BIGINT) AS stop_hits,
+         |       round(least(1.0,
+         |         0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+         |         0.5 * least(CAST(len(list_filter(toks, t -> t IN ($enStop))) AS DOUBLE) * 4.0
+         |                     / len(toks), 1.0)), 4) AS quality
+         |FROM ($TOKS)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+         |       CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
+         |FROM (${shinglesSql(5)})
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_topk" ->
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS q, n2 FROM qv),
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM qd WHERE vec_id < 10),
+         |scored AS (
+         |  -- quantized values are < 2^53: double dot product is exact
+         |  SELECT p.probe_id, v.vec_id,
+         |         list_dot_product(p.pq, v.q)
+         |           / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) AS cos
+         |  FROM probes p JOIN qd v ON v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY cos DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_ann_pairs" -> {
+      val dSums = (0 until Similarity.NumPlanes)
+        .map(j => s"SUM(qi * ${planeSql(j)}) AS d$j").mkString(",\n    ")
+      val bucketExpr = (0 until Similarity.NumPlanes)
+        .map(j => s"CASE WHEN d$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH qv AS ($QV2),
+         |pe AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
+         |ds AS (SELECT vec_id,
+         |    $dSums
+         |  FROM pe GROUP BY vec_id),
+         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM ds),
+         |wb AS (SELECT b.bucket, v.vec_id,
+         |              list_transform(v.q, x -> CAST(x AS DOUBLE)) AS q, v.n2
+         |       FROM bk b JOIN qv v USING (vec_id)),
+         |dots AS (
+         |  -- quantized values are < 2^53: double dot product is exact
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_dot_product(a.q, b.q) AS dot, a.n2 AS n2a, b.n2 AS n2b
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |       round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
+         |FROM dots
+         |WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= ${Similarity.AnnThreshold}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "sim_centroids" ->
+      s"""WITH qv AS ($QV),
+         |pe AS (SELECT label, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
+         |cs AS (
+         |  SELECT label, pos,
+         |         round(CAST(SUM(qi) AS DOUBLE) / COUNT(*) / 1000, 6) AS c
+         |  FROM pe GROUP BY label, pos)
+         |SELECT label, list(c ORDER BY pos) AS centroid
+         |FROM cs GROUP BY label ORDER BY label""".stripMargin,
+    "mm_kind_stats" ->
+      """SELECT kind, count(*) AS n_media,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       round(CAST(sum(width) AS DOUBLE) / count(*), 4) AS avg_width,
+        |       round(CAST(sum(height) AS DOUBLE) / count(*), 4) AS avg_height
+        |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |                  WHEN doc_id % 3 = 1 THEN 'audio'
+        |                  ELSE 'video' END AS kind,
+        |             octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |             n_chars % 64 + 16 AS width,
+        |             n_chars % 48 + 12 AS height
+        |      FROM documents)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+  )
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Embeddings are quantized to integers (round(x * Q)) before any
+  * distance math. That makes every dot product / norm an exact integer
+  * sum — reproducible bit-for-bit across engines and partitionings —
+  * while costing ~1e-3 relative error, far below ranking resolution.
+  * (Float summation order is nondeterministic under shuffle; an
+  * integer dot product is not.) cosine = dot / (sqrt(n2a) * sqrt(n2b))
+  * is then a deterministic function of exact integers.
+  *
+  * Scale paths:
+  *  - [[bruteTopK]]: probe set x corpus broadcast join — the baseline;
+  *    right answer, O(P*N) — fine for small probe sets at any N.
+  *  - [[lshBuckets]] / [[annPairs]]: random-hyperplane LSH — the
+  *    hyperplanes are integer-arithmetic pseudo-vectors, so bucket
+  *    assignment is also exact. Only same-bucket pairs are compared:
+  *    the all-pairs blowup never materializes.
+  */
+object Similarity {
+
+  val Q = 1000L
+  val NumPlanes = 6
+  // p99 of pairwise cosine on the synthetic embeddings is ~0.29; 0.3
+  // keeps the verified set small but non-empty at every sf
+  val AnnThreshold = 0.3
+
+  /** (vec_id, label, q: array<long>, n2: long) — quantized vectors. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"), col("label"),
+      // cast float -> double BEFORE scaling: both engines must round
+      // the same double value or boundary elements quantize differently
+      transform(col("embedding"), x => round(x.cast("double") * Q).cast("long")).as("q"))
+      .withColumn("n2", aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact brute-force cosine top-k for a probe set. The probe side is
+    * broadcast; the corpus streams — no shuffle of the corpus. */
+  def bruteTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    val qv = quantized(emb)
+    val probes = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val joined = qv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pq"), col("q")).cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim i,
+    * plane j): integer arithmetic only, identical in any engine.
+    * Keep in sync with the SQL spelling in SimilarityQueries. */
+  private def planeComponent(i: org.apache.spark.sql.Column, j: Int) =
+    ((i + 1) * (j + 3) * lit(2654435761L)) % 2000001L - 1000000L
+
+  /** Sign-of-dot LSH bucket per vector: NumPlanes bits. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val qv = quantized(emb)
+    val withPos = qv.select(col("vec_id"), col("label"), col("q"), col("n2"),
+      posexplode(col("q")).as(Seq("pos", "qi")))
+    val dAggs = (0 until NumPlanes).map { j =>
+      sum(col("qi") * planeComponent(col("pos").cast("long"), j)).as(s"d$j")
+    }
+    val bits = withPos
+      .groupBy("vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
+    val bucket = concat((0 until NumPlanes).map(j =>
+      when(col(s"d$j") >= 0, "1").otherwise("0")): _*)
+    bits.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN near-dup pairs: same LSH bucket, verified quantized cosine >=
+    * threshold. Join is on bucket — candidates only. */
+  def annPairs(emb: DataFrame, threshold: Double = AnnThreshold): DataFrame = {
+    val qv = quantized(emb)
+    val withBucket = lshBuckets(emb).join(qv, "vec_id")
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("q_a"), col("q_b")).cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Centroid per label class — a k-means-E-step-shaped aggregation
+    * (element-wise mean over array column via posexplode + pivot-free
+    * regroup). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val qv = quantized(emb)
+    qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy("label", "pos")
+      // sum/count, not avg(): engine-specific avg accumulators differ
+      // in ULPs; an exact integer sum divided once does not
+      .agg(round(sum(col("qi")).cast("double") / count(lit(1)) / Q, 6).as("c"))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))), _.getField("c"))
+          .as("centroid"))
+  }
+}

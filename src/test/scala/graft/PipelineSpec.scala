@@ -1,0 +1,95 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-plane behavior tests: near-dup recall on planted
+  * duplicates, fingerprint determinism, similarity ranking sanity,
+  * multimodal plumbing shape.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  /** Planted near-dups: append noise to a base text — jaccard and
+    * minhash must find the pair, simhash must collide or be close. */
+  private lazy val planted = {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    Seq(
+      (9001L, base.trim, "en", "srcX", base.trim.length.toLong),
+      (9002L, (base + "extra tail words here").trim, "en", "srcX", 1L),
+      (9003L, "completely different content about spark shuffles and parquet footers", "en", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("jaccardPairs finds planted near-dup and not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(planted, k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)))
+    assert(!pairs.exists(p => p._1 == 9003L || p._2 == 9003L))
+  }
+
+  test("minhash LSH candidates include the planted near-dup pair") {
+    val cands = Dedup.minhashCandidates(planted)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((9001L, 9002L)))
+  }
+
+  test("simhash: identical docs collide, fingerprint is 32 bits") {
+    val dup = planted.union(
+      Seq((9004L, planted.filter($"doc_id" === 9001).head().getString(1), "en", "srcX", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fps = Dedup.simhash(dup).as[(Long, String)].collect().toMap
+    assert(fps.values.forall(fp => fp.length == 32 && fp.forall(c => c == '0' || c == '1')))
+    assert(fps(9001L) == fps(9004L))
+    val groups = Dedup.simhashGroups(dup).collect()
+    assert(groups.exists(_.getAs[Long]("n_docs") >= 2))
+  }
+
+  test("exact dedup counts distinct content") {
+    val dup = planted.union(planted.limit(1))
+    val row = Dedup.exactSummary(dup).head()
+    assert(row.getAs[Long]("n_docs") == 4 && row.getAs[Long]("n_dups") == 1)
+  }
+
+  test("bruteTopK: self excluded, ranks contiguous, cos in [-1,1]") {
+    val res = Similarity.bruteTopK(Tables.embeddings(spark, sf0001), Seq(0L, 1L), 5).collect()
+    assert(res.length == 10)
+    res.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("probe_id"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    val ranks = res.filter(_.getAs[Long]("probe_id") == 0L).map(_.getAs[Int]("rank")).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("annPairs only returns pairs above threshold, consistent with brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val ann = Similarity.annPairs(emb).as[(Long, Long, Double)].collect()
+    ann.foreach { case (_, _, c) => assert(c >= Similarity.AnnThreshold) }
+  }
+
+  test("multimodal: stub decode yields normalized HistBins features, frames slice correctly") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.features.length == Multimodal.HistBins)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9)
+    }
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length <= 32))
+  }
+
+  test("langId picks highest-hit language with deterministic tie-break") {
+    val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
+      (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.langId(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("pred_lang"), r.getAs[Long]("score"))).toMap
+    assert(rows(1L) == ("en", 5L))
+    assert(rows(2L)._2 == 0L && rows(2L)._1 == "de") // zero hits -> alphabetical first
+  }
+}

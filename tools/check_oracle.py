@@ -29,12 +29,15 @@ def main():
     only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
-    con = duckdb.connect()
-    for tbl in ["region","nation","customer","supplier","part","orders",
-                "lineitem","events","documents","embeddings"]:
-        p = os.path.join(sf_dir, f"{tbl}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        con = duckdb.connect()
+        for tbl in ["region","nation","customer","supplier","part","orders",
+                    "lineitem","events","documents","embeddings"]:
+            p = os.path.join(sf_dir, f"{tbl}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+        return con
+    con = fresh_con()
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
@@ -52,7 +55,9 @@ def main():
             duck_cols = [d[0] for d in res.description]
             duck_rows = [tuple(r) for r in res.fetchall()]
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1
+            con = fresh_con()  # internal errors poison the connection
+            continue
         sc, sr = canon(spark_cols, spark_rows)
         dc, dr = canon(duck_cols, duck_rows)
         if sc != dc:
