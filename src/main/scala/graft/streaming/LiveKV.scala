@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.kv.Op
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Live (streaming) port of the KV plane — the reference's online
+  * serving path (reference: kvraft apply loop, src/kvraft/server.go:
+  * 166-214), expressed as Structured Streaming:
+  *
+  *   ops stream -> dropDuplicates(clientId, reqId)   [exactly-once K4]
+  *              -> groupByKey(key).mapGroupsWithState [ordered fold K2/K3]
+  *
+  * Spark supplies what Raft supplied: fault-tolerant, exactly-once
+  * state via checkpointing (reference R1-R6 are infrastructure we do
+  * not rebuild, SURVEY §2.8). Source offset order plays the role of
+  * log order; within a micro-batch ops are folded in `seq` order.
+  *
+  * State is bounded the same way the reference bounds it (snapshot at
+  * maxraftstate): per-key state is just the folded value; the dedup
+  * state is Spark's streaming-dedup store, bounded by a watermark in
+  * production (callers add .withWatermark before liveState for TTL).
+  */
+object LiveKV {
+
+  case class KVState(value: String, maxSeq: Long)
+  case class KVUpdate(key: String, value: String, max_seq: Long)
+
+  /** Fold one micro-batch's ops for a key into the running state. */
+  private def foldOps(
+      key: String,
+      ops: Iterator[Op],
+      state: GroupState[KVState]): KVUpdate = {
+    val sorted = ops.toArray.sortBy(_.seq)
+    var st = state.getOption.getOrElse(KVState("", -1L))
+    sorted.foreach { op =>
+      // ops at or before maxSeq were folded in a previous batch
+      if (op.seq > st.maxSeq) {
+        val v = op.kind match {
+          case "put" => op.value
+          case "append" => st.value + op.value
+          case _ => st.value
+        }
+        st = KVState(v, op.seq)
+      }
+    }
+    state.update(st)
+    KVUpdate(key, st.value, st.maxSeq)
+  }
+
+  /** Streaming state table: one KVUpdate per key per micro-batch
+    * (Update output mode). */
+  def liveState(ops: Dataset[Op]): Dataset[KVUpdate] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops
+      .dropDuplicates("clientId", "reqId")
+      .filter(col("kind") =!= "get")
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
+  }
+
+  /** Event-time tumbling-window aggregation with watermark — the
+    * streaming rollup the batch ev_daily query mirrors. `events` must
+    * carry a TimestampType `ts_utc` column. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+}

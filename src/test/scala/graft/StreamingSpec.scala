@@ -1,0 +1,94 @@
+package graft
+
+import graft.kv.{KVEngine, Op, OpLog}
+import graft.streaming.LiveKV
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming plane: the live KV state must converge to exactly the
+  * batch replay's state (the reference's linearizability tests check
+  * the same convergence under chaos, src/kvraft/test_test.go:131-235);
+  * windowed aggregation must match the batch rollup and drop
+  * late-beyond-watermark data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("liveState over micro-batches == batch replay (incl. dedup + ordering)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001)).collect().sortBy(_.seq)
+    val batchState = KVEngine.replay(OpLog.fromEvents(Tables.events(spark, sf0001)))
+      .as[(String, String)].collect().toMap
+
+    val stream = MemoryStream[Op]
+    val query = LiveKV.liveState(stream.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("live_kv")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // feed in 4 ordered chunks — offset order models log order
+      ops.grouped(ops.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val live = spark.table("live_kv")
+        .groupBy("key").agg(max_by(col("value"), col("max_seq")).as("value"))
+        .as[(String, String)].collect().toMap
+      assert(live == batchState)
+    } finally query.stop()
+  }
+
+  test("retried ops across micro-batches apply exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Op]
+    val query = LiveKV.liveState(stream.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("live_retry")
+      .start()
+    try {
+      stream.addData(Op(0, 1, 10, "append", "k", "A"), Op(1, 1, 11, "append", "k", "B"))
+      query.processAllAvailable()
+      // same (clientId, reqId) retried in a later batch: must be dropped
+      stream.addData(Op(2, 1, 10, "append", "k", "A"), Op(3, 1, 12, "append", "k", "C"))
+      query.processAllAvailable()
+      val v = spark.table("live_retry")
+        .groupBy("key").agg(max_by(col("value"), col("max_seq")).as("value"))
+        .as[(String, String)].collect().toMap
+      assert(v("k") == "ABC")
+    } finally query.stop()
+  }
+
+  case class Ev(ts_utc: java.sql.Timestamp, event_type: String, value: Double)
+
+  test("windowed counts match batch rollup; late data beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 * 365 * 54 + min * 60000L)
+    val onTime = Seq(
+      Ev(ts(0), "view", 1.0), Ev(ts(10), "view", 2.0), Ev(ts(70), "click", 3.0),
+      Ev(ts(130), "view", 4.0), Ev(ts(200), "click", 5.0))
+    val stream = MemoryStream[Ev]
+    val query = LiveKV.windowedCounts(stream.toDF(), "1 hour", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("win")
+      .start()
+    try {
+      stream.addData(onTime.toIndexedSeq)
+      query.processAllAvailable()
+      // a very late event, far behind the advanced watermark
+      stream.addData(Ev(ts(-600), "view", 9.0))
+      query.processAllAvailable()
+      // push watermark forward so all on-time windows close
+      stream.addData(Ev(ts(500), "view", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("win")
+        .select("w_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.getTime / 60000, t, n) }.toSet
+      val base = ts(0).getTime / 60000
+      assert(got.contains((base, "view", 2L)))      // minutes 0,10
+      assert(got.contains((base + 60, "click", 1L)))
+      assert(got.contains((base + 120, "view", 1L)))
+      assert(got.contains((base + 180, "click", 1L)))
+      // the late event's window never appears
+      assert(!got.exists(_._1 == base - 600))
+    } finally query.stop()
+  }
+}
