@@ -1,0 +1,19 @@
+package graft
+
+/** Dev tool: print formatted physical plans for selected queries so
+  * pushdown / broadcast / codegen can be inspected (SURVEY §4 stance:
+  * iterate until the plan is the one you'd want, not the first one
+  * that passed).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q6_filter", "q3_join", "q5_join", "wc_wordcount", "kv_state")
+    val spark = Tables.session("graft-explain", 4)
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -20,6 +20,15 @@ object TextQueries extends QueryPack {
       TextApps.invertedIndex(Tables.documents(s, dir)).orderBy("word")),
     "mr_grep" -> ((s, dir) =>
       TextApps.grep(Tables.documents(s, dir), "stream").orderBy("doc_id")),
+    // Reference T4 (test-ii.sh): drop posting lines containing "16",
+    // take the 10 heaviest postings (stable by word).
+    "ii_top10" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      TextApps.invertedIndex(Tables.documents(s, dir))
+        .filter(!concat(col("n_docs").cast("string"), lit(" "), col("docs")).contains("16"))
+        .orderBy(desc("n_docs"), desc("word"))
+        .limit(10)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -47,5 +56,17 @@ object TextQueries extends QueryPack {
     "mr_grep" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE regexp_matches(text, 'stream') ORDER BY doc_id""".stripMargin,
+    "ii_top10" ->
+      s"""SELECT word, n_docs, docs FROM (
+         |  SELECT word, count(*) AS n_docs,
+         |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+         |  FROM (SELECT DISTINCT doc_id, word
+         |        FROM (SELECT doc_id,
+         |                     unnest(regexp_split_to_array(text, '$SPLIT_SQL')) AS word
+         |              FROM documents)
+         |        WHERE word <> '')
+         |  GROUP BY word)
+         |WHERE NOT contains(CAST(n_docs AS VARCHAR) || ' ' || docs, '16')
+         |ORDER BY n_docs DESC, word DESC LIMIT 10""".stripMargin,
   )
 }

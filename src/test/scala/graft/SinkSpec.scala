@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.{KeyValue, MapReduceJob}
+import graft.kv.Op
+import graft.streaming.LiveKV
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink/source semantics: JSON KeyValue round-trip (reference S3-S5:
+  * JSON is the wire format of intermediates and reduce output) and
+  * streaming checkpoint restore (reference S8: snapshot + restore on
+  * restart, src/kvraft/server.go:203-210, 169-183).
+  */
+object SinkSpec {
+  val states = new scala.collection.concurrent.TrieMap[String, graft.streaming.LiveKV.KVUpdate]()
+}
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KeyValue JSON sink round-trips (S5)") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/out"
+    val kvs = Seq(KeyValue("a", "1"), KeyValue("b", "2"), KeyValue("c", "")).toDS()
+    kvs.write.json(dir)
+    val back = spark.read.schema("key STRING, value STRING").json(dir)
+      .as[KeyValue].collect().sortBy(_.key)
+    assert(back.toSeq == Seq(KeyValue("a", "1"), KeyValue("b", "2"), KeyValue("c", "")))
+  }
+
+  test("merged text sink writes reference format (S6)") {
+    val dir = Files.createTempDirectory("graft_txt").toString + "/out"
+    val kvs = Seq(KeyValue("b", "2"), KeyValue("a", "1")).toDS()
+    MapReduceJob.merged(kvs).coalesce(1).write.text(dir)
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.toSeq == Seq("a: 1", "b: 2"))
+  }
+
+  test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    def run(stream: MemoryStream[Op]): Unit = {
+      val q = LiveKV.liveState(stream.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[LiveKV.KVUpdate], _: Long) =>
+          batch.collect().foreach(u => SinkSpec.states.put(u.key, u))
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val s1 = MemoryStream[Op]
+    s1.addData(Op(0, 1, 0, "put", "k", "X"), Op(1, 1, 1, "append", "k", "Y"))
+    run(s1)
+    assert(SinkSpec.states.get("k").map(_.value).contains("XY"))
+
+    // new stream + same checkpoint: state (XY) must be restored, and
+    // the retried (client 1, req 1) must still be deduped
+    val s2 = MemoryStream[Op]
+    s2.addData(Op(0, 1, 0, "put", "k", "X"), Op(1, 1, 1, "append", "k", "Y")) // replayed batch 0
+    s2.addData(Op(2, 1, 1, "append", "k", "Y"), Op(3, 1, 2, "append", "k", "Z"),
+      Op(4, 1, 3, "append", "k", "!"))
+    run(s2)
+    assert(SinkSpec.states.get("k").map(_.value).contains("XYZ!"))
+  }
+}
