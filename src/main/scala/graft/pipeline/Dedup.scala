@@ -41,25 +41,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Per-doc shingle ARRAY, built row-locally (no explode): positions
+    * 1..n-k+1 sliced out of the token array. */
+  private def shingleArray(k: Int) = {
+    val toks = split(col("text"), " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+      p => array_join(slice(toks, p, lit(k)), " "))
+  }
+
   /** Per-doc MinHash signature: NumHashes columns mh0..mhK-1, each the
-    * min over the doc's shingles of md5(seed|shingle). One aggregation
-    * pass, one shuffle. */
+    * min over the doc's shingles of md5(seed|shingle).
+    *
+    * Shape: explode shingles -> ONE codegen'd hash aggregate with all
+    * K mins (no distinct pass first — min over the multiset == min
+    * over the set). A row-local array_min(transform(...)) variant was
+    * measured 4x slower: higher-order-function lambdas evaluate
+    * interpreted, while HashAggregateExec is whole-stage codegen. */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
+    // array_distinct BEFORE exploding: row-local dedup cuts the md5
+    // work (K hashes per shingle) without the shuffle a distinct() costs
+    val sh = docs.select(col("doc_id"), explode(array_distinct(shingleArray(k))).as("shingle"))
     val aggs = (0 until NumHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh$s"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: docs whose band signature (concat of BandRows
-    * minhashes) collides are candidate near-dup pairs. */
+    * minhashes) collides are candidate near-dup pairs.
+    *
+    * Bands are emitted with ONE explode over an in-row array — a
+    * union of per-band selects would re-run the (map-only, hence
+    * unshared) signature computation once per band. */
   def minhashCandidates(docs: DataFrame, k: Int = 3): DataFrame = {
     val sig = minhashSignatures(docs, k)
     val nBands = NumHashes / BandRows
-    val bands = (0 until nBands).map { b =>
+    val bandStructs = (0 until nBands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("sig"))
-    }.reduce(_ unionAll _)
+      struct(lit(b).as("band"), concat(cols: _*).as("sig"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -90,26 +113,23 @@ object Dedup {
 
   /** SimHash: 32-bit fingerprint from the hex digits of md5(token),
     * majority-weighted by term frequency. Exact-collision groups are
-    * near-identical docs. */
+    * near-identical docs.
+    *
+    * Row-local: fold the token-md5 array into a 32-wide weight vector
+    * with aggregate+zip_with (iterating every occurrence IS the
+    * tf-weighting), then threshold to bits. Map-only stage — no
+    * explode, no shuffle. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok")))
-    val bits = tf
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("pos"))
-      .withColumn("digit", col("h").substr(col("pos") + 1, lit(1)))
-      .groupBy("doc_id", "pos")
-      .agg(sum(when(col("digit") >= "8", col("cnt")).otherwise(-col("cnt"))).as("w"))
-      .withColumn("bit", when(col("w") >= 0, "1").otherwise("0"))
-    bits
-      .groupBy("doc_id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("bit")))), _.getField("bit")),
-          "").as("fp"))
+    val hashes = transform(split(col("text"), " "), t => md5(t))
+    val weights = aggregate(
+      hashes,
+      transform(sequence(lit(1), lit(32)), _ => lit(0L)),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(1), lit(32)),
+          (w, p) => w + when(h.substr(p, lit(1)) >= "8", 1L).otherwise(-1L)))
+    docs.select(
+      col("doc_id"),
+      array_join(transform(weights, w => when(w >= 0, "1").otherwise("0")), "").as("fp"))
   }
 
   /** SimHash collision groups (fingerprint shared by > 1 doc). */
