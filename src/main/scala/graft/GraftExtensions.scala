@@ -1,0 +1,23 @@
+package graft
+
+import graft.functions.HammingDistance
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook: registers graft's native expressions
+  * on sessions built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  *
+  * For sessions the library doesn't build (the driver's), the same
+  * functions self-register via their Column APIs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      exprs => HammingDistance(exprs(0), exprs(1))))
+  }
+}

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * runs — no per-key materialization, no driver involvement. At 100 TB
   * the single fold shuffle on `key` is the only wide dependency.
   */
+/** One (key, seq-bucket) sub-group for the salted fold. */
+case class SaltedOp(key: String, bucket: Long, seq: Long, kind: String, value: String)
+
+/** Folded partial of one (key, bucket) segment — combines as a monoid
+  * (see [[KVEngine.replaySalted]]). */
+case class Segment(key: String, bucket: Long, sawPut: Boolean, value: String)
+
 object KVEngine {
 
   /** Exactly-once dedup (K4): a retried (clientId, reqId) pair applies
@@ -72,6 +79,72 @@ object KVEngine {
               else sb ++= op.value
             }
             (k, sb.result())
+          }
+        }
+      }
+      .toDF("key", "value")
+  }
+
+  /** Skew-resistant variant of [[replay]]: two-phase salted fold for
+    * hot keys. The append fold is ASSOCIATIVE — a contiguous seq
+    * segment folds to (sawPut, value) and segments combine left-to-
+    * right as
+    *
+    *   combine(l, r) = if (r.sawPut) r else (l.sawPut, l.value + r.value)
+    *
+    * so phase 1 folds (key, seq/bucket) sub-groups in parallel (hot
+    * keys split across `salt` tasks) and phase 2 merges the per-bucket
+    * partials in bucket order — a tiny shuffle of one row per (key,
+    * bucket). Semantically identical to [[replay]] (property-tested);
+    * at 100 TB this is the shape that survives a key taking 10% of
+    * the log.
+    */
+  def replaySalted(ops: Dataset[Op], salt: Int = 16, seqRange: Long = -1L): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val range = if (seqRange > 0) seqRange
+      else ops.agg(max("seq")).head().getLong(0) + 1 // one cheap scan when unhinted
+    val bucketWidth = math.max(range / salt, 1L)
+    val writes = dedup(ops)
+      .filter(col("kind") =!= "get")
+      .withColumn("bucket", (col("seq") / bucketWidth).cast("long"))
+    val partials = writes
+      .select(col("key"), col("bucket"), col("seq"), col("kind"), col("value"))
+      .as[SaltedOp]
+      .repartition(col("key"), col("bucket"))
+      .sortWithinPartitions("key", "bucket", "seq")
+      .mapPartitions { rows =>
+        new Iterator[Segment] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Segment = {
+            val (key, bucket) = (buf.head.key, buf.head.bucket)
+            var sawPut = false
+            val sb = new StringBuilder
+            while (buf.hasNext && buf.head.key == key && buf.head.bucket == bucket) {
+              val op = buf.next()
+              if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
+              else sb ++= op.value
+            }
+            Segment(key, bucket, sawPut, sb.result())
+          }
+        }
+      }
+    partials
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "bucket")
+      .mapPartitions { rows =>
+        new Iterator[(String, String)] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, String) = {
+            val key = buf.head.key
+            var acc = ""
+            while (buf.hasNext && buf.head.key == key) {
+              val seg = buf.next()
+              acc = if (seg.sawPut) seg.value else acc + seg.value
+            }
+            (key, acc)
           }
         }
       }

@@ -138,4 +138,32 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
       .filter(col("n_docs") > 1)
+
+  /** SimHash near-dup pairs within `maxDist` bits, found by pigeonhole
+    * banding: a pair differing in <= 3 of 32 bits must agree on at
+    * least one of 4 contiguous 8-bit bands, so an equi-join on band
+    * signatures finds ALL such pairs — no all-pairs join at any scale.
+    * The verify step uses the native codegen'd
+    * [[graft.functions.HammingDistance]] expression. */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "pigeonhole over 4 bands only guarantees recall for maxDist <= 3")
+    val spark = docs.sparkSession
+    val fps = simhash(docs)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), substring(col("fp"), 1 + 8 * b, 8).as("sig")))
+    val bands = fps
+      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val dist = graft.functions.HammingDistance.hamming(spark, col("fp_a"), col("fp_b"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("dist", dist)
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

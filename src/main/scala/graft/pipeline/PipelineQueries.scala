@@ -25,6 +25,7 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
+    "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -65,6 +66,23 @@ object PipelineQueries extends QueryPack {
   private def planeSql(j: Int): String =
     s"((pos * ${j + 3} * 2654435761) % 2000001 - 1000000)"
 
+  /** SimHash fingerprint CTEs (tf-weighted md5 hex-digit majority) —
+    * semantics of [[Dedup.simhash]]. */
+  private val FPS_SQL =
+    """tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |bits AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN sum(CASE WHEN substring(h, pos + 1, 1) >= '8'
+      |                            THEN cnt ELSE -cnt END) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM tf, (SELECT unnest(range(0, 32)) AS pos)
+      |  GROUP BY doc_id, pos),
+      |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
+      |        FROM bits GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
@@ -99,22 +117,27 @@ object PipelineQueries extends QueryPack {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH tf AS (
-        |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY doc_id, tok),
-        |bits AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN sum(CASE WHEN substring(h, pos + 1, 1) >= '8'
-        |                            THEN cnt ELSE -cnt END) >= 0
-        |              THEN '1' ELSE '0' END AS bit
-        |  FROM tf, (SELECT unnest(range(0, 32)) AS pos)
-        |  GROUP BY doc_id, pos),
-        |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
-        |        FROM bits GROUP BY doc_id)
-        |SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc
-        |FROM fps GROUP BY fp HAVING count(*) > 1
-        |ORDER BY fp""".stripMargin,
+      s"""WITH $FPS_SQL
+         |SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc
+         |FROM fps GROUP BY fp HAVING count(*) > 1
+         |ORDER BY fp""".stripMargin,
+    "dedup_simhash_near" ->
+      s"""WITH $FPS_SQL,
+         |bands AS (
+         |  SELECT doc_id, fp, b, substring(fp, 1 + 8 * b, 8) AS sig
+         |  FROM fps, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.fp AS fa, b.fp AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_filter(range(1, 33),
+         |                p -> substring(fa, p, 1) <> substring(fb, p, 1))) AS INTEGER) AS dist
+         |FROM cand
+         |WHERE len(list_filter(range(1, 33),
+         |          p -> substring(fa, p, 1) <> substring(fb, p, 1))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |       CAST(len(toks) AS BIGINT) AS n_tokens,
