@@ -115,21 +115,15 @@ object Dedup {
     * majority-weighted by term frequency. Exact-collision groups are
     * near-identical docs.
     *
-    * Row-local: fold the token-md5 array into a 32-wide weight vector
-    * with aggregate+zip_with (iterating every occurrence IS the
-    * tf-weighting), then threshold to bits. Map-only stage — no
-    * explode, no shuffle. */
+    * Row-local map-only stage — no explode, no shuffle — via the
+    * native codegen'd [[graft.functions.SimHashFp]] expression (an
+    * aggregate+zip_with built-in composition was measured ~10x slower:
+    * higher-order lambdas evaluate interpreted). */
   def simhash(docs: DataFrame): DataFrame = {
-    val hashes = transform(split(col("text"), " "), t => md5(t))
-    val weights = aggregate(
-      hashes,
-      transform(sequence(lit(1), lit(32)), _ => lit(0L)),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(1), lit(32)),
-          (w, p) => w + when(h.substr(p, lit(1)) >= "8", 1L).otherwise(-1L)))
+    val spark = docs.sparkSession
     docs.select(
       col("doc_id"),
-      array_join(transform(weights, w => when(w >= 0, "1").otherwise("0")), "").as("fp"))
+      graft.functions.SimHashFp.simhashFp(spark, split(col("text"), " ")).as("fp"))
   }
 
   /** SimHash collision groups (fingerprint shared by > 1 doc). */
