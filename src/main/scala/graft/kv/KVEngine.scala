@@ -155,6 +155,14 @@ object KVEngine {
     * Missing key -> empty string (reference: Get on absent key returns
     * "" via ErrNoKey handling, src/kvraft/client.go:37).
     */
+  /** Point lookups pushed BELOW the fold: the fold is per-key and
+    * duplicate (clientId, reqId) pairs always carry the same key, so
+    * replaying only the probed keys' ops is equivalent to folding
+    * everything and filtering — but scans/folds a fraction of the log.
+    * (The key filter also reaches the parquet scan.) */
+  def getDirect(ops: Dataset[Op], keys: Seq[String]): DataFrame =
+    get(replay(ops.filter(col("key").isin(keys: _*))), keys)
+
   def get(state: DataFrame, keys: Seq[String]): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._

@@ -30,7 +30,7 @@ object KVQueries extends QueryPack {
         .select(col("clientId").as("client_id"), col("maxReqId").as("max_req_id"))
         .orderBy("client_id")),
     "kv_state" -> ((s, dir) => KVEngine.replay(ops(s, dir)).orderBy("key")),
-    "kv_get" -> ((s, dir) => KVEngine.get(KVEngine.replay(ops(s, dir)), probeKeys).orderBy("key")),
+    "kv_get" -> ((s, dir) => KVEngine.getDirect(ops(s, dir), probeKeys).orderBy("key")),
     "kv_shard_counts" -> ((s, dir) =>
       ops(s, dir)
         .select(col("key")).distinct()

@@ -61,6 +61,53 @@ object LiveKV {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
   }
 
+  case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Streaming sessionization: 30-min-gap sessions per user closed by
+    * event-time timeout — the flatMapGroupsWithState form of the batch
+    * ev_sessions query. A session closes (and is emitted) when the
+    * watermark passes lastEvent + gap; Append output mode.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.startMs, s.lastMs, s.n))
+          } else {
+            val sorted = evs.map(_.ts_utc.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.startMs, s.lastMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
   /** Event-time tumbling-window aggregation with watermark — the
     * streaming rollup the batch ev_daily query mirrors. `events` must
     * carry a TimestampType `ts_utc` column. */

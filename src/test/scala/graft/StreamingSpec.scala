@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: gap closes a session, timeout emits the last one") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.LiveKV.{ClosedSession, SessionEvent}
+    def ev(user: Long, min: Int) =
+      SessionEvent(user, new java.sql.Timestamp(1700000000000L + min * 60000L))
+    val stream = MemoryStream[SessionEvent]
+    val query = LiveKV.sessionize(stream.toDS(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .start()
+    try {
+      // user 1: events at 0,10 then a 40-min gap then 50 -> first session closes
+      stream.addData(ev(1, 0), ev(1, 10), ev(2, 5))
+      query.processAllAvailable()
+      stream.addData(ev(1, 50))
+      query.processAllAvailable()
+      // advance the watermark far enough to time out everything open
+      stream.addData(ev(9, 300))
+      query.processAllAvailable()
+      stream.addData(ev(9, 400))
+      query.processAllAvailable()
+      val got = spark.table("sess").as[ClosedSession].collect()
+        .map(s => (s.user_id, (s.start_ms - 1700000000000L) / 60000, s.n_events)).toSet
+      assert(got.contains((1L, 0L, 2L)), s"gap-closed session missing: $got")
+      assert(got.contains((1L, 50L, 1L)), s"timeout-closed session missing: $got")
+      assert(got.contains((2L, 5L, 1L)), s"user 2 session missing: $got")
+    } finally query.stop()
+  }
+
   case class Ev(ts_utc: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts match batch rollup; late data beyond watermark dropped") {
