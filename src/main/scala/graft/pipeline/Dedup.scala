@@ -60,10 +60,17 @@ object Dedup {
     * interpreted, while HashAggregateExec is whole-stage codegen. */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
     // array_distinct BEFORE exploding: row-local dedup cuts the md5
-    // work (K hashes per shingle) without the shuffle a distinct() costs
+    // work without the shuffle a distinct() costs. The 8 hash families
+    // are 8-hex (32-bit) slices of just TWO md5 digests per shingle —
+    // 4x less hashing than 8 salted digests, and 32 bits is ample for
+    // a min over <= a few hundred shingles per doc.
     val sh = docs.select(col("doc_id"), explode(array_distinct(shingleArray(k))).as("shingle"))
-    val aggs = (0 until NumHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh$s"))
+      .withColumn("h0", md5(col("shingle")))
+      .withColumn("h1", md5(concat(lit("x|"), col("shingle"))))
+    val aggs = (0 until NumHashes).map { s =>
+      val src = if (s < 4) col("h0") else col("h1")
+      min(substring(src, 1 + 8 * (s % 4), 8)).as(s"mh$s")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -148,16 +155,16 @@ object Dedup {
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val dist = graft.functions.HammingDistance.hamming(spark, col("fp_a"), col("fp_b"))
+    // hamming BEFORE distinct: the native expression re-evaluates per
+    // band collision (cheap), while distinct then shuffles 3 narrow
+    // columns instead of two 32-char fingerprints per row
+    val dist = graft.functions.HammingDistance.hamming(spark, col("a.fp"), col("b.fp"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
-      .withColumn("dist", dist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), dist.as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .distinct()
   }
 }

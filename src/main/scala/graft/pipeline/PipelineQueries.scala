@@ -89,8 +89,10 @@ object PipelineQueries extends QueryPack {
         |       count(*) - count(DISTINCT md5(text)) AS n_dups
         |FROM documents""".stripMargin,
     "dedup_minhash" -> {
-      val mins = (0 until Dedup.NumHashes)
-        .map(s => s"min(md5('$s' || '|' || shingle)) AS mh$s").mkString(",\n  ")
+      val mins = (0 until Dedup.NumHashes).map { s =>
+        val src = if (s < 4) "md5(shingle)" else "md5('x|' || shingle)"
+        s"min(substring($src, ${1 + 8 * (s % 4)}, 8)) AS mh$s"
+      }.mkString(",\n  ")
       val bandSelects = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
         val lo = b * Dedup.BandRows
         s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
