@@ -33,6 +33,7 @@ object PipelineQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // STUBBED decode path — schema/partitioning real, features from the
@@ -230,6 +231,36 @@ object PipelineQueries extends QueryPack {
          |WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= ${Similarity.AnnThreshold}
          |ORDER BY id_a, id_b""".stripMargin
     },
+    "sim_ivf_topk" ->
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),
+         |pe AS (SELECT label, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
+         |cent AS (SELECT label, pos, CAST(SUM(qi) AS BIGINT) AS c FROM pe GROUP BY label, pos),
+         |centv AS (
+         |  SELECT label AS cell, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv,
+         |         CAST(SUM(c * c) AS BIGINT) AS cn2
+         |  FROM cent GROUP BY label),
+         |assign AS (
+         |  SELECT vec_id, cell, qd, n2 FROM (
+         |    SELECT v.vec_id, c.cell, v.qd, v.n2,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_dot_product(v.qd, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS rn
+         |    FROM qd v CROSS JOIN centv c)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, cell, qd AS pq, n2 AS pn2
+         |           FROM assign WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.probe_id, a.vec_id,
+         |         list_dot_product(p.pq, a.qd)
+         |           / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY cos DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_centroids" ->
       s"""WITH qv AS ($QV),
          |pe AS (SELECT label, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),

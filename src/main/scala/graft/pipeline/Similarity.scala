@@ -103,6 +103,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) top-k — the ANN scale path: a coarse
+    * quantizer (integer centroid SUMS per label cell, so assignment is
+    * exact integer math — cosine argmax is scale-invariant, so the
+    * un-normalized sum works as the centroid) routes each probe to its
+    * nearest cell, and only that cell's vectors are scored. nprobe=1;
+    * the cells come from the label partition (10 cells here — at scale
+    * a k-means pass would build them the same shape).
+    *
+    * Everything stays deterministic across engines: centroid
+    * components are exact longs, dots are exact longs, the only
+    * doubles are final sqrt/div of exact integers. */
+  def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    val qv = quantized(emb)
+    // integer centroid sums per (label cell, dim)
+    val cent = qv
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy("label", "pos")
+      .agg(sum("qi").as("c"))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))), _.getField("c"))
+          .as("cv"),
+        sum(col("c") * col("c")).as("cn2"))
+      .select(col("label").as("cell"), col("cv"), col("cn2"))
+    // assign every vector to its nearest cell (cosine argmax ==
+    // dot/|c| argmax since |q| is constant per vector)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(desc("cscore"), asc("cell"))
+    val assign = qv
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore",
+        dot(col("q"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("n2"))
+    val probes = assign
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    assign
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pq"), col("q")).cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** Centroid per label class — a k-means-E-step-shaped aggregation
     * (element-wise mean over array column via posexplode + pivot-free
     * regroup). */

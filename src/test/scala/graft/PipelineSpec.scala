@@ -65,6 +65,27 @@ class PipelineSpec extends SparkSpec {
     assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("ivfTopK: k results per probe from the probe's cell, ranked like brute force on that cell") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 5).collect()
+    assert(res.length == 15)
+    val perProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    perProbe.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // descending
+    }
+    // IVF candidates are a subset of brute-force candidates: every IVF
+    // cos must appear among the brute cos values for that probe pair
+    val brute = Similarity.bruteTopK(emb, Seq(0L, 1L, 2L), 2000).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    res.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(brute(key) - r.getAs[Double]("cos_sim")) < 1e-9)
+    }
+  }
+
   test("annPairs only returns pairs above threshold, consistent with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val ann = Similarity.annPairs(emb).as[(Long, Long, Double)].collect()
