@@ -129,6 +129,16 @@ object RelationalQueries extends QueryPack {
         .filter(col("rank") <= 20)
         .orderBy("rank")
     },
+    // Tumbling window() rollup — the batch form of the streaming
+    // windowed aggregation (hourly).
+    "ev_hourly" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(Tables.eventTime(col("ts")).as("ts_utc"), col("event_type"), col("value"))
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -214,6 +224,12 @@ object RelationalQueries extends QueryPack {
         |FROM spend
         |QUALIFY rank <= 20
         |ORDER BY rank""".stripMargin,
+    "ev_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "ev_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,

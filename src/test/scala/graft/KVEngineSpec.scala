@@ -83,6 +83,25 @@ class KVEngineSpec extends SparkSpec {
     assert(got == Map("a" -> "1", "zzz" -> ""))
   }
 
+  test("Clerk: read-your-writes through retries (reference client contract)") {
+    val ck = new graft.kv.Clerk(spark, clientId = 7)
+    ck.put("k", "A")
+    ck.append("k", "B", sendDuplicates = 3) // retried 3x -> applies once
+    assert(ck.get("k") == "AB")
+    ck.append("k", "C")
+    ck.put("other", "Z", sendDuplicates = 2)
+    assert(ck.get("k") == "ABC")
+    assert(ck.get("other") == "Z")
+    assert(ck.get("missing") == "")
+  }
+
+  test("tokenizer unicode parity: letters/numbers kept, underscore splits (SURVEY 7.4.3)") {
+    val d = Seq((1L, "café 北京 naïve_test 42x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val toks = apps.TextApps.tokens(d).select("word").as[String].collect().toSeq
+    assert(toks == Seq("café", "北京", "naïve", "test", "42x"))
+  }
+
   test("oplog synthesis from events is deterministic and well-typed") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001)).collect()
     assert(ops.length == 1000)

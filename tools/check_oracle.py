@@ -20,9 +20,16 @@ def load_result(path):
     t = pq.read_table(files[0])
     return t
 
+def canon_cell(v):
+    # pandas.Timestamp vs datetime.datetime repr differently but compare
+    # equal; normalize for the sorted-row comparison
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(r[i] for i in order) for r in rows]
+    return [cols[i] for i in order], [tuple(canon_cell(r[i]) for i in order) for r in rows]
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
