@@ -47,7 +47,9 @@ object Tables {
     */
   def session(appName: String, cores: Int = 4): SparkSession = {
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      // local[N, 2]: allow one task retry, like a real cluster would —
+      // required for the worker-failure semantics tests
+      .master(s"local[$cores, 2]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -155,6 +155,58 @@ object KVEngine {
     * Missing key -> empty string (reference: Get on absent key returns
     * "" via ErrNoKey handling, src/kvraft/client.go:37).
     */
+  /** Incremental state maintenance: fold only the NEW suffix of the
+    * log and merge onto an existing state table — the batch half of a
+    * lambda architecture (streaming LiveKV is the live half; both use
+    * the same segment monoid). `newOps` must all have seq greater than
+    * anything already folded into `state`, and the dedup set must be
+    * key-consistent (retries carry the same key — K4), so increment ∘
+    * increment == full replay (property-tested).
+    */
+  def applyIncrement(state: DataFrame, newOps: Dataset[Op],
+      priorOps: Option[Dataset[Op]] = None): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    // cross-batch exactly-once: drop retries of ops already applied in
+    // prior batches (the reference's ack-table check, K4) before the
+    // in-batch dedup
+    val fresh = priorOps match {
+      case Some(prior) =>
+        newOps.join(prior.select("clientId", "reqId"), Seq("clientId", "reqId"), "left_anti").as[Op]
+      case None => newOps
+    }
+    val delta = dedup(fresh)
+      .filter(col("kind") =!= "get")
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "seq")
+      .mapPartitions { rows =>
+        new Iterator[(String, Boolean, String)] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Boolean, String) = {
+            val k = buf.head.key
+            var sawPut = false
+            val sb = new StringBuilder
+            while (buf.hasNext && buf.head.key == k) {
+              val op = buf.next()
+              if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
+              else sb ++= op.value
+            }
+            (k, sawPut, sb.result())
+          }
+        }
+      }
+      .toDF("key", "saw_put", "delta_value")
+    state
+      .join(delta, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("delta_value").isNull, col("value"))
+          .when(col("saw_put") === true, col("delta_value"))
+          .otherwise(concat(coalesce(col("value"), lit("")), col("delta_value")))
+          .as("value"))
+  }
+
   /** Point lookups pushed BELOW the fold: the fold is per-key and
     * duplicate (clientId, reqId) pairs always carry the same key, so
     * replaying only the probed keys' ops is equivalent to folding

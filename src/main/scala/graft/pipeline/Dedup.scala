@@ -104,8 +104,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // exact pruning: a shingle in exactly one doc cannot contribute to
+    // any intersection (sizes still come from the full sets), so the
+    // self-join runs over df>=2 shingles only
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > 1)
+      .select("shingle")
+    val shJ = sh.join(shared, "shingle")
+    val inter = shJ.as("a")
+      .join(shJ.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -83,6 +83,20 @@ class KVEngineSpec extends SparkSpec {
     assert(got == Map("a" -> "1", "zzz" -> ""))
   }
 
+  test("applyIncrement: state + delta == full replay, retries across batches dropped") {
+    val all = OpLog.fromEvents(Tables.events(spark, sf0001)).collect().sortBy(_.seq)
+    val (first, second) = all.splitAt(all.length / 2)
+    val full = KVEngine.replay(all.toSeq.toDS()).as[(String, String)].collect().toMap
+
+    val state0 = KVEngine.replay(first.toSeq.toDS())
+    // re-send some already-applied ops in the second batch (network retries)
+    val retried = second ++ first.takeRight(20)
+    val state1 = KVEngine
+      .applyIncrement(state0, retried.toSeq.toDS(), priorOps = Some(first.toSeq.toDS()))
+      .as[(String, String)].collect().toMap
+    assert(state1 == full)
+  }
+
   test("Clerk: read-your-writes through retries (reference client contract)") {
     val ck = new graft.kv.Clerk(spark, clientId = 7)
     ck.put("k", "A")

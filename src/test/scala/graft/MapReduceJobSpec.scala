@@ -69,6 +69,32 @@ class MapReduceJobSpec extends SparkSpec {
     assert(viaMr.toSeq == viaDf.toSeq)
   }
 
+  test("worker failure: task retries leave the result intact (reference test layer 2)") {
+    // the reference kills workers mid-job and asserts completion
+    // (src/mapreduce/test_test.go:176-210); Spark's analogue is task
+    // retry — fail one task's first attempt, assert identical output
+    val docs = spark.range(1000).repartition(8).mapPartitions { it =>
+      Iterator(("f", it.map(n => f"$n%04d").mkString("\n")))
+    }
+    def job() = MapReduceJob.run(
+      docs, 4,
+      mapF = (_, c) => c.split("\n").iterator.map(KeyValue(_, "1")),
+      reduceF = (_, vs) => vs.size.toString)
+    val expected = job().collect().map(kv => kv.key -> kv.value).toMap
+
+    val flaky = MapReduceJob.run(
+      docs, 4,
+      mapF = (_, c) => {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() == 2 && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected worker failure")
+        c.split("\n").iterator.map(KeyValue(_, "1"))
+      },
+      reduceF = (_, vs) => vs.size.toString)
+    val got = flaky.collect().map(kv => kv.key -> kv.value).toMap
+    assert(got == expected)
+  }
+
   test("merged sink renders reference text format") {
     val kvs = Seq(KeyValue("b", "2"), KeyValue("a", "1")).toDS()
     assert(MapReduceJob.merged(kvs).collect().toSeq == Seq("a: 1", "b: 2"))
