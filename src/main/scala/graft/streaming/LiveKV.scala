@@ -61,6 +61,43 @@ object LiveKV {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
   }
 
+  /** S8's batch form: maintain a parquet state TABLE from the op
+    * stream — each micro-batch is folded with
+    * [[graft.kv.KVEngine.applyIncrement]] and the merged state is
+    * rewritten (version-flipped dir so readers never see a partial
+    * write). The reference's gob snapshot (kvraft/server.go:203-210)
+    * plays this role; replay-free restarts come from the checkpointed
+    * source offsets. Client retries are deduped in-batch by
+    * applyIncrement; for cross-batch retries compose an upstream
+    * `.dropDuplicates("clientId", "reqId")` (as [[liveState]] does).
+    * Returns the configured writer; caller starts it.
+    */
+  def stateTableSink(ops: Dataset[Op], stateDir: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Op] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Op], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs0 = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        val hasState = fs0.exists(new org.apache.hadoop.fs.Path(s"$stateDir/current"))
+        val base =
+          if (hasState)
+            s.read.schema("key STRING, value STRING").parquet(s"$stateDir/current")
+          else Seq.empty[(String, String)].toDF("key", "value")
+        val next = graft.kv.KVEngine.applyIncrement(base, batch)
+        // materialize BEFORE the flip: `next` lazily reads `current`
+        next.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // atomic-enough flip for a local FS: point 'current' at the new version
+        val currentPath = new org.apache.hadoop.fs.Path(s"$stateDir/current")
+        fs0.delete(currentPath, true)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs0, new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId"),
+          fs0, currentPath, false, s.sparkContext.hadoopConfiguration)
+        ()
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp)
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

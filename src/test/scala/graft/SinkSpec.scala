@@ -36,6 +36,30 @@ class SinkSpec extends SparkSpec {
     assert(lines.toSeq == Seq("a: 1", "b: 2"))
   }
 
+  test("stateTableSink maintains a parquet state table equal to batch replay (S8 batch form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft_state").toString
+    val ckpt = Files.createTempDirectory("graft_state_ckpt").toString
+    val ops = graft.kv.OpLog.fromEvents(Tables.events(spark, sf0001))
+      .collect().sortBy(_.seq)
+    val expected = graft.kv.KVEngine.replay(
+      graft.kv.OpLog.fromEvents(Tables.events(spark, sf0001)))
+      .as[(String, String)].collect().toMap
+
+    val stream = MemoryStream[graft.kv.Op]
+    val query = LiveKV.stateTableSink(
+      stream.toDS().dropDuplicates("clientId", "reqId"), stateDir, ckpt).start()
+    try {
+      ops.grouped(ops.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.read.parquet(s"$stateDir/current")
+        .as[(String, String)].collect().toMap
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
