@@ -129,6 +129,19 @@ object RelationalQueries extends QueryPack {
         .filter(col("rank") <= 20)
         .orderBy("rank")
     },
+    // As-of attribution: each purchase joined to the user's most
+    // recent prior signup (running-max window — the same carry-forward
+    // shape as operators.AsOfJoin).
+    "ev_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("event_id"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_signup"))
+        .orderBy("event_id")
+    },
     // Tumbling window() rollup — the batch form of the streaming
     // windowed aggregation (hourly).
     "ev_hourly" -> { (s, dir) =>
@@ -224,6 +237,15 @@ object RelationalQueries extends QueryPack {
         |FROM spend
         |QUALIFY rank <= 20
         |ORDER BY rank""".stripMargin,
+    "ev_attribution" ->
+      """SELECT event_id, user_id, last_signup FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN event_id END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_signup
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total
