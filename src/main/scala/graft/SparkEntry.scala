@@ -22,8 +22,12 @@ object SparkEntry {
     apps.TextApps.topWords(Tables.documents(spark, "/root/testdata/sf0.001"), 10)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent DuckDB SQL over the same
     * parquet tables. Omitted keys get a rows-only check. */

@@ -26,10 +26,16 @@ object Tables {
   /** events.ts (ns-since-epoch long under nanosAsLong) -> TimestampType
     * at microsecond precision, truncating like DuckDB's CAST(ts AS
     * TIMESTAMP). Oracle SQL counterpart: epoch_us(ts) for the long form.
+    *
+    * ns/1000 must be EXACT integer division: `floor(ts / 1000)` runs in
+    * doubles and ns-since-epoch (~1.7e18) exceeds 2^53, so values
+    * within ~128 ns of a microsecond boundary would mis-truncate
+    * relative to DuckDB. Decimal division keeps it exact; decimal->long
+    * cast truncates toward zero (positive epochs => floor).
     */
   def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.floor(tsNanos / 1000L).cast("long"))
+      (tsNanos.cast("decimal(25,0)") / 1000).cast("long"))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -57,16 +57,7 @@ object MapReduceJob {
       .mapPartitions { rows =>
         // rows arrive key-sorted: stream contiguous runs of one key
         // through reduceF without materializing a per-partition map.
-        new Iterator[KeyValue] {
-          val buf = rows.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): KeyValue = {
-            val k = buf.head.key
-            val values = new scala.collection.mutable.ArrayBuffer[String]()
-            while (buf.hasNext && buf.head.key == k) values += buf.next().value
-            KeyValue(k, reduceF(k, values.iterator))
-          }
-        }
+        Runs.fold(rows)(_.key)((k, run) => KeyValue(k, reduceF(k, run.map(_.value))))
       }
   }
 

@@ -66,23 +66,20 @@ object KVEngine {
       else writes.repartition(col("key"))
     parted
       .sortWithinPartitions("key", "seq")
-      .mapPartitions { rows =>
-        new Iterator[(String, String)] {
-          private val buf = rows.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): (String, String) = {
-            val k = buf.head.key
-            val sb = new StringBuilder
-            while (buf.hasNext && buf.head.key == k) {
-              val op = buf.next()
-              if (op.kind == "put") { sb.clear(); sb ++= op.value }
-              else sb ++= op.value
-            }
-            (k, sb.result())
-          }
-        }
-      }
+      .mapPartitions(rows => graft.core.Runs.fold(rows)(_.key)((k, run) => (k, foldRun(run)._2)))
       .toDF("key", "value")
+  }
+
+  /** Fold one key's seq-ordered ops to (sawPut, value) — the segment
+    * monoid shared by replay, replaySalted and applyIncrement. */
+  private def foldRun(run: Iterator[Op]): (Boolean, String) = {
+    var sawPut = false
+    val sb = new StringBuilder
+    run.foreach { op =>
+      if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
+      else sb ++= op.value
+    }
+    (sawPut, sb.result())
   }
 
   /** Skew-resistant variant of [[replay]]: two-phase salted fold for
@@ -103,7 +100,10 @@ object KVEngine {
     val spark = ops.sparkSession
     import spark.implicits._
     val range = if (seqRange > 0) seqRange
-      else ops.agg(max("seq")).head().getLong(0) + 1 // one cheap scan when unhinted
+      else { // one cheap scan when unhinted; empty log -> any width works
+        val row = ops.agg(max("seq")).head()
+        if (row.isNullAt(0)) 1L else row.getLong(0) + 1
+      }
     val bucketWidth = math.max(range / salt, 1L)
     val writes = dedup(ops)
       .filter(col("kind") =!= "get")
@@ -114,38 +114,18 @@ object KVEngine {
       .repartition(col("key"), col("bucket"))
       .sortWithinPartitions("key", "bucket", "seq")
       .mapPartitions { rows =>
-        new Iterator[Segment] {
-          private val buf = rows.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): Segment = {
-            val (key, bucket) = (buf.head.key, buf.head.bucket)
-            var sawPut = false
-            val sb = new StringBuilder
-            while (buf.hasNext && buf.head.key == key && buf.head.bucket == bucket) {
-              val op = buf.next()
-              if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
-              else sb ++= op.value
-            }
-            Segment(key, bucket, sawPut, sb.result())
-          }
+        graft.core.Runs.fold(rows)(op => (op.key, op.bucket)) { case ((key, bucket), run) =>
+          val (sawPut, v) = foldRun(run.map(s => Op(s.seq, 0L, 0L, s.kind, s.key, s.value)))
+          Segment(key, bucket, sawPut, v)
         }
       }
     partials
       .repartition(col("key"))
       .sortWithinPartitions("key", "bucket")
       .mapPartitions { rows =>
-        new Iterator[(String, String)] {
-          private val buf = rows.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): (String, String) = {
-            val key = buf.head.key
-            var acc = ""
-            while (buf.hasNext && buf.head.key == key) {
-              val seg = buf.next()
-              acc = if (seg.sawPut) seg.value else acc + seg.value
-            }
-            (key, acc)
-          }
+        graft.core.Runs.fold(rows)(_.key) { (key, run) =>
+          val acc = run.foldLeft("") { (a, seg) => if (seg.sawPut) seg.value else a + seg.value }
+          (key, acc)
         }
       }
       .toDF("key", "value")
@@ -180,20 +160,9 @@ object KVEngine {
       .repartition(col("key"))
       .sortWithinPartitions("key", "seq")
       .mapPartitions { rows =>
-        new Iterator[(String, Boolean, String)] {
-          private val buf = rows.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): (String, Boolean, String) = {
-            val k = buf.head.key
-            var sawPut = false
-            val sb = new StringBuilder
-            while (buf.hasNext && buf.head.key == k) {
-              val op = buf.next()
-              if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
-              else sb ++= op.value
-            }
-            (k, sawPut, sb.result())
-          }
+        graft.core.Runs.fold(rows)(_.key) { (k, run) =>
+          val (sawPut, v) = foldRun(run)
+          (k, sawPut, v)
         }
       }
       .toDF("key", "saw_put", "delta_value")

@@ -29,24 +29,27 @@ object AsOfJoin {
       rightTimeCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(_ == keyCol)
-    val rightType = right.schema.map(f => f.name -> f.dataType).toMap
 
+    // ONE nullable struct per right row, not per-column carries: with
+    // per-column last(ignoreNulls) a null payload VALUE in the latest
+    // right row would be skipped and back-filled from an older row,
+    // stitching together columns of different rows.
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val lU = left.select(
       col(keyCol) +: col(leftTimeCol).as("_t") +: lit(1).as("_side") +:
-        (payloadCols.map(c => lit(null).cast(rightType(c)).as(s"_p_$c")) ++
-          leftOther.map(col)): _*)
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("_p") +:
+        leftOther.map(col): _*)
     val rU = right.select(
       col(keyCol) +: col(rightTimeCol).as("_t") +: lit(0).as("_side") +:
-        (payloadCols.map(c => col(c).as(s"_p_$c")) ++
-          leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        payloadStruct.as("_p") +:
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    lU.unionByName(rU)
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((keyCol +: leftOther).map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+      .select((keyCol +: leftOther).map(col) ++
+        payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

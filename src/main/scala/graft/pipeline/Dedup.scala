@@ -45,9 +45,14 @@ object Dedup {
     * 1..n-k+1 sliced out of the token array. */
   private def shingleArray(k: Int) = {
     val toks = split(col("text"), " ")
-    transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      p => array_join(slice(toks, p, lit(k)), " "))
+    // guard short docs: sequence(1, 0) would step BACKWARDS ([1, 0])
+    // and slice(toks, 0, k) throws — emit an empty shingle array
+    // instead (matches the WHERE len >= k guard in the oracles)
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        p => array_join(slice(toks, p, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Per-doc MinHash signature: NumHashes columns mh0..mhK-1, each the

@@ -69,27 +69,27 @@ object Similarity {
   private def planeComponent(i: org.apache.spark.sql.Column, j: Int) =
     ((i + 1) * (j + 3) * lit(2654435761L)) % 2000001L - 1000000L
 
-  /** Sign-of-dot LSH bucket per vector: NumPlanes bits. */
+  /** Sign-of-dot LSH bucket per vector: NumPlanes bits. Carries q/n2
+    * through the aggregation so callers don't re-quantize + re-join. */
   def lshBuckets(emb: DataFrame): DataFrame = {
     val qv = quantized(emb)
     val withPos = qv.select(col("vec_id"), col("label"), col("q"), col("n2"),
       posexplode(col("q")).as(Seq("pos", "qi")))
     val dAggs = (0 until NumPlanes).map { j =>
       sum(col("qi") * planeComponent(col("pos").cast("long"), j)).as(s"d$j")
-    }
+    } ++ Seq(first(col("q")).as("q"), first(col("n2")).as("n2"))
     val bits = withPos
       .groupBy("vec_id")
       .agg(dAggs.head, dAggs.tail: _*)
     val bucket = concat((0 until NumPlanes).map(j =>
       when(col(s"d$j") >= 0, "1").otherwise("0")): _*)
-    bits.select(col("vec_id"), bucket.as("bucket"))
+    bits.select(col("vec_id"), bucket.as("bucket"), col("q"), col("n2"))
   }
 
   /** ANN near-dup pairs: same LSH bucket, verified quantized cosine >=
     * threshold. Join is on bucket — candidates only. */
   def annPairs(emb: DataFrame, threshold: Double = AnnThreshold): DataFrame = {
-    val qv = quantized(emb)
-    val withBucket = lshBuckets(emb).join(qv, "vec_id")
+    val withBucket = lshBuckets(emb)
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
       col("q").as("q_a"), col("n2").as("n2_a"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),

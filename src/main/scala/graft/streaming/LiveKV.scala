@@ -79,23 +79,54 @@ object LiveKV {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Op], batchId: Long) =>
         val s = batch.sparkSession
-        val fs0 = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        val hasState = fs0.exists(new org.apache.hadoop.fs.Path(s"$stateDir/current"))
-        val base =
-          if (hasState)
-            s.read.schema("key STRING, value STRING").parquet(s"$stateDir/current")
-          else Seq.empty[(String, String)].toDF("key", "value")
-        val next = graft.kv.KVEngine.applyIncrement(base, batch)
-        // materialize BEFORE the flip: `next` lazily reads `current`
-        next.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        // atomic-enough flip for a local FS: point 'current' at the new version
-        val currentPath = new org.apache.hadoop.fs.Path(s"$stateDir/current")
-        fs0.delete(currentPath, true)
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs0, new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId"),
-          fs0, currentPath, false, s.sparkContext.hadoopConfiguration)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+        val versionDir = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId")
+        val done = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId/_SUCCESS")
+        // idempotence under foreachBatch's at-least-once: a completed
+        // version dir means this batch was already folded — only
+        // re-point the marker
+        if (!fs.exists(done)) {
+          val base = latestVersion(s, stateDir) match {
+            case Some(v) =>
+              s.read.schema("key STRING, value STRING").parquet(s"$stateDir/v$v")
+            case None => Seq.empty[(String, String)].toDF("key", "value")
+          }
+          graft.kv.KVEngine.applyIncrement(base, batch)
+            .write.mode("overwrite").parquet(versionDir.toString)
+        }
+        // marker flip via rename (atomic on local FS / HDFS): readers
+        // never observe a partial state table
+        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_latest.tmp")
+        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_latest")
+        val out = fs.create(tmp, true)
+        out.write(batchId.toString.getBytes("UTF-8"))
+        out.close()
+        fs.delete(marker, false)
+        fs.rename(tmp, marker)
         ()
       }
+  }
+
+  private def latestVersion(spark: org.apache.spark.sql.SparkSession, stateDir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_latest")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val v = scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      in.close()
+      Some(v)
+    }
+  }
+
+  /** Read the current committed state table (empty if none yet). */
+  def readStateTable(spark: org.apache.spark.sql.SparkSession, stateDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    latestVersion(spark, stateDir) match {
+      case Some(v) => spark.read.schema("key STRING, value STRING").parquet(s"$stateDir/v$v")
+      case None => Seq.empty[(String, String)].toDF("key", "value")
+    }
   }
 
   case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp)

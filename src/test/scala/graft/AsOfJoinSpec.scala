@@ -29,6 +29,19 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 16L, 51.0, Some(7.0))))
   }
 
+  test("null payload values in the latest right row are NOT back-filled from older rows") {
+    val left = Seq(("A", 25L)).toDF("k", "t")
+    val right = Seq(
+      ("A", 10L, Option(5.0), Option.empty[Double]),
+      ("A", 20L, Option.empty[Double], Option(7.0)))
+      .toDF("k", "t", "bid", "ask")
+    val got = AsOfJoin.join(left, right, "k", "t", "t", Seq("bid", "ask"))
+      .select("asof_bid", "asof_ask")
+      .as[(Option[Double], Option[Double])].head()
+    // the t=20 row wins wholesale: bid is genuinely null there
+    assert(got == (None, Some(7.0)))
+  }
+
   test("asof join matches a naive per-row implementation on random data") {
     val rnd = new scala.util.Random(11)
     val lt = (0 until 300).map(_ => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, rnd.nextInt(100)))

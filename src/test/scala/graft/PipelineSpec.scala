@@ -47,6 +47,29 @@ class PipelineSpec extends SparkSpec {
     assert(groups.exists(_.getAs[Long]("n_docs") >= 2))
   }
 
+  test("minhash handles documents shorter than the shingle width") {
+    val short = Seq(
+      (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
+      (3L, "three whole shingle words here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(short).collect()
+    // docs 1 and 2 have no 3-gram shingles: no signature rows, no crash
+    assert(sigs.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    assert(Dedup.minhashCandidates(short).collect().isEmpty)
+  }
+
+  test("eventTime truncates ns->us exactly at double-precision-hostile boundaries") {
+    // 2024-01-01T01:00:00 in ns, minus 60 ns: double arithmetic rounds
+    // this UP across the boundary; exact decimal division must not
+    val hourNs = 1704070800000000000L
+    val df = Seq(hourNs - 60L, hourNs, hourNs + 999L).toDF("ts")
+    val got = df.select(
+      org.apache.spark.sql.functions.unix_micros(
+        Tables.eventTime(org.apache.spark.sql.functions.col("ts"))).as("us"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(hourNs / 1000 - 1, hourNs / 1000, hourNs / 1000))
+  }
+
   test("exact dedup counts distinct content") {
     val dup = planted.union(planted.limit(1))
     val row = Dedup.exactSummary(dup).head()

@@ -54,7 +54,7 @@ class SinkSpec extends SparkSpec {
         stream.addData(chunk.toIndexedSeq)
         query.processAllAvailable()
       }
-      val got = spark.read.parquet(s"$stateDir/current")
+      val got = LiveKV.readStateTable(spark, stateDir)
         .as[(String, String)].collect().toMap
       assert(got == expected)
     } finally query.stop()

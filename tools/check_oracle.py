@@ -46,9 +46,16 @@ def main():
         return con
     con = fresh_con()
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    # union of produced dirs and declared oracles: a query that dies
+    # before writing its dir must FAIL, not silently vanish
+    names = sorted(set(d for d in os.listdir(out_dir)
+                       if os.path.isdir(os.path.join(out_dir, d))) | set(oracles))
+    for name in names:
         path = os.path.join(out_dir, name)
-        if not os.path.isdir(path) or (only and name not in only):
+        if only and name not in only:
+            continue
+        if not os.path.isdir(path):
+            print(f"FAIL {name}: oracle declared but no query output dir"); n_fail += 1
             continue
         t = load_result(path)
         if t is None:
