@@ -129,6 +129,19 @@ object RelationalQueries extends QueryPack {
         .filter(col("rank") <= 20)
         .orderBy("rank")
     },
+    // Semi/anti joins: buyers who never hit an error, and error-free
+    // users' order counts (EXISTS / NOT EXISTS shapes).
+    "ev_semi_anti" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val badErrors = ev
+        .filter(col("event_type") === "error" && col("value") > 190)
+        .select("user_id").distinct()
+      buyers
+        .join(badErrors, Seq("user_id"), "left_anti")
+        .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"), "left_semi")
+        .orderBy("user_id")
+    },
     // As-of attribution: each purchase joined to the user's most
     // recent prior signup (running-max window — the same carry-forward
     // shape as operators.AsOfJoin).
@@ -237,6 +250,15 @@ object RelationalQueries extends QueryPack {
         |FROM spend
         |QUALIFY rank <= 20
         |ORDER BY rank""".stripMargin,
+    "ev_semi_anti" ->
+      """SELECT DISTINCT user_id FROM events e
+        |WHERE event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events x
+        |                  WHERE x.user_id = e.user_id
+        |                    AND x.event_type = 'error' AND x.value > 190)
+        |  AND EXISTS (SELECT 1 FROM events p
+        |              WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
     "ev_attribution" ->
       """SELECT event_id, user_id, last_signup FROM (
         |  SELECT event_id, user_id, event_type,

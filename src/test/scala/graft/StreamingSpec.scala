@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Click(c_user: Long, c_ts: java.sql.Timestamp)
+  case class Purchase(p_user: Long, p_ts: java.sql.Timestamp, amount: Double)
+
+  test("stream-stream interval join: purchase matched to clicks within the prior 30 min") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = purchases.toDF().withWatermark("p_ts", "1 hour")
+      .join(
+        clicks.toDF().withWatermark("c_ts", "1 hour"),
+        expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+      .select(col("p_user"), col("amount"), col("c_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj").start()
+    try {
+      clicks.addData(Click(1, ts(0)), Click(1, ts(50)), Click(2, ts(5)))
+      purchases.addData(Purchase(1, ts(60), 9.99), Purchase(2, ts(60), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .as[(Long, Double, java.sql.Timestamp)].collect()
+        .map(r => (r._1, r._2, (r._3.getTime - 1700000000000L) / 60000)).toSet
+      // user 1's click at minute 50 is within [30, 60]; minute 0 is not;
+      // user 2's click at minute 5 is outside the window
+      assert(got == Set((1L, 9.99, 50L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session, timeout emits the last one") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.LiveKV.{ClosedSession, SessionEvent}
