@@ -66,18 +66,20 @@ object KVEngine {
       else writes.repartition(col("key"))
     parted
       .sortWithinPartitions("key", "seq")
-      .mapPartitions(rows => graft.core.Runs.fold(rows)(_.key)((k, run) => (k, foldRun(run)._2)))
+      .mapPartitions(rows => graft.core.Runs.fold(rows)(_.key)((k, run) =>
+        (k, foldRun(run.map(op => (op.kind, op.value)))._2)))
       .toDF("key", "value")
   }
 
-  /** Fold one key's seq-ordered ops to (sawPut, value) — the segment
-    * monoid shared by replay, replaySalted and applyIncrement. */
-  private def foldRun(run: Iterator[Op]): (Boolean, String) = {
+  /** Fold one key's seq-ordered (kind, value) ops to (sawPut, value)
+    * — the segment monoid shared by replay, replaySalted and
+    * applyIncrement. */
+  private def foldRun(run: Iterator[(String, String)]): (Boolean, String) = {
     var sawPut = false
     val sb = new StringBuilder
-    run.foreach { op =>
-      if (op.kind == "put") { sawPut = true; sb.clear(); sb ++= op.value }
-      else sb ++= op.value
+    run.foreach { case (kind, value) =>
+      if (kind == "put") { sawPut = true; sb.clear(); sb ++= value }
+      else sb ++= value
     }
     (sawPut, sb.result())
   }
@@ -115,7 +117,7 @@ object KVEngine {
       .sortWithinPartitions("key", "bucket", "seq")
       .mapPartitions { rows =>
         graft.core.Runs.fold(rows)(op => (op.key, op.bucket)) { case ((key, bucket), run) =>
-          val (sawPut, v) = foldRun(run.map(s => Op(s.seq, 0L, 0L, s.kind, s.key, s.value)))
+          val (sawPut, v) = foldRun(run.map(s => (s.kind, s.value)))
           Segment(key, bucket, sawPut, v)
         }
       }
@@ -161,7 +163,7 @@ object KVEngine {
       .sortWithinPartitions("key", "seq")
       .mapPartitions { rows =>
         graft.core.Runs.fold(rows)(_.key) { (k, run) =>
-          val (sawPut, v) = foldRun(run)
+          val (sawPut, v) = foldRun(run.map(op => (op.kind, op.value)))
           (k, sawPut, v)
         }
       }

@@ -82,42 +82,51 @@ object LiveKV {
         val conf = s.sparkContext.hadoopConfiguration
         val fs = org.apache.hadoop.fs.FileSystem.get(conf)
         val versionDir = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId")
-        val done = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId/_SUCCESS")
-        // idempotence under foreachBatch's at-least-once: a completed
-        // version dir means this batch was already folded — only
-        // re-point the marker
-        if (!fs.exists(done)) {
-          val base = latestVersion(s, stateDir) match {
+        val latest = latestVersion(s, stateDir)
+        // stateDir and checkpoint move together: a commit marker AHEAD
+        // of this batch means the dir belongs to a previous stream
+        // incarnation (fresh checkpoint, reused stateDir) — folding or
+        // skipping would both be wrong, so refuse loudly
+        require(latest.forall(_ <= batchId),
+          s"state dir $stateDir is at batch ${latest.get}, ahead of streaming batch " +
+            s"$batchId — it belongs to a different checkpoint; use a fresh stateDir")
+        // idempotence under foreachBatch's at-least-once: skip only if
+        // this exact batch already COMMITTED (marker present). A data
+        // dir without its marker is a crashed attempt — recompute it.
+        if (!latest.contains(batchId)) {
+          val base = latest match {
             case Some(v) =>
               s.read.schema("key STRING, value STRING").parquet(s"$stateDir/v$v")
             case None => Seq.empty[(String, String)].toDF("key", "value")
           }
           graft.kv.KVEngine.applyIncrement(base, batch)
             .write.mode("overwrite").parquet(versionDir.toString)
+          // single atomic create — no delete/rename window; readers
+          // resolve max(_commit_*) so they never see a partial version
+          fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$batchId"), true).close()
+          // GC: everything older than the predecessor (kept for
+          // in-flight readers) is provably dead
+          commitIds(fs, stateDir).filter(_ < batchId - 1).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$old"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$old"), false)
+          }
         }
-        // marker flip via rename (atomic on local FS / HDFS): readers
-        // never observe a partial state table
-        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_latest.tmp")
-        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_latest")
-        val out = fs.create(tmp, true)
-        out.write(batchId.toString.getBytes("UTF-8"))
-        out.close()
-        fs.delete(marker, false)
-        fs.rename(tmp, marker)
         ()
       }
   }
 
+  private def commitIds(fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_commit_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_commit_").toLong).toOption)
+  }
+
   private def latestVersion(spark: org.apache.spark.sql.SparkSession, stateDir: String): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_latest")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val v = scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      in.close()
-      Some(v)
-    }
+    commitIds(fs, stateDir).sorted.lastOption
   }
 
   /** Read the current committed state table (empty if none yet). */

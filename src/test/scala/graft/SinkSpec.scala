@@ -57,7 +57,26 @@ class SinkSpec extends SparkSpec {
       val got = LiveKV.readStateTable(spark, stateDir)
         .as[(String, String)].collect().toMap
       assert(got == expected)
+      // GC: only the latest version and its predecessor survive
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+      assert(versions.length <= 2, s"stale versions not GC'd: ${versions.mkString(",")}")
     } finally query.stop()
+
+    // reusing the stateDir with a FRESH checkpoint must fail loudly,
+    // not silently skip batches whose ids collide with old commits
+    val ckpt2 = Files.createTempDirectory("graft_state_ckpt2").toString
+    val stream2 = MemoryStream[graft.kv.Op]
+    val query2 = LiveKV.stateTableSink(stream2.toDS(), stateDir, ckpt2).start()
+    try {
+      stream2.addData(graft.kv.Op(0, 1, 0, "put", "k", "X"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("different checkpoint")
+        || Option(ex.getCause).exists(_.getMessage.contains("different checkpoint")))
+    } finally query2.stop()
   }
 
   test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
