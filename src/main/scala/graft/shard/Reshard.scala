@@ -51,6 +51,41 @@ object Reshard {
       .groupBy(col("cfg_num"), col("gid"))
       .agg(count(lit(1)).as("n_ops"))
 
+  /** Sharded KV replay with wrong-group rejection (reference:
+    * CheckValidKey precedes CheckDuplicated, src/shardkv/server.go:
+    * 493-497 — SURVEY §7.4.5). Clients route with a STALE config view
+    * (the owner as of seq - lag); an op only applies if its stale
+    * target still owns the shard at the op's seq. Critically,
+    * rejected occurrences must NOT satisfy the exactly-once dedup:
+    * a retry of a rejected op (same clientId/reqId, later seq, fresh
+    * routing) must still apply. Hence: validity filter FIRST, dedup
+    * and the ordered fold over the surviving ops only.
+    */
+  def replayRouted(ops: Dataset[graft.kv.Op], epochLen: Long, lag: Long): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val shard = Key2Shard.shardOf(col("key"))
+    def gidAt(epoch: org.apache.spark.sql.Column) =
+      (shard % (lit(1) + epoch % 5) + 1).cast("int")
+    val ownerEpoch = floor(col("seq") / epochLen).cast("long")
+    val targetEpoch = floor(greatest(col("seq") - lag, lit(0L)) / epochLen).cast("long")
+    val valid = ops
+      .withColumn("owner_gid", gidAt(ownerEpoch))
+      .withColumn("target_gid", gidAt(targetEpoch))
+      .filter(col("target_gid") === col("owner_gid"))
+      .drop("owner_gid", "target_gid")
+      .as[graft.kv.Op]
+    graft.kv.KVEngine.replay(valid)
+  }
+
+  /** Post-migration garbage collection (reference: shard data deleted
+    * on the donor after handoff, shardkv test_test.go:620-699): a
+    * group's state table keeps only shards it owns under `cfg`. */
+  def ownedState(state: DataFrame, cfg: Config, gid: Int): DataFrame = {
+    val owned = (0 until Key2Shard.NShards).filter(s => cfg.shards(s) == gid)
+    state.filter(Key2Shard.shardOf(col("key")).isin(owned: _*))
+  }
+
   /** Shard movements between consecutive config versions — what the
     * reference ships via TransferShard (server.go:237-319). */
   def migrations(spark: SparkSession, history: Seq[Config]): DataFrame = {

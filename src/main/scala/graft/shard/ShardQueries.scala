@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object ShardQueries extends QueryPack {
 
   val EpochLen = 500L
+  val RouteLag = 300L
 
   private def opsAndHistory(s: SparkSession, dir: String) = {
     val ops = OpLog.fromEvents(Tables.events(s, dir))
@@ -29,6 +30,10 @@ object ShardQueries extends QueryPack {
     "shard_migration" -> { (s, dir) =>
       val (_, history) = opsAndHistory(s, dir)
       Reshard.migrations(s, history).orderBy("from_cfg", "shard")
+    },
+    "shard_kv_state" -> { (s, dir) =>
+      Reshard.replayRouted(OpLog.fromEvents(Tables.events(s, dir)), EpochLen, RouteLag)
+        .orderBy("key")
     },
   )
 
@@ -57,5 +62,38 @@ object ShardQueries extends QueryPack {
          |FROM assign a JOIN assign b ON b.epoch = a.epoch + 1 AND b.shard = a.shard
          |WHERE a.gid <> b.gid
          |ORDER BY from_cfg, shard""".stripMargin,
+    "shard_kv_state" ->
+      s"""WITH ops AS (
+         |  SELECT event_id AS seq, user_id AS client_id, event_id % 200 AS req_id,
+         |         CASE WHEN event_type = 'signup' THEN 'put'
+         |              WHEN event_type = 'view' THEN 'get'
+         |              ELSE 'append' END AS kind,
+         |         CAST(user_id % 50 AS VARCHAR) AS key,
+         |         CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value
+         |  FROM events),
+         |v AS (
+         |  SELECT seq, client_id, req_id, kind, key, value FROM (
+         |    SELECT *,
+         |      CAST($SHARD_SQL % (1 + CAST(floor(seq / $EpochLen.0) AS BIGINT) % 5) + 1
+         |           AS INTEGER) AS owner_gid,
+         |      CAST($SHARD_SQL % (1 + CAST(floor(greatest(seq - $RouteLag, 0) / $EpochLen.0) AS BIGINT) % 5) + 1
+         |           AS INTEGER) AS target_gid
+         |    FROM ops)
+         |  WHERE owner_gid = target_gid),
+         |dedup AS (
+         |  SELECT seq, client_id, req_id, kind, key, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY client_id, req_id ORDER BY seq) AS rn
+         |    FROM v)
+         |  WHERE rn = 1),
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |anchor AS (SELECT key, max(CASE WHEN kind = 'put' THEN seq END) AS put_seq
+         |           FROM writes GROUP BY key)
+         |SELECT w.key AS key,
+         |       coalesce(string_agg(
+         |         CASE WHEN (w.kind = 'put' AND w.seq = a.put_seq)
+         |                OR (w.kind = 'append' AND (a.put_seq IS NULL OR w.seq > a.put_seq))
+         |              THEN w.value END, '' ORDER BY w.seq), '') AS value
+         |FROM writes w JOIN anchor a ON w.key = a.key
+         |GROUP BY w.key ORDER BY w.key""".stripMargin,
   )
 }

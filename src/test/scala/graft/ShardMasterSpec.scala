@@ -83,6 +83,39 @@ class ShardMasterSpec extends SparkSpec {
     assert(plan.size == a.shards.zip(b.shards).count { case (f, t) => f != t })
   }
 
+  test("wrong-group rejection precedes dedup: a rejected op's retry still applies (SURVEY 7.4.5)") {
+    import spark.implicits._
+    import graft.kv.Op
+    // epochLen=10, lag=5. Key "1" -> shard 9. Owner gid at epoch e is
+    // 9 % (1 + e%5) + 1: epoch 0 -> 1, epoch 1 -> 2.
+    // op seq=12 (owner epoch 1 -> gid 2; target epoch of seq-5=7 -> 0 -> gid 1)
+    //   => REJECTED. Its retry seq=17 (target epoch of 12 -> 1 -> gid 2,
+    //   owner gid 2) => must APPLY despite sharing (client, req) with
+    //   the rejected occurrence.
+    val ops = Seq(
+      Op(12, 1, 1, "append", "1", "A"), // rejected (stale routing)
+      Op(17, 1, 1, "append", "1", "A"), // retry, valid -> applies once
+      Op(18, 1, 1, "append", "1", "A")) // same (client,req) again -> dedup drops
+      .toDS()
+    val got = graft.shard.Reshard.replayRouted(ops, epochLen = 10, lag = 5)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "A"), s"got $got")
+    // sanity: validity-first matters — dedup-first would keep only the
+    // rejected seq=12 occurrence and the key would end up absent
+  }
+
+  test("ownedState keeps only the group's shards (post-migration GC)") {
+    import spark.implicits._
+    val cfg = Config(1, Vector(1, 2, 1, 2, 1, 2, 1, 2, 1, 2), Map(1 -> Seq("a"), 2 -> Seq("b")))
+    val state = (0 to 9).map(i => (i.toString, s"v$i")).toDF("key", "value")
+    val g1 = graft.shard.Reshard.ownedState(state, cfg, 1)
+      .select("key").as[String].collect().toSet
+    // key "i" -> shard ascii(i)%10; '0'..'9' -> 48..57 -> shards 8,9,0..7
+    val expected = (0 to 9).map(_.toString)
+      .filter(k => cfg.shards(('0' + k.toInt).toInt % 10) == 1).toSet
+    assert(g1 == expected)
+  }
+
   test("config-stepped routing: each op served under the config at its seq") {
     import spark.implicits._
     val ops = graft.kv.OpLog.fromEvents(Tables.events(spark, sf0001))
