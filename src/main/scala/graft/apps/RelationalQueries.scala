@@ -117,16 +117,24 @@ object RelationalQueries extends QueryPack {
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
-    // Top spenders: agg + rank window, deterministic tie-break.
+    // Top spenders: agg + top-k + rank, deterministic tie-break.
+    // orderBy().limit(k) compiles to TakeOrderedAndProject — per-
+    // partition top-k, merge on the driver, never a global sort or a
+    // single-partition window over ALL users (that shape moves every
+    // user to one task and dies at billions of users). Only the 20
+    // survivors see a window, partitioned on a constant so WindowExec
+    // has an (intentional) partition spec.
     "ev_top_spenders" -> { (s, dir) =>
       val spend = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(round(sum("value"), 2).as("spend"), count(lit(1)).as("n_purchases"))
       spend
+        .orderBy(desc("spend"), asc("user_id"))
+        .limit(20)
         .withColumn("rank",
-          row_number().over(Window.orderBy(desc("spend"), asc("user_id"))))
-        .filter(col("rank") <= 20)
+          row_number().over(
+            Window.partitionBy(lit(0)).orderBy(desc("spend"), asc("user_id"))))
         .orderBy("rank")
     },
     // Semi/anti joins: buyers who never hit an error, and error-free

@@ -16,13 +16,27 @@ import org.apache.spark.sql.functions._
   *    (single shuffle on doc), band join is an equi-join on band
   *    signature — candidates only, never all pairs;
   *  - jaccard: inverted shingle-index self-join — pairs sharing >= 1
-  *    shingle only, plus a broadcast of per-doc sizes;
+  *    surviving shingle only (df capped, see [[Dedup.MaxShingleDf]]);
+  *    per-doc sizes join by shuffle (AQE broadcasts iff small);
   *  - simhash: fixed 32-bit fingerprint, grouping is an equi-join.
   */
 object Dedup {
 
   val NumHashes = 8
   val BandRows = 2 // 4 bands of 2 rows
+
+  /** Document-frequency cap for the Jaccard inverted index. A shingle
+    * appearing in d docs contributes d(d-1)/2 candidate rows, so ONE
+    * boilerplate/stop shingle shared by millions of docs would emit
+    * ~d^2/2 join rows and dominate the whole job. Dropping shingles
+    * with df > cap bounds the blowup at cap^2/2 per shingle. Recall
+    * tradeoff (logged at plan build): a pair is missed only if ALL its
+    * shared shingles are ultra-common — and such pairs are boilerplate
+    * matches, not near-duplicates, which is the standard contract of
+    * df-capped MinHash/Jaccard dedup at corpus scale. */
+  val MaxShingleDf = 1000L
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
 
   /** Exact dedup summary: total vs distinct by full-content hash. */
   def exactSummary(docs: DataFrame): DataFrame =
@@ -106,13 +120,19 @@ object Dedup {
   /** Pairwise n-gram Jaccard via the inverted shingle index: only
     * pairs sharing at least one shingle are materialized. Exact
     * integer counts -> deterministic double division. */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    log.info(s"jaccardPairs: shingles with df > $maxDf are dropped from the " +
+      "candidate join (bounded d^2 blowup); pairs whose shared shingles are " +
+      "ALL ultra-common are not reported — boilerplate, not near-dups")
     val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // exact pruning: a shingle in exactly one doc cannot contribute to
-    // any intersection (sizes still come from the full sets), so the
-    // self-join runs over df>=2 shingles only
-    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > 1)
+    // pruning: df=1 shingles cannot contribute to any intersection
+    // (exact), df>cap shingles are dropped (bounded recall tradeoff,
+    // see MaxShingleDf). Sizes still come from the FULL shingle sets,
+    // so reported jaccard values stay exact for surviving pairs.
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
       .select("shingle")
     val shJ = sh.join(shared, "shingle")
     val inter = shJ.as("a")
@@ -120,9 +140,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // sizes joins are plain shuffle joins on purpose: sizes has one
+    // row per DOC — O(corpus) — so an explicit broadcast would ship
+    // the whole corpus's doc list to the driver and every executor.
+    // AQE still broadcasts it when it is genuinely small.
     inter
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -68,6 +68,19 @@ object Multimodal {
     }
   }
 
+  /** Scalar view of [[extractFeatures]]: one row per feature component
+    * (media_id, kind, n_bytes, feature_pos, feature_val). Downstream
+    * sinks (and the hash-based oracle compare) get plain columns; the
+    * array shape is one collect_list away. feature_val is rounded so
+    * the double is a deterministic function of exact integer counts. */
+  def featureRows(media: Dataset[Media]): DataFrame =
+    extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feature_pos", "feature_val")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feature_pos").cast("long").as("feature_pos"),
+        round(col("feature_val"), 6).as("feature_val"))
+
   /** Frame sampling: every `stride`-th byte-window of the payload as a
     * "frame" (video decode stand-in). Output is (media_id, frame_no,
     * frame: binary) — the explode shape a real frame sampler has. */

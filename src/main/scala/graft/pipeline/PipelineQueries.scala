@@ -34,13 +34,14 @@ object PipelineQueries extends QueryPack {
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
-    "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label")),
+    "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // STUBBED decode path — schema/partitioning real, features from the
-    // deterministic stand-in decoder; rows-only driver check (no oracle).
+    // deterministic stand-in decoder (byte histogram), emitted as
+    // scalar rows so the oracle hash-compare works on plain columns.
     "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(docs(s, d)))
-        .toDF().orderBy("media_id")),
+      Multimodal.featureRows(Multimodal.mediaTable(docs(s, d)))
+        .orderBy("media_id", "feature_pos")),
   )
 
   // ---- shared SQL fragments (DuckDB dialect) ----
@@ -109,9 +110,12 @@ object PipelineQueries extends QueryPack {
     "dedup_jaccard" ->
       s"""WITH sh AS (${shinglesSql(3)}),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |shared AS (SELECT shingle FROM sh GROUP BY shingle
+         |           HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxShingleDf}),
+         |shj AS (SELECT sh.* FROM sh JOIN shared USING (shingle)),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b,
          |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
@@ -263,13 +267,38 @@ object PipelineQueries extends QueryPack {
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_centroids" ->
       s"""WITH qv AS ($QV),
-         |pe AS (SELECT label, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
-         |cs AS (
-         |  SELECT label, pos,
-         |         round(CAST(SUM(qi) AS DOUBLE) / COUNT(*) / 1000, 6) AS c
-         |  FROM pe GROUP BY label, pos)
-         |SELECT label, list(c ORDER BY pos) AS centroid
-         |FROM cs GROUP BY label ORDER BY label""".stripMargin,
+         |pe AS (SELECT label, unnest(q) AS qi,
+         |              generate_subscripts(q, 1) - 1 AS pos FROM qv)
+         |SELECT label, CAST(pos AS BIGINT) AS pos,
+         |       round(CAST(SUM(qi) AS DOUBLE) / COUNT(*) / 1000, 6) AS c
+         |FROM pe GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // The stub decoder is a hi-nibble byte histogram: bin(b) =
+    // (b & 0xff) * 16 / 256 = b >> 4, i.e. the byte's first hex digit —
+    // which DuckDB can read directly off hex(blob).
+    "mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n_bytes
+        |  FROM documents),
+        |bins AS (SELECT unnest(range(0, 16)) AS feature_pos),
+        |cnt AS (
+        |  SELECT media_id,
+        |         strpos('0123456789ABCDEF', substring(hx, CAST(2 * p + 1 AS INTEGER), 1)) - 1
+        |           AS feature_pos,
+        |         count(*) AS c
+        |  FROM (SELECT media_id, hx, unnest(range(0, n_bytes)) AS p FROM m)
+        |  GROUP BY 1, 2)
+        |SELECT m.media_id, m.kind, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+        |       CAST(b.feature_pos AS BIGINT) AS feature_pos,
+        |       round(CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(m.n_bytes, 1), 6)
+        |         AS feature_val
+        |FROM m CROSS JOIN bins b
+        |LEFT JOIN cnt c ON c.media_id = m.media_id AND c.feature_pos = b.feature_pos
+        |ORDER BY m.media_id, b.feature_pos""".stripMargin,
     "mm_kind_stats" ->
       """SELECT kind, count(*) AS n_media,
         |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -128,17 +128,20 @@ object Similarity {
         sum(col("c") * col("c")).as("cn2"))
       .select(col("label").as("cell"), col("cv"), col("cn2"))
     // assign every vector to its nearest cell (cosine argmax ==
-    // dot/|c| argmax since |q| is constant per vector)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id")
-      .orderBy(desc("cscore"), asc("cell"))
+    // dot/|c| argmax since |q| is constant per vector). max_by over a
+    // (cscore, -cell) struct = hash aggregate — no sort, no window
+    // shuffle; tie-break matches "score DESC, cell ASC" exactly
+    // because struct comparison is lexicographic.
     val assign = qv
       .crossJoin(broadcast(cent))
       .withColumn("cscore",
         dot(col("q"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("n2"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("cell"), col("q"), col("n2")),
+        struct(col("cscore"), (-col("cell")).as("negcell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.q").as("q"), col("best.n2").as("n2"))
     val probes = assign
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("cell"),
@@ -158,8 +161,11 @@ object Similarity {
   }
 
   /** Centroid per label class — a k-means-E-step-shaped aggregation
-    * (element-wise mean over array column via posexplode + pivot-free
-    * regroup). */
+    * (element-wise mean over array column via posexplode). Output is
+    * SCALAR rows (label, pos, c): one row per centroid component, so
+    * any downstream consumer (and the hash-based oracle compare) can
+    * handle it without array support; regroup to an array is one
+    * collect_list away when a vector shape is needed. */
   def labelCentroids(emb: DataFrame): DataFrame = {
     val qv = quantized(emb)
     qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "qi")))
@@ -167,9 +173,6 @@ object Similarity {
       // sum/count, not avg(): engine-specific avg accumulators differ
       // in ULPs; an exact integer sum divided once does not
       .agg(round(sum(col("qi")).cast("double") / count(lit(1)) / Q, 6).as("c"))
-      .groupBy("label")
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("c")))), _.getField("c"))
-          .as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("c"))
   }
 }
