@@ -24,16 +24,17 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // best of 2: first run can still absorb shuffle-file/page-cache
+    // best of 3: first run can still absorb shuffle-file/page-cache
     // effects; min is the stable per-query signal. A failing query is
     // reported as -1, never as its elapsed-time-to-exception.
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
@@ -49,7 +50,8 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"bench: could not write $out: $e") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
   }
 }

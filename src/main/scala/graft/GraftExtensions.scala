@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
       exprs => SimHashFp(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("first_byte"),
+      new ExpressionInfo(classOf[graft.functions.FirstByte].getName, "first_byte"),
+      exprs => graft.functions.FirstByte(exprs.head)))
   }
 }

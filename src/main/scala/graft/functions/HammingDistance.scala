@@ -58,8 +58,11 @@ object HammingDistance {
   /** Register as SQL function `hamming` on an existing session
     * (idempotent). Sessions built by the user can instead inject it
     * via [[graft.GraftExtensions]]. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hamming")))
+      registry.createOrReplaceTempFunction(
         "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
+  }
 }

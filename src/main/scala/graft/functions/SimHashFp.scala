@@ -75,8 +75,15 @@ object SimHashFp {
     call_function("simhash_fp", tokens)
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Idempotent: a session that already has the function (via a prior
+    * call or [[graft.GraftExtensions]]) is left untouched — repeated
+    * createOrReplaceTempFunction would spam "replaced a previously
+    * registered function" warnings on every plan build. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_fp")))
+      registry.createOrReplaceTempFunction(
         "simhash_fp", exprs => SimHashFp(exprs.head), "scala_udf")
+  }
 }

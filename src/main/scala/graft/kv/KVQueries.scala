@@ -34,7 +34,7 @@ object KVQueries extends QueryPack {
     "kv_shard_counts" -> ((s, dir) =>
       ops(s, dir)
         .select(col("key")).distinct()
-        .select(Key2Shard.shardOf(col("key")).as("shard"))
+        .select(Key2Shard.shardOfFast(s, col("key")).as("shard"))
         .groupBy("shard").agg(count(lit(1)).as("n_keys"))
         .orderBy("shard")),
   )

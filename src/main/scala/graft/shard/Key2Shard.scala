@@ -22,10 +22,19 @@ import org.apache.spark.sql.functions._
 object Key2Shard {
   val NShards = 10
 
+  /** Registration-free spelling from built-ins only — correct
+    * anywhere, but builds three intermediate strings per row. Prefer
+    * [[shardOfFast]] on hot paths when a session handle is available. */
   def shardOf(key: Column): Column =
     when(length(key) > 0,
       conv(hex(substring(key.cast("binary"), 1, 1)), 16, 10).cast("int") % NShards)
       .otherwise(lit(0))
+
+  /** Zero-allocation routing via the native codegen'd
+    * [[graft.functions.FirstByte]] expression — same semantics as
+    * [[shardOf]] (property-tested against [[shardOfRef]]). */
+  def shardOfFast(spark: org.apache.spark.sql.SparkSession, key: Column): Column =
+    graft.functions.FirstByte.firstByte(spark, key) % NShards
 
   /** JVM reference implementation — byte-for-byte the Go function,
     * used by tests as the parity oracle. */

@@ -40,7 +40,7 @@ object Reshard {
     val cfgDf = ShardMaster.historyDf(spark, history)
     ops
       .withColumn("cfg_num", floor(col("seq") / epochLen).cast("int"))
-      .withColumn("shard", Key2Shard.shardOf(col("key")))
+      .withColumn("shard", Key2Shard.shardOfFast(spark, col("key")))
       .join(broadcast(cfgDf), Seq("cfg_num", "shard"))
   }
 
@@ -64,7 +64,7 @@ object Reshard {
   def replayRouted(ops: Dataset[graft.kv.Op], epochLen: Long, lag: Long): DataFrame = {
     val spark = ops.sparkSession
     import spark.implicits._
-    val shard = Key2Shard.shardOf(col("key"))
+    val shard = Key2Shard.shardOfFast(spark, col("key"))
     def gidAt(epoch: org.apache.spark.sql.Column) =
       (shard % (lit(1) + epoch % 5) + 1).cast("int")
     val ownerEpoch = floor(col("seq") / epochLen).cast("long")
@@ -83,7 +83,7 @@ object Reshard {
     * group's state table keeps only shards it owns under `cfg`. */
   def ownedState(state: DataFrame, cfg: Config, gid: Int): DataFrame = {
     val owned = (0 until Key2Shard.NShards).filter(s => cfg.shards(s) == gid)
-    state.filter(Key2Shard.shardOf(col("key")).isin(owned: _*))
+    state.filter(Key2Shard.shardOfFast(state.sparkSession, col("key")).isin(owned: _*))
   }
 
   /** Shard movements between consecutive config versions — what the
