@@ -71,4 +71,44 @@ class PlanSpec extends SparkSpec {
     val s = formatted("sim_topk")
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
   }
+
+  test("ev_top_spenders: TakeOrderedAndProject bounds every window input (no global sort)") {
+    val p = plan("ev_top_spenders")
+    val topk = collectAll(p) { case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(topk.nonEmpty, s"top-k must plan as TakeOrderedAndProject:\n$p")
+    // the rank window is allowed ONLY over the already-limited k rows:
+    // a Window with an unlimited input is the global-sort shape r1 had
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows.foreach { w =>
+      assert(w.find(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]).isDefined,
+        s"Window over unlimited input (global sort came back):\n$p")
+    }
+  }
+
+  test("dedup_jaccard: no broadcast hints — sizes joins stay stats-driven (AQE broadcasts iff small)") {
+    val df = SparkEntry.queries("dedup_jaccard")(spark, sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"dedup_jaccard grew a join hint (forced O(corpus) broadcast?):\n${df.queryExecution.optimizedPlan}")
+    }
+    // the df cap must survive optimization: an uncapped shingle index
+    // re-opens the d^2/2 stop-shingle blowup
+    assert(df.queryExecution.optimizedPlan.toString.contains(pipeline.Dedup.MaxShingleDf.toString),
+      "MaxShingleDf cap vanished from the optimized plan")
+  }
+
+  test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
+    val p = plan("sim_ivf_topk")
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size <= 1,
+      s"cell assignment regressed to a Window (expected max_by aggregate):\n$p")
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, s"final top-k lost its WindowGroupLimit pushdown:\n$p")
+  }
 }
