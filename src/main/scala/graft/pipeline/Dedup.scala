@@ -28,12 +28,15 @@ object Dedup {
   /** Document-frequency cap for the Jaccard inverted index. A shingle
     * appearing in d docs contributes d(d-1)/2 candidate rows, so ONE
     * boilerplate/stop shingle shared by millions of docs would emit
-    * ~d^2/2 join rows and dominate the whole job. Dropping shingles
-    * with df > cap bounds the blowup at cap^2/2 per shingle. Recall
-    * tradeoff (logged at plan build): a pair is missed only if ALL its
-    * shared shingles are ultra-common — and such pairs are boilerplate
-    * matches, not near-duplicates, which is the standard contract of
-    * df-capped MinHash/Jaccard dedup at corpus scale. */
+    * ~d^2/2 join rows and dominate the whole job. Shingles with
+    * df > cap are removed from the shingle UNIVERSE — both the
+    * intersection counts and the per-doc set sizes ignore them — so
+    * reported scores are the exact Jaccard of the capped sets (equal
+    * to true Jaccard whenever no shared-or-owned shingle exceeds the
+    * cap). The tradeoff (logged at plan build): similarity carried
+    * only by ultra-common shingles is invisible, so a pair whose
+    * overlap is pure boilerplate is not reported — the standard
+    * contract of df-capped Jaccard dedup at corpus scale. */
   val MaxShingleDf = 1000L
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
@@ -117,23 +120,32 @@ object Dedup {
       .distinct()
   }
 
-  /** Pairwise n-gram Jaccard via the inverted shingle index: only
-    * pairs sharing at least one shingle are materialized. Exact
-    * integer counts -> deterministic double division. */
+  /** Pairwise n-gram Jaccard over the df-capped shingle universe, via
+    * the inverted shingle index: only pairs sharing at least one
+    * surviving shingle are materialized. Exact integer counts ->
+    * deterministic double division.
+    *
+    * Consistency: intersections AND set sizes are both computed over
+    * the same universe (shingles with df <= maxDf), so every reported
+    * score is the exact Jaccard of the capped sets — never the
+    * underestimate that full-set sizes with capped intersections
+    * would produce (which could silently drop a pair sharing one
+    * boilerplate shingle below the threshold). */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    log.info(s"jaccardPairs: shingles with df > $maxDf are dropped from the " +
-      "candidate join (bounded d^2 blowup); pairs whose shared shingles are " +
-      "ALL ultra-common are not reported — boilerplate, not near-dups")
+    log.info(s"jaccardPairs: shingles with df > $maxDf are removed from the " +
+      "shingle universe (bounded d^2 blowup; sizes and intersections both " +
+      "capped); similarity carried only by ultra-common shingles is not " +
+      "reported — boilerplate, not near-dups")
     val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // pruning: df=1 shingles cannot contribute to any intersection
-    // (exact), df>cap shingles are dropped (bounded recall tradeoff,
-    // see MaxShingleDf). Sizes still come from the FULL shingle sets,
-    // so reported jaccard values stay exact for surviving pairs.
-    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= maxDf)
-      .select("shingle")
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // the capped universe: everything the scores are computed over
+    val kept = dfs.filter(col("df") <= maxDf)
+    val sizes = sh.join(kept.select("shingle"), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // candidate pruning WITHIN the universe: df=1 shingles cannot
+    // contribute to any intersection (exact — they stay in sizes)
+    val shared = kept.filter(col("df") > 1).select("shingle")
     val shJ = sh.join(shared, "shingle")
     val inter = shJ.as("a")
       .join(shJ.as("b"),

@@ -108,10 +108,15 @@ object PipelineQueries extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_jaccard" ->
+      // sizes AND intersections over the same df-capped universe —
+      // keep in sync with Dedup.jaccardPairs
       s"""WITH sh AS (${shinglesSql(3)}),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |shared AS (SELECT shingle FROM sh GROUP BY shingle
-         |           HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxShingleDf}),
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |kept AS (SELECT shingle FROM dfs WHERE df <= ${Dedup.MaxShingleDf}),
+         |sizes AS (SELECT doc_id, count(*) AS sz
+         |          FROM sh JOIN kept USING (shingle) GROUP BY doc_id),
+         |shared AS (SELECT shingle FROM dfs
+         |           WHERE df > 1 AND df <= ${Dedup.MaxShingleDf}),
          |shj AS (SELECT sh.* FROM sh JOIN shared USING (shingle)),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

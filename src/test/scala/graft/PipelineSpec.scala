@@ -30,6 +30,26 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 9003L || p._2 == 9003L))
   }
 
+  test("jaccard is consistent over the capped universe: boilerplate shingle drops from sizes AND intersections") {
+    // "common" appears in 6 docs > maxDf=5, so it leaves the universe.
+    // Docs 1/2 share it plus {x1,x2}: capped jaccard = 2/(3+3-2) = 0.5
+    // — reported. The old full-set sizes would have scored the pair
+    // 2/(4+4-2) = 0.333 and silently dropped it below the threshold.
+    val docs = (Seq(
+      (1L, "common x1 x2 x3"),
+      (2L, "common x1 x2 x4")) ++
+      (3L to 6L).map(i => (i, s"common f${i}a f${i}b")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5, maxDf = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 2L, 0.5)))
+    // with the cap lifted, the same pair scores the true jaccard 3/5
+    val uncapped = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5, maxDf = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.contains((1L, 2L, 0.6)))
+  }
+
   test("minhash LSH candidates include the planted near-dup pair") {
     val cands = Dedup.minhashCandidates(planted)
       .as[(Long, Long)].collect().toSet
