@@ -61,16 +61,31 @@ object LiveKV {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
   }
 
-  /** S8's batch form: maintain a parquet state TABLE from the op
-    * stream — each micro-batch is folded with
-    * [[graft.kv.KVEngine.applyIncrement]] and the merged state is
-    * rewritten (version-flipped dir so readers never see a partial
-    * write). The reference's gob snapshot (kvraft/server.go:203-210)
-    * plays this role; replay-free restarts come from the checkpointed
-    * source offsets. Client retries are deduped in-batch by
-    * applyIncrement; for cross-batch retries compose an upstream
+  /** S8's batch form: maintain a SHARD-PARTITIONED parquet state table
+    * from the op stream. Each micro-batch folds with
+    * [[graft.kv.KVEngine.applyIncrement]] over ONLY the shards it
+    * touches ([[graft.shard.Key2Shard]] routing) and writes only those
+    * partitions under a fresh version dir:
+    *
+    *   stateDir/v{batchId}/shard={s}/part-….parquet  (touched shards only)
+    *   stateDir/_commit_{batchId}                    (atomic, after data)
+    *
+    * Per-batch I/O is O(state of touched shards), not O(total state):
+    * at 100 TB of keyed state a 1-row batch rewrites one shard
+    * partition, never the full table (the pre-round-3 design rewrote
+    * everything each batch — the last genuine scale-killer). Readers
+    * resolve each shard to its newest COMMITTED version, so they never
+    * see a partial write; a crashed attempt leaves a data dir without
+    * its marker and is recomputed idempotently on retry. The
+    * reference's gob snapshot (kvraft/server.go:203-210) plays this
+    * role; replay-free restarts come from the checkpointed source
+    * offsets. Client retries are deduped in-batch by applyIncrement;
+    * for cross-batch retries compose an upstream
     * `.dropDuplicates("clientId", "reqId")` (as [[liveState]] does).
     * Returns the configured writer; caller starts it.
+    *
+    * At production scale `shard` generalizes to any key-range/bucket
+    * function with enough fan-out that one partition fits an executor.
     */
   def stateTableSink(ops: Dataset[Op], stateDir: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Op] = {
     val spark = ops.sparkSession
@@ -79,41 +94,46 @@ object LiveKV {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Op], batchId: Long) =>
         val s = batch.sparkSession
-        val conf = s.sparkContext.hadoopConfiguration
-        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-        val versionDir = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId")
-        val latest = latestVersion(s, stateDir)
+        val fs = fileSystem(s)
+        val committed = commitIds(fs, stateDir).sorted
         // stateDir and checkpoint move together: a commit marker AHEAD
         // of this batch means the dir belongs to a previous stream
         // incarnation (fresh checkpoint, reused stateDir) — folding or
         // skipping would both be wrong, so refuse loudly
-        require(latest.forall(_ <= batchId),
-          s"state dir $stateDir is at batch ${latest.get}, ahead of streaming batch " +
+        require(committed.lastOption.forall(_ <= batchId),
+          s"state dir $stateDir is at batch ${committed.last}, ahead of streaming batch " +
             s"$batchId — it belongs to a different checkpoint; use a fresh stateDir")
         // idempotence under foreachBatch's at-least-once: skip only if
         // this exact batch already COMMITTED (marker present). A data
         // dir without its marker is a crashed attempt — recompute it.
-        if (!latest.contains(batchId)) {
-          val base = latest match {
-            case Some(v) =>
-              s.read.schema("key STRING, value STRING").parquet(s"$stateDir/v$v")
-            case None => Seq.empty[(String, String)].toDF("key", "value")
-          }
+        if (!committed.contains(batchId)) {
+          // registration-free shardOf spelling: the micro-batch session
+          // clone does not see temp functions registered at plan time,
+          // and per-batch routing volume is tiny anyway
+          val touched = batch
+            .select(graft.shard.Key2Shard.shardOf(col("key")).as("shard"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val basePaths = currentShardPaths(fs, stateDir, committed)
+            .collect { case (shard, path) if touched(shard) => path }
+          val base =
+            if (basePaths.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
+            else s.read.schema("key STRING, value STRING").parquet(basePaths.toSeq: _*)
           graft.kv.KVEngine.applyIncrement(base, batch)
-            .write.mode("overwrite").parquet(versionDir.toString)
-          // single atomic create — no delete/rename window; readers
-          // resolve max(_commit_*) so they never see a partial version
+            .withColumn("shard", graft.shard.Key2Shard.shardOf(col("key")))
+            .write.partitionBy("shard").mode("overwrite")
+            .parquet(s"$stateDir/v$batchId")
+          // single atomic create — no delete/rename window; the touched
+          // manifest is the version dir's shard=* listing, complete
+          // before the marker exists
           fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$batchId"), true).close()
-          // GC: everything older than the predecessor (kept for
-          // in-flight readers) is provably dead
-          commitIds(fs, stateDir).filter(_ < batchId - 1).foreach { old =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$old"), true)
-            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$old"), false)
-          }
+          gcShards(fs, stateDir, committed :+ batchId)
         }
         ()
       }
   }
+
+  private def fileSystem(spark: org.apache.spark.sql.SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   private def commitIds(fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
@@ -124,18 +144,57 @@ object LiveKV {
       .flatMap(n => scala.util.Try(n.stripPrefix("_commit_").toLong).toOption)
   }
 
-  private def latestVersion(spark: org.apache.spark.sql.SparkSession, stateDir: String): Option[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    commitIds(fs, stateDir).sorted.lastOption
+  /** Shards present under one committed version dir (data is fully
+    * written before its marker, so the listing is a reliable
+    * manifest). */
+  private def shardsOf(fs: org.apache.hadoop.fs.FileSystem, stateDir: String, v: Long): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/v$v")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("shard="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("shard=").toInt).toOption)
   }
 
-  /** Read the current committed state table (empty if none yet). */
+  /** Each shard resolved to its newest committed version's partition
+    * dir — the current state of the table. */
+  private def currentShardPaths(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      committed: Seq[Long]): Map[Int, String] =
+    committed.sorted.flatMap { v =>
+      shardsOf(fs, stateDir, v).map(s => s -> s"$stateDir/v$v/shard=$s")
+    }.toMap // later (newer) versions overwrite earlier entries
+
+  /** Per-shard GC: only the newest two versions containing a shard are
+    * live (the predecessor is kept for in-flight readers — the same
+    * contract the unpartitioned sink had for whole versions). Decisions
+    * are taken on a snapshot, so the top-2-per-shard invariant holds
+    * across passes; a version dir whose shards are all superseded is
+    * removed with its marker once it is older than the predecessor. */
+  private def gcShards(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      committed: Seq[Long]): Unit = {
+    val sorted = committed.sorted
+    val manifest: Map[Long, Seq[Int]] = sorted.map(v => v -> shardsOf(fs, stateDir, v)).toMap
+    sorted.dropRight(1).foreach { v =>
+      val newerWith = (shard: Int) => sorted.count(v2 => v2 > v && manifest(v2).contains(shard))
+      val dead = manifest(v).filter(newerWith(_) >= 2)
+      dead.foreach { shard =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/shard=$shard"), true)
+      }
+      if (dead.size == manifest(v).size && v < sorted.max - 1) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$v"), false)
+      }
+    }
+  }
+
+  /** Read the current committed state table (empty if none yet): each
+    * shard from its newest committed version. */
   def readStateTable(spark: org.apache.spark.sql.SparkSession, stateDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    latestVersion(spark, stateDir) match {
-      case Some(v) => spark.read.schema("key STRING, value STRING").parquet(s"$stateDir/v$v")
-      case None => Seq.empty[(String, String)].toDF("key", "value")
-    }
+    val fs = fileSystem(spark)
+    val paths = currentShardPaths(fs, stateDir, commitIds(fs, stateDir)).values.toSeq
+    if (paths.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
+    else spark.read.schema("key STRING, value STRING").parquet(paths: _*)
   }
 
   case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp)

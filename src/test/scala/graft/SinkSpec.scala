@@ -57,11 +57,21 @@ class SinkSpec extends SparkSpec {
       val got = LiveKV.readStateTable(spark, stateDir)
         .as[(String, String)].collect().toMap
       assert(got == expected)
-      // GC: only the latest version and its predecessor survive
+      // GC: per shard, only the newest version and its predecessor
+      // survive (shard-partitioned versions age out shard by shard)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
         .map(_.getPath.getName).filter(_.startsWith("v"))
-      assert(versions.length <= 2, s"stale versions not GC'd: ${versions.mkString(",")}")
+      val shardVersionCounts = versions.toSeq
+        .flatMap { v =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/$v"))
+            .map(_.getPath.getName).filter(_.startsWith("shard="))
+        }
+        .groupBy(identity).map { case (s, vs) => s -> vs.size }
+      assert(shardVersionCounts.nonEmpty)
+      shardVersionCounts.foreach { case (shard, n) =>
+        assert(n <= 2, s"$shard present in $n versions — stale partitions not GC'd")
+      }
     } finally query.stop()
 
     // reusing the stateDir with a FRESH checkpoint must fail loudly,
@@ -77,6 +87,38 @@ class SinkSpec extends SparkSpec {
       assert(ex.getMessage.contains("different checkpoint")
         || Option(ex.getCause).exists(_.getMessage.contains("different checkpoint")))
     } finally query2.stop()
+  }
+
+  test("stateTableSink rewrites ONLY the shard partitions a batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.shard.Key2Shard
+    val stateDir = Files.createTempDirectory("graft_shardstate").toString
+    val ckpt = Files.createTempDirectory("graft_shardstate_ckpt").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def shardDirs(v: Long): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"))
+        .map(_.getPath.getName).filter(_.startsWith("shard=")).toSeq.sorted
+
+    val stream = MemoryStream[Op]
+    val query = LiveKV.stateTableSink(stream.toDS(), stateDir, ckpt).start()
+    try {
+      // batch 0: keys "0"/"1"/"22" land on three distinct shards
+      stream.addData(Op(0, 1, 0, "put", "0", "a"), Op(1, 1, 1, "put", "1", "b"),
+        Op(2, 1, 2, "put", "22", "c"))
+      query.processAllAvailable()
+      assert(shardDirs(0).size == 3)
+
+      // batch 1: ONE key -> exactly one partition written, O(shard)
+      // not O(table) I/O
+      stream.addData(Op(3, 1, 3, "append", "0", "X"))
+      query.processAllAvailable()
+      assert(shardDirs(1) == Seq(s"shard=${Key2Shard.shardOfRef("0")}"),
+        s"1-key batch rewrote ${shardDirs(1).size} partitions: ${shardDirs(1).mkString(",")}")
+
+      // untouched shards still resolve from v0; touched shard from v1
+      val got = LiveKV.readStateTable(spark, stateDir).as[(String, String)].collect().toMap
+      assert(got == Map("0" -> "aX", "1" -> "b", "22" -> "c"))
+    } finally query.stop()
   }
 
   test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
