@@ -138,15 +138,18 @@ object Dedup {
       "capped); similarity carried only by ultra-common shingles is not " +
       "reported — boilerplate, not near-dups")
     val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
-    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // df computed IN-LINE with a count-over-window on the one
+    // shingle-shuffled copy of the index — a separate df aggregate
+    // plus join-back would rescan and reshuffle the whole index twice
+    // more (measured: 4 scans of documents collapse to 1 + reuse)
+    val shDf = sh.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
     // the capped universe: everything the scores are computed over
-    val kept = dfs.filter(col("df") <= maxDf)
-    val sizes = sh.join(kept.select("shingle"), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val kept = shDf.filter(col("df") <= maxDf)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // candidate pruning WITHIN the universe: df=1 shingles cannot
     // contribute to any intersection (exact — they stay in sizes)
-    val shared = kept.filter(col("df") > 1).select("shingle")
-    val shJ = sh.join(shared, "shingle")
+    val shJ = kept.filter(col("df") > 1).select(col("doc_id"), col("shingle"))
     val inter = shJ.as("a")
       .join(shJ.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
