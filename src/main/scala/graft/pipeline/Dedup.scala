@@ -205,6 +205,12 @@ object Dedup {
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // explicit exchange on the join keys: the fingerprint pipeline is
+      // map-only, so WITHOUT it the self-join's two sides each recompute
+      // every per-token MD5 (no exchange, nothing for ReuseExchange to
+      // share). One narrow shuffle of (doc_id, fp, band, sig) makes the
+      // second side a ReusedExchange read instead.
+      .repartition(col("band"), col("sig"))
     // hamming BEFORE distinct: the native expression re-evaluates per
     // band collision (cheap), while distinct then shuffles 3 narrow
     // columns instead of two 32-char fingerprints per row
