@@ -12,7 +12,14 @@ object Explain {
     val spark = Tables.session("graft-explain", 4)
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_RUN")) {
+        // execute THIS queryExecution (count() would plan a new one) so
+        // AQE finalizes: stage reuse and runtime join selections only
+        // appear in the final adaptive plan
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
