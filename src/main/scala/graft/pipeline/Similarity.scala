@@ -114,7 +114,16 @@ object Similarity {
     * Everything stays deterministic across engines: centroid
     * components are exact longs, dots are exact longs, the only
     * doubles are final sqrt/div of exact integers. */
-  def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+  def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame =
+    ivfTopKFromIndex(ivfIndex(emb), probeIds, k)
+
+  /** The IVF index: every vector assigned to its nearest coarse cell,
+    * carrying (q, n2) so probing needs no re-quantization. This is the
+    * "build once, query many" half of IVF — at corpus scale, persist
+    * or write this once (e.g. `ivfIndex(emb).write.partitionBy("cell")
+    * .parquet(...)`) and serve every top-k query from it; cell-local
+    * probing then reads only the probed cells' partitions. */
+  def ivfIndex(emb: DataFrame): DataFrame = {
     val qv = quantized(emb)
     // integer centroid sums per (label cell, dim)
     val cent = qv
@@ -132,7 +141,7 @@ object Similarity {
     // (cscore, -cell) struct = hash aggregate — no sort, no window
     // shuffle; tie-break matches "score DESC, cell ASC" exactly
     // because struct comparison is lexicographic.
-    val assign = qv
+    qv
       .crossJoin(broadcast(cent))
       .withColumn("cscore",
         dot(col("q"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
@@ -142,6 +151,11 @@ object Similarity {
         struct(col("cscore"), (-col("cell")).as("negcell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.q").as("q"), col("best.n2").as("n2"))
+  }
+
+  /** nprobe=1 top-k served from a prebuilt [[ivfIndex]]: probes join
+    * only their own cell's vectors. */
+  def ivfTopKFromIndex(assign: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
     val probes = assign
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("cell"),

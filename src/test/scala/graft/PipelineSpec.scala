@@ -67,6 +67,18 @@ class PipelineSpec extends SparkSpec {
     assert(groups.exists(_.getAs[Long]("n_docs") >= 2))
   }
 
+  test("ivfIndex is a build-once index: a cached index serves identical top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Similarity.ivfIndex(emb).cache()
+    try {
+      val fromIdx = Similarity.ivfTopKFromIndex(idx, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      val direct = Similarity.ivfTopK(emb, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      assert(fromIdx == direct && fromIdx.nonEmpty)
+    } finally idx.unpersist()
+  }
+
   test("minhash handles documents shorter than the shingle width") {
     val short = Seq(
       (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
