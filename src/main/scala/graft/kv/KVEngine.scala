@@ -1,7 +1,6 @@
 package graft.kv
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch replay of the reference's linearizable KV store
@@ -31,15 +30,21 @@ object KVEngine {
     * only once — the reference skips ops whose reqId was already acked
     * (src/kvraft/server.go:72-80, 187-189); in batch replay "first
     * occurrence in log order wins" is the same observable semantics.
+    *
+    * min_by hash aggregate, not a row_number window: the aggregate
+    * gets map-side partial combining (retries collapse before the
+    * shuffle) and needs no per-partition sort — the shape that
+    * survives a retry-heavy log at scale.
     */
   def dedup(ops: Dataset[Op]): Dataset[Op] = {
     val spark = ops.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy("clientId", "reqId").orderBy("seq")
     ops
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("clientId"), col("reqId"))
+      .agg(min_by(
+        struct(col("seq"), col("clientId"), col("reqId"), col("kind"), col("key"), col("value")),
+        col("seq")).as("op"))
+      .select(col("op.*"))
       .as[Op]
   }
 
