@@ -61,6 +61,31 @@ object LiveKV {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
   }
 
+  /** [[liveState]] with BOUNDED dedup state: retries are deduped only
+    * within the event-time watermark horizon
+    * (dropDuplicatesWithinWatermark), so the dedup store is evicted as
+    * the watermark advances instead of growing with the whole history
+    * — the streaming analog of the reference keeping only the latest
+    * acked reqId per client (src/kvraft/server.go:44, 72-80). The
+    * contract: clients retry until acked, well inside the horizon; a
+    * retry arriving later than the watermark slack would re-apply, so
+    * size the watermark to the client retry budget.
+    *
+    * `ops` must carry the Op columns plus an event-time `ts_utc`.
+    */
+  def liveStateBounded(ops: DataFrame, watermark: String = "1 hour"): Dataset[KVUpdate] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("clientId", "reqId")
+      .filter(col("kind") =!= "get")
+      .select(col("seq"), col("clientId"), col("reqId"), col("kind"), col("key"), col("value"))
+      .as[Op]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
+  }
+
   /** S8's batch form: maintain a SHARD-PARTITIONED parquet state table
     * from the op stream. Each micro-batch folds with
     * [[graft.kv.KVEngine.applyIncrement]] over ONLY the shards it

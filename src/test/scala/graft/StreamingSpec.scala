@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class TimedOp(seq: Long, clientId: Long, reqId: Long, kind: String,
+      key: String, value: String, ts_utc: java.sql.Timestamp)
+
+  test("liveStateBounded: dedup state is watermark-TTL'd — dups inside the horizon drop, after eviction re-apply") {
+    implicit val sqlCtx = spark.sqlContext
+    def op(seq: Long, reqId: Long, v: String, min: Int) =
+      TimedOp(seq, 1, reqId, "append", "k", v,
+        new java.sql.Timestamp(1700000000000L + min * 60000L))
+    val stream = MemoryStream[TimedOp]
+    val query = LiveKV.liveStateBounded(stream.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("update").format("memory").queryName("live_ttl")
+      .start()
+    try {
+      // retry inside the horizon: dropped
+      stream.addData(op(0, 100, "A", 0), op(1, 100, "A", 1), op(2, 101, "B", 2))
+      query.processAllAvailable()
+      // advance the watermark far past req 100's eviction point, then
+      // a VERY late retry of req 100: outside the contract, re-applies
+      // — this is the documented bound on dedup state, not a bug
+      stream.addData(op(3, 102, "C", 60))
+      query.processAllAvailable()
+      stream.addData(op(4, 100, "A", 61))
+      query.processAllAvailable()
+      val v = spark.table("live_ttl")
+        .groupBy("key").agg(max_by(col("value"), col("max_seq")).as("value"))
+        .as[(String, String)].collect().toMap
+      assert(v("k") == "ABCA")
+    } finally query.stop()
+  }
+
   case class Click(c_user: Long, c_ts: java.sql.Timestamp)
   case class Purchase(p_user: Long, p_ts: java.sql.Timestamp, amount: Double)
 
