@@ -39,6 +39,19 @@ object Dedup {
     * contract of df-capped Jaccard dedup at corpus scale. */
   val MaxShingleDf = 1000L
 
+  /** Bucket-size cap for the LSH band self-joins (minhash and simhash
+    * pigeonhole banding). A band signature shared by d docs emits
+    * d(d-1)/2 candidate pairs, so ONE mega-cluster of near-identical
+    * docs (empty pages, boilerplate) would make the band join
+    * quadratic — the same blowup [[MaxShingleDf]] bounds for the
+    * jaccard index. Buckets with more than this many docs are dropped
+    * from candidate GENERATION (logged): a pair is lost only if every
+    * band it collides on is an over-cap bucket, i.e. it sits inside a
+    * near-identical mega-cluster — which is group-dedup's job
+    * ([[exactGroups]] / [[simhashGroups]] enumerate those as one
+    * group row), not pairwise enumeration's. */
+  val MaxBandBucket = 1000L
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
 
   /** Exact dedup summary: total vs distinct by full-content hash. */
@@ -102,16 +115,27 @@ object Dedup {
     * Bands are emitted with ONE explode over an in-row array — a
     * union of per-band selects would re-run the (map-only, hence
     * unshared) signature computation once per band. */
-  def minhashCandidates(docs: DataFrame, k: Int = 3): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int = 3,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    log.info(s"minhashCandidates: band buckets with > $maxBucket docs are dropped " +
+      "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
+      "reported by group-dedup, not pairwise")
     val sig = minhashSignatures(docs, k)
     val nBands = NumHashes / BandRows
     val bandStructs = (0 until nBands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), concat(cols: _*).as("sig"))
     }
+    // bucket sizes via count-over-window: the window's (band, sig)
+    // exchange doubles as the self-join's distribution, so the cap is
+    // close to free and both join sides share one computation
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -196,21 +220,28 @@ object Dedup {
     * signatures finds ALL such pairs — no all-pairs join at any scale.
     * The verify step uses the native codegen'd
     * [[graft.functions.HammingDistance]] expression. */
-  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
     require(maxDist < 4, "pigeonhole over 4 bands only guarantees recall for maxDist <= 3")
+    log.info(s"simhashNearPairs: band buckets with > $maxBucket docs are dropped " +
+      "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
+      "reported by simhashGroups, not pairwise")
     val spark = docs.sparkSession
     val fps = simhash(docs)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), substring(col("fp"), 1 + 8 * b, 8).as("sig")))
+    // the bucket-size window doubles as the explicit exchange on the
+    // join keys: the fingerprint pipeline is map-only, so without an
+    // exchange the self-join's two sides would each recompute every
+    // per-token MD5 (nothing for ReuseExchange to share); with it the
+    // second side is a ReusedExchange read
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      // explicit exchange on the join keys: the fingerprint pipeline is
-      // map-only, so WITHOUT it the self-join's two sides each recompute
-      // every per-token MD5 (no exchange, nothing for ReuseExchange to
-      // share). One narrow shuffle of (doc_id, fp, band, sig) makes the
-      // second side a ReusedExchange read instead.
-      .repartition(col("band"), col("sig"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     // hamming BEFORE distinct: the native expression re-evaluates per
     // band collision (cheap), while distinct then shuffles 3 narrow
     // columns instead of two 32-char fingerprints per row

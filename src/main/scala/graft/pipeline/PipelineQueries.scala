@@ -99,9 +99,15 @@ object PipelineQueries extends QueryPack {
         val lo = b * Dedup.BandRows
         s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
       }.mkString("\n  UNION ALL ")
+      // band buckets over MaxBandBucket docs leave candidate
+      // generation — keep in sync with Dedup.minhashCandidates
       s"""WITH sh AS (${shinglesSql(3)}),
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects)
+         |bands AS (
+         |  SELECT doc_id, band, sig FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bucket_n
+         |    FROM ($bandSelects))
+         |  WHERE bucket_n <= ${Dedup.MaxBandBucket})
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -134,10 +140,15 @@ object PipelineQueries extends QueryPack {
          |FROM fps GROUP BY fp HAVING count(*) > 1
          |ORDER BY fp""".stripMargin,
     "dedup_simhash_near" ->
+      // band buckets over MaxBandBucket docs leave candidate
+      // generation — keep in sync with Dedup.simhashNearPairs
       s"""WITH $FPS_SQL,
          |bands AS (
-         |  SELECT doc_id, fp, b, substring(fp, 1 + 8 * b, 8) AS sig
-         |  FROM fps, (SELECT unnest(range(0, 4)) AS b)),
+         |  SELECT doc_id, fp, b, sig FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY b, sig) AS bucket_n
+         |    FROM (SELECT doc_id, fp, b, substring(fp, 1 + 8 * b, 8) AS sig
+         |          FROM fps, (SELECT unnest(range(0, 4)) AS b)))
+         |  WHERE bucket_n <= ${Dedup.MaxBandBucket}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                  a.fp AS fa, b.fp AS fb

@@ -79,6 +79,31 @@ class PipelineSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("band-bucket cap: mega-clusters leave pairwise candidates but stay in group dedup") {
+    // 8 identical docs (one band bucket of 8) + one genuine near-dup
+    // pair; cap=3 must drop the cluster's pairs from BOTH banding
+    // paths while the pair survives and groups still report the cluster
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    // the surviving pair shares NO text with the cluster, so its band
+    // buckets (size 2) are independent of the capped ones
+    val other = "iota kappa lambda mu nu xi omicron pi rho sigma " * 4
+    val docs = ((1L to 8L).map(i => (i, base.trim)) ++ Seq(
+      (20L, other.trim), (21L, other.trim)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mh = Dedup.minhashCandidates(docs, k = 3, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(!mh.exists(p => p._1 <= 8 && p._2 <= 8), s"cluster pairs leaked: $mh")
+    assert(mh.contains((20L, 21L)))
+    val sh = Dedup.simhashNearPairs(docs, maxDist = 3, maxBucket = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!sh.exists(p => p._1 <= 8 && p._2 <= 8), s"cluster pairs leaked: $sh")
+    assert(sh.contains((20L, 21L)))
+    // the cluster is still reported — as ONE group row, not 28 pairs
+    val groups = Dedup.simhashGroups(docs).collect()
+    assert(groups.exists(_.getAs[Long]("n_docs") >= 8))
+  }
+
   test("minhash handles documents shorter than the shingle width") {
     val short = Seq(
       (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
