@@ -98,6 +98,31 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame")
   }
 
+  /** Resize: nearest-neighbor over the payload viewed as a
+    * width x height byte grid (decode stand-in — a real image resize
+    * swaps the kernel and keeps everything else). Batched
+    * per-partition map, no shuffle, partitioning preserved; output
+    * rows carry the new payload and dimensions so downstream stages
+    * (feature extraction, sinks) are unchanged. */
+  def resize(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val w = math.max(m.width, 1)
+        val h = math.max(m.height, 1)
+        val out = Array.tabulate(targetW * targetH) { i =>
+          val x = i % targetW
+          val y = i / targetW
+          val src = (y * h / targetH) * w + (x * w / targetW)
+          if (src < m.payload.length) m.payload(src) else 0.toByte
+        }
+        m.copy(payload = out, width = targetW, height = targetH, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
   /** Metadata rollup per media kind (oracle-checkable: arithmetic on
     * metadata only). */
   def kindStats(docs: DataFrame): DataFrame =

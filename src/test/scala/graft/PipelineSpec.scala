@@ -185,6 +185,29 @@ class PipelineSpec extends SparkSpec {
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length <= 32))
   }
 
+  test("multimodal: resize emits target-dimension payloads with exact nearest-neighbor bytes") {
+    val media = Multimodal.mediaTable(docs)
+    val originals = media.collect().map(m => m.media_id -> m).toMap
+    val (tw, th) = (8, 6)
+    val resized = Multimodal.resize(media, tw, th).collect()
+    assert(resized.length == originals.size)
+    resized.foreach { r =>
+      assert(r.width == tw && r.height == th && r.n_bytes == tw * th
+        && r.payload.length == tw * th)
+      val o = originals(r.media_id)
+      assert(r.kind == o.kind)
+      // spot-check the nearest-neighbor kernel against direct math
+      (0 until tw * th).foreach { i =>
+        val src = ((i / tw) * o.height / th) * o.width + (i % tw) * o.width / tw
+        val expected = if (src < o.payload.length) o.payload(src) else 0.toByte
+        assert(r.payload(i) == expected, s"media ${r.media_id} pos $i")
+      }
+    }
+    // resized media flows into the unchanged downstream feature stage
+    val feats = Multimodal.extractFeatures(Multimodal.resize(media, tw, th)).collect()
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
