@@ -104,6 +104,19 @@ class PipelineSpec extends SparkSpec {
     assert(groups.exists(_.getAs[Long]("n_docs") >= 8))
   }
 
+  test("ivfIndex round-trips through a cell-partitioned parquet table and serves identical top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/index"
+    Similarity.ivfIndex(emb).write.partitionBy("cell").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("q"), col("n2"))
+    val fromDisk = Similarity.ivfTopKFromIndex(reloaded, 0L to 9L, 5)
+      .orderBy("probe_id", "rank").collect().toSeq
+    val direct = Similarity.ivfTopK(emb, 0L to 9L, 5)
+      .orderBy("probe_id", "rank").collect().toSeq
+    assert(fromDisk == direct && fromDisk.nonEmpty)
+  }
+
   test("minhash handles documents shorter than the shingle width") {
     val short = Seq(
       (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
