@@ -89,6 +89,18 @@ class StreamingChaosSpec extends SparkSpec {
           assert(!fs.exists(partial), s"crashed partial attempt survived (seed=$seed)")
       }
       assert(delivered == blocks.size)
+      // after the whole sweep, GC must hold the per-shard bound: only
+      // the newest version and its predecessor of any shard survive
+      val shardVersionCounts = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .map(_.getPath.getName).filter(_.startsWith("v")).toSeq
+        .flatMap { v =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/$v"))
+            .map(_.getPath.getName).filter(_.startsWith("shard="))
+        }
+        .groupBy(identity).map { case (s, vs) => s -> vs.size }
+      shardVersionCounts.foreach { case (shard, n) =>
+        assert(n <= 2, s"$shard survives in $n versions after chaos sweep (seed=$seed)")
+      }
     }
   }
 
