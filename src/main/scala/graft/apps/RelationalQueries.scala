@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.9); these cover the standard operator set a user of a
   * general engine needs, planned Spark-first:
   *
-  *  - dimension tables (region/nation/customer/supplier/part) are
-  *    broadcast — no shuffle of the fact table for them;
+  *  - fixed-size dimension tables (region/nation) carry broadcast
+  *    hints; linearly-growing ones (customer/supplier/part) are left
+  *    to stats/AQE — still broadcast at any sf where they fit, never
+  *    forced into an OOM at 100x;
   *  - aggregations rely on Catalyst partial aggregation;
   *  - double aggregates are rounded on both sides (oracle parity —
   *    IEEE summation order differs between engines);
@@ -58,8 +60,11 @@ object RelationalQueries extends QueryPack {
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      // customer grows linearly with sf — no broadcast hint: a forced
+      // broadcast OOMs at 100x while AQE/stats still pick broadcast
+      // whenever the filtered side is genuinely small
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
@@ -74,9 +79,12 @@ object RelationalQueries extends QueryPack {
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val nat = Tables.nation(s, dir)
       val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      // supplier/customer grow linearly with sf — hints only on the
+      // fixed-size nation/region dims; AQE/stats broadcast the rest
+      // iff they are genuinely under the threshold
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.customer(s, dir)),
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -84,10 +92,11 @@ object RelationalQueries extends QueryPack {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("n_name")
     },
-    // Part-brand rollup: fact x 2k-row dimension, broadcast.
+    // Part-brand rollup: fact x part dimension. part grows linearly
+    // with sf — stats-driven join choice, no forced broadcast.
     "part_revenue" -> { (s, dir) =>
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

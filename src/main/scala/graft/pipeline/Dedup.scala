@@ -126,16 +126,22 @@ object Dedup {
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), concat(cols: _*).as("sig"))
     }
-    // bucket sizes via count-over-window: the window's (band, sig)
-    // exchange doubles as the self-join's distribution, so the cap is
-    // close to free and both join sides share one computation
-    val bands = sig
+    val bands0 = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // two-phase skew-safe cap: groupBy partially aggregates map-side,
+    // so a mega-bucket collapses to one count row per map partition
+    // (a count-over-window would instead move EVERY row of the hot
+    // bucket into one task before the cap could drop it). The over-cap
+    // set is tiny by construction (each member holds > maxBucket docs,
+    // so there are <= corpus/maxBucket of them) -> broadcast anti-join
+    // removes hot buckets map-side, BEFORE the self-join's shuffle
+    // ever partitions on (band, sig).
+    val overCap = bands0
+      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val bands = bands0.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -162,18 +168,30 @@ object Dedup {
       "capped); similarity carried only by ultra-common shingles is not " +
       "reported — boilerplate, not near-dups")
     val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
-    // df computed IN-LINE with a count-over-window on the one
-    // shingle-shuffled copy of the index — a separate df aggregate
-    // plus join-back would rescan and reshuffle the whole index twice
-    // more (measured: 4 scans of documents collapse to 1 + reuse)
-    val shDf = sh.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+    // two-phase skew-safe df: groupBy.count partially aggregates, so a
+    // stop-shingle in 10^9 docs collapses to one row per map partition
+    // instead of flooding a single window task (the count-over-window
+    // spelling this replaces moved every row of the hot key into ONE
+    // task — the exact straggler the cap exists to prevent). sh ends
+    // in distinct()'s exchange, which ReuseExchange shares across the
+    // df aggregate, the sizes path, and both self-join sides: still
+    // one scan of documents.
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // tiny blacklist by construction (each member appears in > maxDf
+    // docs, so <= index/maxDf entries): broadcast anti-join removes
+    // hot shingles map-side, before any shuffle partitions on shingle
+    val overCap = dfs.filter(col("df") > maxDf).select("shingle")
     // the capped universe: everything the scores are computed over
-    val kept = shDf.filter(col("df") <= maxDf)
+    val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // candidate pruning WITHIN the universe: df=1 shingles cannot
-    // contribute to any intersection (exact — they stay in sizes)
-    val shJ = kept.filter(col("df") > 1).select(col("doc_id"), col("shingle"))
+    // contribute to any intersection (exact — they stay in sizes).
+    // Plain shuffle semi-join on purpose: unique shingles are the
+    // MAJORITY of the universe, so their complement (2 <= df <= cap)
+    // is not broadcastable; the shuffle is skew-bounded because the
+    // blacklist already removed every key with > maxDf rows.
+    val dupSh = dfs.filter(col("df") > 1 && col("df") <= maxDf).select("shingle")
+    val shJ = kept.join(dupSh, Seq("shingle"), "left_semi")
     val inter = shJ.as("a")
       .join(shJ.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -227,21 +245,25 @@ object Dedup {
       "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by simhashGroups, not pairwise")
     val spark = docs.sparkSession
-    val fps = simhash(docs)
+    // the fingerprint pipeline is map-only, so without an exchange its
+    // three consumers (bucket counts, both self-join sides) would each
+    // recompute every per-token MD5; repartition(doc_id) pins ONE
+    // narrow (doc_id, fp) exchange that ReuseExchange shares — doc_id
+    // is unskewed, unlike the band keys
+    val fps = simhash(docs).repartition(col("doc_id"))
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), substring(col("fp"), 1 + 8 * b, 8).as("sig")))
-    // the bucket-size window doubles as the explicit exchange on the
-    // join keys: the fingerprint pipeline is map-only, so without an
-    // exchange the self-join's two sides would each recompute every
-    // per-token MD5 (nothing for ReuseExchange to share); with it the
-    // second side is a ReusedExchange read
-    val bands = fps
+    val bands0 = fps
       .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("fp"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // two-phase skew-safe cap (see minhashCandidates): partial-agg
+    // counts -> tiny over-cap blacklist -> broadcast anti-join drops
+    // mega-buckets map-side, before the self-join shuffle
+    val overCap = bands0
+      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val bands = bands0.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
     // hamming BEFORE distinct: the native expression re-evaluates per
     // band collision (cheap), while distinct then shuffles 3 narrow
     // columns instead of two 32-char fingerprints per row

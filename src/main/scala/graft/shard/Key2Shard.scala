@@ -32,9 +32,13 @@ object Key2Shard {
 
   /** Zero-allocation routing via the native codegen'd
     * [[graft.functions.FirstByte]] expression — same semantics as
-    * [[shardOf]] (property-tested against [[shardOfRef]]). */
+    * [[shardOf]] (property-tested against [[shardOfRef]]), INCLUDING
+    * null keys: FirstByte null-propagates, so without the coalesce a
+    * null-keyed op would route to shard 0 on the sink path (shardOf)
+    * but vanish from filter/join paths (null comparison) — a silent
+    * row loss instead of a routing decision. */
   def shardOfFast(spark: org.apache.spark.sql.SparkSession, key: Column): Column =
-    graft.functions.FirstByte.firstByte(spark, key) % NShards
+    coalesce(graft.functions.FirstByte.firstByte(spark, key) % NShards, lit(0))
 
   /** JVM reference implementation — byte-for-byte the Go function,
     * used by tests as the parity oracle. */

@@ -50,4 +50,15 @@ class Key2ShardSpec extends SparkSpec {
       .head()
     assert(r.getInt(0) == 0 && r.getInt(1) == 0)
   }
+
+  test("null key routes to shard 0 in BOTH spellings — never null (silent row loss in filters)") {
+    // shardOf already fell through when()'s null-as-false to shard 0;
+    // shardOfFast used to null-propagate, so sink and filter paths
+    // disagreed on where a null-keyed op lives
+    val r = Seq((1, Option.empty[String])).toDF("id", "key")
+      .select(Key2Shard.shardOf(col("key")), Key2Shard.shardOfFast(spark, col("key")))
+      .head()
+    assert(!r.isNullAt(0) && r.getInt(0) == 0, "shardOf(null) must be 0")
+    assert(!r.isNullAt(1) && r.getInt(1) == 0, "shardOfFast(null) must be 0, not null")
+  }
 }

@@ -41,11 +41,24 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_orderkey"), read)
   }
 
-  test("q3/q5: dimension joins are broadcast, fact side never shuffles for them") {
-    Seq("q3_join", "q5_join").foreach { q =>
+  test("q3/q5/part_revenue: dims broadcast stats-driven; no hints on linearly-growing tables") {
+    Seq("q3_join", "q5_join", "part_revenue").foreach { q =>
+      // at test sf every dim fits under the broadcast threshold, so
+      // stats must still pick broadcast — but WITHOUT a forced hint on
+      // customer/supplier/part (a hint would OOM at 100x; nation and
+      // region are the only fixed-size tables allowed one)
       val s = formatted(q)
       assert(s.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
       assert(!s.contains("SortMergeJoin"), s"$q fell back to SMJ on a dimension")
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+      // hints may exist only via nation/region (q5); q3/part_revenue
+      // must have none at all
+      if (q != "q5_join")
+        assert(hinted.isEmpty, s"$q carries a join hint on a linearly-growing table:\n${df.queryExecution.analyzed}")
     }
   }
 
@@ -85,20 +98,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup_jaccard: no broadcast hints — sizes joins stay stats-driven (AQE broadcasts iff small)") {
+  test("dedup_jaccard: no broadcast hints on O(corpus) joins — sizes stay stats-driven (AQE broadcasts iff small)") {
     val df = SparkEntry.queries("dedup_jaccard")(spark, sf0001)
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
     assert(joins.nonEmpty)
-    joins.foreach { j =>
+    // the ONLY permitted hint is the broadcast on the over-cap
+    // blacklist anti-join (provably tiny: <= index/MaxShingleDf rows);
+    // inner joins (intersection self-join, sizes joins) are O(corpus)
+    // on at least one side and must never be force-broadcast
+    joins.filter(_.joinType == org.apache.spark.sql.catalyst.plans.Inner).foreach { j =>
       assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
-        s"dedup_jaccard grew a join hint (forced O(corpus) broadcast?):\n${df.queryExecution.optimizedPlan}")
+        s"dedup_jaccard grew an inner-join hint (forced O(corpus) broadcast?):\n${df.queryExecution.optimizedPlan}")
     }
     // the df cap must survive optimization: an uncapped shingle index
     // re-opens the d^2/2 stop-shingle blowup
     assert(df.queryExecution.optimizedPlan.toString.contains(pipeline.Dedup.MaxShingleDf.toString),
       "MaxShingleDf cap vanished from the optimized plan")
+  }
+
+  test("dedup caps are skew-safe: no WindowExec in any dedup plan (two-phase groupBy blacklist)") {
+    // a count-over-window on the skewed key itself moves every row of
+    // a hot shingle/bucket into ONE task before the cap can drop it —
+    // the r3 scale-killer; the cap must come from a partial-aggregating
+    // groupBy.count + broadcast anti-join instead
+    Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash_near").foreach { q =>
+      val p = plan(q)
+      val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty, s"$q regressed to a window over the skewed key:\n$p")
+    }
   }
 
   test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
