@@ -115,43 +115,68 @@ object LiveKV {
   def stateTableSink(ops: Dataset[Op], stateDir: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Op] = {
     val spark = ops.sparkSession
     import spark.implicits._
+    // per-incarnation manifest cache (foreachBatch runs on the driver,
+    // so this var lives across micro-batches): version -> shards it
+    // holds. Listing the state dir is O(retained versions) filesystem
+    // calls and was paid EVERY batch; now it is paid once per
+    // (re)start and maintained incrementally — at a production shard
+    // fan-out (10^5 buckets) the per-batch re-list was itself the
+    // bottleneck. A restart gets a fresh closure, hence a fresh
+    // listing — crash recovery still sees exactly the committed truth.
+    var manifest: Option[scala.collection.mutable.SortedMap[Long, Seq[Int]]] = None
     ops.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Op], batchId: Long) =>
         val s = batch.sparkSession
         val fs = fileSystem(s)
-        val committed = commitIds(fs, stateDir).sorted
+        val m = manifest.getOrElse {
+          val loaded = scala.collection.mutable.SortedMap(
+            commitIds(fs, stateDir).map(v => v -> shardsOf(fs, stateDir, v)): _*)
+          manifest = Some(loaded)
+          loaded
+        }
         // stateDir and checkpoint move together: a commit marker AHEAD
         // of this batch means the dir belongs to a previous stream
         // incarnation (fresh checkpoint, reused stateDir) — folding or
         // skipping would both be wrong, so refuse loudly
-        require(committed.lastOption.forall(_ <= batchId),
-          s"state dir $stateDir is at batch ${committed.last}, ahead of streaming batch " +
+        require(m.keys.lastOption.forall(_ <= batchId),
+          s"state dir $stateDir is at batch ${m.keys.last}, ahead of streaming batch " +
             s"$batchId — it belongs to a different checkpoint; use a fresh stateDir")
         // idempotence under foreachBatch's at-least-once: skip only if
         // this exact batch already COMMITTED (marker present). A data
         // dir without its marker is a crashed attempt — recompute it.
-        if (!committed.contains(batchId)) {
+        if (!m.contains(batchId)) {
+          // gets don't change state (applyIncrement drops them): fold
+          // and route WRITES only, so a get-only batch never rereads
+          // and rewrites identical shard partitions as a new version
+          val writes = batch.filter(col("kind") =!= "get")
           // registration-free shardOf spelling: the micro-batch session
           // clone does not see temp functions registered at plan time,
           // and per-batch routing volume is tiny anyway
-          val touched = batch
+          val touched = writes
             .select(graft.shard.Key2Shard.shardOf(col("key")).as("shard"))
             .distinct().collect().map(_.getInt(0)).toSet
-          val basePaths = currentShardPaths(fs, stateDir, committed)
-            .collect { case (shard, path) if touched(shard) => path }
-          val base =
-            if (basePaths.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
-            else s.read.schema("key STRING, value STRING").parquet(basePaths.toSeq: _*)
-          graft.kv.KVEngine.applyIncrement(base, batch)
-            .withColumn("shard", graft.shard.Key2Shard.shardOf(col("key")))
-            .write.partitionBy("shard").mode("overwrite")
-            .parquet(s"$stateDir/v$batchId")
+          if (touched.nonEmpty) {
+            val basePaths = currentShardPaths(stateDir, m)
+              .collect { case (shard, path) if touched(shard) => path }
+            val base =
+              if (basePaths.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
+              else s.read.schema("key STRING, value STRING").parquet(basePaths.toSeq: _*)
+            graft.kv.KVEngine.applyIncrement(base, writes)
+              .withColumn("shard", graft.shard.Key2Shard.shardOf(col("key")))
+              .write.partitionBy("shard").mode("overwrite")
+              .parquet(s"$stateDir/v$batchId")
+          }
           // single atomic create — no delete/rename window; the touched
           // manifest is the version dir's shard=* listing, complete
-          // before the marker exists
+          // before the marker exists. A write-free batch commits an
+          // empty version (marker only, no data dir) so redelivery
+          // after a crash skips it the same way.
           fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$batchId"), true).close()
-          gcShards(fs, stateDir, committed :+ batchId)
+          // one listing of the JUST-WRITTEN version keeps the cache
+          // exact even if the writer's partition layout surprises us
+          m(batchId) = if (touched.isEmpty) Seq.empty else shardsOf(fs, stateDir, batchId)
+          gcShards(fs, stateDir, m)
         }
         ()
       }
@@ -182,32 +207,36 @@ object LiveKV {
   }
 
   /** Each shard resolved to its newest committed version's partition
-    * dir — the current state of the table. */
-  private def currentShardPaths(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-      committed: Seq[Long]): Map[Int, String] =
-    committed.sorted.flatMap { v =>
-      shardsOf(fs, stateDir, v).map(s => s -> s"$stateDir/v$v/shard=$s")
+    * dir — the current state of the table, read off the manifest
+    * (cached in-sink; rebuilt from a listing by external readers). */
+  private def currentShardPaths(stateDir: String,
+      manifest: scala.collection.Map[Long, Seq[Int]]): Map[Int, String] =
+    manifest.keys.toSeq.sorted.flatMap { v =>
+      manifest(v).map(s => s -> s"$stateDir/v$v/shard=$s")
     }.toMap // later (newer) versions overwrite earlier entries
 
   /** Per-shard GC: only the newest two versions containing a shard are
     * live (the predecessor is kept for in-flight readers — the same
     * contract the unpartitioned sink had for whole versions). Decisions
-    * are taken on a snapshot, so the top-2-per-shard invariant holds
-    * across passes; a version dir whose shards are all superseded is
-    * removed with its marker once it is older than the predecessor. */
+    * are taken on the cached manifest (no re-listing), so the
+    * top-2-per-shard invariant holds across passes; a version dir whose
+    * shards are all superseded is removed with its marker once it is
+    * older than the predecessor. The manifest is updated in place to
+    * mirror every delete. */
   private def gcShards(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-      committed: Seq[Long]): Unit = {
-    val sorted = committed.sorted
-    val manifest: Map[Long, Seq[Int]] = sorted.map(v => v -> shardsOf(fs, stateDir, v)).toMap
+      manifest: scala.collection.mutable.SortedMap[Long, Seq[Int]]): Unit = {
+    val sorted = manifest.keys.toSeq
     sorted.dropRight(1).foreach { v =>
       val newerWith = (shard: Int) => sorted.count(v2 => v2 > v && manifest(v2).contains(shard))
       val dead = manifest(v).filter(newerWith(_) >= 2)
       dead.foreach { shard =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/shard=$shard"), true)
       }
-      if (dead.size == manifest(v).size && v < sorted.max - 1) {
+      if (dead.nonEmpty) manifest(v) = manifest(v).filterNot(dead.contains)
+      if (manifest(v).isEmpty && v < sorted.max - 1) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$v"), false)
+        manifest.remove(v)
       }
     }
   }
@@ -217,7 +246,8 @@ object LiveKV {
   def readStateTable(spark: org.apache.spark.sql.SparkSession, stateDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val fs = fileSystem(spark)
-    val paths = currentShardPaths(fs, stateDir, commitIds(fs, stateDir)).values.toSeq
+    val listed = commitIds(fs, stateDir).map(v => v -> shardsOf(fs, stateDir, v)).toMap
+    val paths = currentShardPaths(stateDir, listed).values.toSeq
     if (paths.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
     else spark.read.schema("key STRING, value STRING").parquet(paths: _*)
   }

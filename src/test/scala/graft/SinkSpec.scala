@@ -121,6 +121,39 @@ class SinkSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateTableSink skips get-only batches: marker only, no version dir, no shard rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.shard.Key2Shard
+    val stateDir = Files.createTempDirectory("graft_getstate").toString
+    val ckpt = Files.createTempDirectory("graft_getstate_ckpt").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    val stream = MemoryStream[Op]
+    val query = LiveKV.stateTableSink(stream.toDS(), stateDir, ckpt).start()
+    try {
+      stream.addData(Op(0, 1, 0, "put", "a", "1"), Op(1, 1, 1, "put", "b", "2"))
+      query.processAllAvailable()
+      // a batch of pure reads: gets don't change state, so nothing may
+      // be reread or rewritten — commit marker only (keeps redelivery
+      // idempotent), no v1 data dir, no extra version for GC to chase
+      stream.addData(Op(2, 1, 2, "get", "a", ""), Op(3, 1, 3, "get", "b", ""))
+      query.processAllAvailable()
+      assert(!fs.exists(p(s"$stateDir/v1")), "get-only batch wrote a version dir")
+      assert(fs.exists(p(s"$stateDir/_commit_1")), "get-only batch must still commit")
+      // a MIXED batch routes only its writes: the get on "b" must not
+      // drag b's shard into the rewrite
+      stream.addData(Op(4, 1, 4, "append", "a", "X"), Op(5, 1, 5, "get", "b", ""))
+      query.processAllAvailable()
+      val dirs2 = fs.listStatus(p(s"$stateDir/v2"))
+        .map(_.getPath.getName).filter(_.startsWith("shard=")).toSeq
+      assert(dirs2 == Seq(s"shard=${Key2Shard.shardOfRef("a")}"),
+        s"mixed batch rewrote ${dirs2.mkString(",")}")
+      val got = LiveKV.readStateTable(spark, stateDir).as[(String, String)].collect().toMap
+      assert(got == Map("a" -> "1X", "b" -> "2"))
+    } finally query.stop()
+  }
+
   test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
