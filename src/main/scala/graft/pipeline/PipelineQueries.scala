@@ -34,6 +34,7 @@ object PipelineQueries extends QueryPack {
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // STUBBED decode path — schema/partitioning real, features from the
@@ -281,6 +282,60 @@ object PipelineQueries extends QueryPack {
          |                                   ORDER BY cos DESC, vec_id) AS rn
          |      FROM scored)
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // Unrolled fixed-iteration spherical k-means (seeded md5 init,
+    // integer centroid sums, assignment argmax with score DESC / cell
+    // ASC tie-break) — keep in sync with Similarity.kmeansCentroids.
+    "sim_ivf_kmeans" -> {
+      def assign(centTbl: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, cell, qd, q, n2 FROM (
+           |    SELECT v.vec_id, c.cell, v.qd, v.q, v.n2,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY list_dot_product(v.qd, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+           |                      c.cell) AS rn
+           |    FROM qd v CROSS JOIN $centTbl c)
+           |  WHERE rn = 1)""".stripMargin
+      def update(assignTbl: String, out: String) =
+        s"""${out}_c AS (
+           |  SELECT cell, pos, CAST(SUM(qi) AS BIGINT) AS c
+           |  FROM (SELECT cell, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM $assignTbl)
+           |  GROUP BY cell, pos),
+           |$out AS (
+           |  SELECT cell, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv,
+           |         CAST(SUM(c * c) AS BIGINT) AS cn2
+           |  FROM ${out}_c GROUP BY cell)""".stripMargin
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, q, n2 FROM qv),
+         |seeds AS (
+         |  SELECT vec_id AS cell, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv, n2 AS cn2
+         |  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.KmeansK}),
+         |${assign("seeds", "a1")},
+         |${update("a1", "cent1")},
+         |${assign("cent1", "a2")},
+         |${update("a2", "cent2")},
+         |${assign("cent2", "asg")},
+         |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
+         |            FROM asg WHERE vec_id < 10),
+         |pcells AS (
+         |  SELECT probe_id, cell, pq, pn2 FROM (
+         |    SELECT p.probe_id, c.cell, p.pq, p.pn2,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS crank
+         |    FROM probes0 p CROSS JOIN cent2 c)
+         |  WHERE crank <= ${Similarity.KmeansNprobe}),
+         |scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         list_dot_product(pc.pq, a.qd)
+         |           / (sqrt(CAST(pc.pn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
+         |  FROM pcells pc JOIN asg a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+         |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY cos DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_centroids" ->
       s"""WITH qv AS ($QV),
          |pe AS (SELECT label, unnest(q) AS qi,

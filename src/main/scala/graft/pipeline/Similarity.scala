@@ -127,20 +127,34 @@ object Similarity {
     val qv = quantized(emb)
     // integer centroid sums per (label cell, dim)
     val cent = qv
-      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qi")))
-      .groupBy("label", "pos")
+      .select(col("label").cast("long").as("cell"), col("q"))
+      .transform(centroidsOf)
+    assignCells(qv, cent)
+  }
+
+  /** Integer centroid per cell: element-wise SUM of the member vectors
+    * (cosine argmax is scale-invariant, so the un-normalized sum works
+    * as the centroid and stays exact), plus its squared norm. Input:
+    * (cell, q); output: (cell, cv: array<long>, cn2: long). */
+  private def centroidsOf(members: DataFrame): DataFrame =
+    members
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy("cell", "pos")
       .agg(sum("qi").as("c"))
-      .groupBy("label")
+      .groupBy("cell")
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("c")))), _.getField("c"))
           .as("cv"),
         sum(col("c") * col("c")).as("cn2"))
-      .select(col("label").as("cell"), col("cv"), col("cn2"))
-    // assign every vector to its nearest cell (cosine argmax ==
-    // dot/|c| argmax since |q| is constant per vector). max_by over a
-    // (cscore, -cell) struct = hash aggregate — no sort, no window
-    // shuffle; tie-break matches "score DESC, cell ASC" exactly
-    // because struct comparison is lexicographic.
+      .select(col("cell"), col("cv"), col("cn2"))
+
+  /** Assign every vector to its nearest coarse cell (cosine argmax ==
+    * dot/|c| argmax since |q| is constant per vector). max_by over a
+    * (cscore, -cell) struct = hash aggregate — no sort, no window
+    * shuffle; tie-break matches "score DESC, cell ASC" exactly
+    * because struct comparison is lexicographic. The centroid table is
+    * k rows — genuinely broadcast-safe at any corpus size. */
+  private def assignCells(qv: DataFrame, cent: DataFrame): DataFrame =
     qv
       .crossJoin(broadcast(cent))
       .withColumn("cscore",
@@ -151,6 +165,89 @@ object Similarity {
         struct(col("cscore"), (-col("cell")).as("negcell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.q").as("q"), col("best.n2").as("n2"))
+
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** Label-free coarse quantizer: fixed-iteration spherical k-means
+    * (Lloyd) in exact integer arithmetic, deterministic across engines
+    * and partitionings:
+    *
+    *  - init: the k vectors with the smallest md5(vec_id) — a seeded
+    *    pseudo-random draw both engines spell identically; each seed's
+    *    own vec_id is its cell id;
+    *  - assign: cosine argmax against integer centroid sums (exact
+    *    long dots; ties broken score DESC, cell ASC);
+    *  - update: element-wise integer SUM of members (un-normalized —
+    *    cosine is scale-invariant, so no division ever happens);
+    *  - repeat `iters` times. Cells that lose all members vanish (both
+    *    engines drop them identically).
+    *
+    * One corpus pass per iteration (the k-row centroid table is
+    * broadcast) — the standard k-means cost model; iters is small and
+    * fixed, so the 100 TB cost is `iters + 1` scans, not a convergence
+    * gamble. */
+  def kmeansCentroids(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val qv = quantized(emb)
+    var cent = qv
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2"))
+    for (_ <- 1 to iters)
+      cent = centroidsOf(assignCells(qv, cent).select(col("cell"), col("q")))
+    cent
+  }
+
+  /** [[ivfIndex]] with the label column replaced by learned k-means
+    * cells — the build path a real (unlabeled) 100 TB corpus needs.
+    * Same output shape; [[ivfTopKFromIndex]] serves from it
+    * unchanged. */
+  def ivfIndexKmeans(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame =
+    assignCells(quantized(emb), kmeansCentroids(emb, k, iters))
+
+  /** Multi-probe IVF top-k: each probe is routed to its `nprobe`
+    * NEAREST cells (not just its own assignment) and scored against
+    * only those cells' vectors — the standard IVF recall knob. The
+    * centroid table is k rows, so ranking a probe's cells is a window
+    * over k rows per probe (bounded by construction); the candidate
+    * read stays O(nprobe/k of the corpus) and partition-prunes when
+    * the index is stored cell-partitioned. */
+  def ivfTopKNprobe(assign: DataFrame, cent: DataFrame, probeIds: Seq[Long],
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val probes = assign
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cscore"), asc("cell"))
+    val probeCells = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore",
+        dot(col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("cell"), col("pq"), col("pn2"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    assign
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pq"), col("q")).cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  val KmeansNprobe = 2
+
+  /** Label-free ANN serve path: k-means index + multi-probe search. */
+  def ivfTopKKmeans(emb: DataFrame, probeIds: Seq[Long], k: Int = 5,
+      nprobe: Int = KmeansNprobe): DataFrame = {
+    val cent = kmeansCentroids(emb)
+    ivfTopKNprobe(assignCells(quantized(emb), cent), cent, probeIds, k, nprobe)
   }
 
   /** nprobe=1 top-k served from a prebuilt [[ivfIndex]]: probes join

@@ -109,12 +109,43 @@ class PipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/index"
     Similarity.ivfIndex(emb).write.partitionBy("cell").parquet(dir)
     val reloaded = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("q"), col("n2"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("q"), col("n2"))
     val fromDisk = Similarity.ivfTopKFromIndex(reloaded, 0L to 9L, 5)
       .orderBy("probe_id", "rank").collect().toSeq
     val direct = Similarity.ivfTopK(emb, 0L to 9L, 5)
       .orderBy("probe_id", "rank").collect().toSeq
     assert(fromDisk == direct && fromDisk.nonEmpty)
+  }
+
+  test("kmeans IVF: label-free cells partition the corpus; nprobe=1 recall@5 clears the floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Similarity.ivfIndexKmeans(emb).cache()
+    try {
+      // every vector assigned to exactly one of <= KmeansK learned cells
+      assert(idx.count() == emb.count())
+      val nCells = idx.select("cell").distinct().count()
+      assert(nCells >= 2 && nCells <= Similarity.KmeansK, s"$nCells cells")
+      // recall@5 vs exact brute force, averaged over 10 probes — the
+      // fixture is deterministic, so this is a fixed number; the floor
+      // is set under the measured value to catch regressions, not noise
+      val probes = 0L to 9L
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = topSets(Similarity.bruteTopK(emb, probes, 5))
+      val cent = Similarity.kmeansCentroids(emb)
+      def recallAt(nprobe: Int): Double = {
+        val ivf = topSets(Similarity.ivfTopKNprobe(idx, cent, probes, 5, nprobe))
+        probes.map(p => (ivf.getOrElse(p, Set.empty[Long]) & brute(p)).size / 5.0)
+          .sum / probes.size
+      }
+      val rs = Seq(1, 2, 3, 4).map(np => np -> recallAt(np))
+      info(rs.map { case (np, r) => f"nprobe=$np recall@5=$r%.2f" }.mkString("  "))
+      // recall must rise with nprobe (the knob works) and clear floors
+      assert(rs.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a }, s"recall not monotone: $rs")
+      assert(rs.head._2 >= 0.1, f"nprobe=1 recall ${rs.head._2}%.2f below floor")
+      assert(rs.last._2 >= 0.5, f"nprobe=4 recall ${rs.last._2}%.2f below floor")
+    } finally idx.unpersist()
   }
 
   test("minhash handles documents shorter than the shingle width") {
