@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * metadata, plus decode / feature-extraction / frame-sampling
   * plumbing.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic stand-in (byte histogram) — the
-  * Spark-side contract is the real deliverable: binary column schema,
-  * per-partition batched processing (the JVM shape of `mapInPandas`),
-  * fixed-width feature output, and partition-preserving plans. Swap
-  * `decodeStub` for a real codec and nothing else changes.
+  * `kind=image` decodes for REAL through the JDK's `javax.imageio`
+  * ([[decodeImage]] — PNG/JPEG/GIF/BMP pixels to a luminance
+  * histogram, no extra dependencies). Audio/video have no in-JDK
+  * codec, so they stay on [[decodeStub]], a clearly-marked
+  * deterministic stand-in (byte histogram) behind the SAME seam:
+  * binary column schema, per-partition batched processing (the JVM
+  * shape of `mapInPandas`), fixed-width feature output, and
+  * partition-preserving plans. Swapping a codec never changes the
+  * plan.
   */
 object Multimodal {
 
@@ -55,16 +58,56 @@ object Multimodal {
     hist.map(h => h / n)
   }
 
+  /** REAL image decode for `kind=image` via the JDK's `javax.imageio`
+    * (zero extra dependencies): decodes PNG/JPEG/GIF/BMP payloads to
+    * pixels and emits a normalized HistBins-bin LUMINANCE histogram
+    * (integer luma = (299r + 587g + 114b)/1000, the BT.601 weights in
+    * exact integer arithmetic, so the features are deterministic).
+    * Returns None when no registered reader accepts the bytes — the
+    * caller falls back to [[decodeStub]], which keeps non-media
+    * payloads (and audio/video, where the JDK has no codec) on the
+    * honest stand-in path. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Double]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val hist = new Array[Double](HistBins)
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth) {
+          val rgb = bi.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(luma * HistBins / 256) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(bi.getWidth * bi.getHeight, 1)
+      hist.map(_ / n)
+    }
+  }
+
   /** Batched per-partition feature extraction — the JVM analogue of
-    * `mapInPandas`: one iterator per partition, codec state (a real
-    * decoder handle) would be initialized once per partition, rows
-    * stream through. No shuffle; partitioning is preserved. */
+    * `mapInPandas`: one iterator per partition, codec state is
+    * initialized once per partition, rows stream through. No shuffle;
+    * partitioning is preserved. `kind=image` payloads go through the
+    * REAL [[decodeImage]] codec; undecodable bytes and audio/video
+    * fall back to [[decodeStub]]. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init of the (stub) codec would go here
-      rows.map(m => MediaFeatures(m.media_id, m.kind, m.n_bytes, decodeStub(m.payload)))
+      // per-partition codec init: ImageIO scans its reader registry
+      // once here, not per row
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val features =
+          if (m.kind == "image") decodeImage(m.payload).getOrElse(decodeStub(m.payload))
+          else decodeStub(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.n_bytes, features)
+      }
     }
   }
 

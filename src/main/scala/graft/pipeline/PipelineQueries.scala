@@ -37,9 +37,11 @@ object PipelineQueries extends QueryPack {
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
-    // STUBBED decode path — schema/partitioning real, features from the
-    // deterministic stand-in decoder (byte histogram), emitted as
-    // scalar rows so the oracle hash-compare works on plain columns.
+    // Decode path: kind=image tries the REAL javax.imageio codec; the
+    // synthetic payloads here are text bytes (no image header), so
+    // every row deterministically falls back to the stand-in byte
+    // histogram the oracle mirrors. Real-PNG decoding through the same
+    // seam is covered by MultimodalSpec.
     "mm_features" -> ((s, d) =>
       Multimodal.featureRows(Multimodal.mediaTable(docs(s, d)))
         .orderBy("media_id", "feature_pos")),
