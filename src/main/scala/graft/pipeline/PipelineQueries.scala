@@ -45,6 +45,25 @@ object PipelineQueries extends QueryPack {
     "mm_features" -> ((s, d) =>
       Multimodal.featureRows(Multimodal.mediaTable(docs(s, d)))
         .orderBy("media_id", "feature_pos")),
+    // Full-content verification of the nearest-neighbor resize kernel:
+    // the oracle recomputes every resized byte (src index arithmetic
+    // over the hex-decoded payload) and compares per-media checksums.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resize(Multimodal.mediaTable(docs(s, d)), 16, 12)
+        .map(m => (m.media_id, m.kind, m.n_bytes, m.payload.map(b => (b & 0xff).toLong).sum))
+        .toDF("media_id", "kind", "n_bytes", "byte_sum")
+        .orderBy("media_id")
+    }),
+    // Frame sampling: per-video frame count + checksum of each frame's
+    // lead byte — pins the slice geometry (stride, offset) exactly.
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(docs(s, d)))
+        .select(col("media_id"), col("frame_no"),
+          conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long").as("first_byte"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sum("first_byte").as("first_byte_sum"))
+        .orderBy("media_id")),
   )
 
   // ---- shared SQL fragments (DuckDB dialect) ----
@@ -372,6 +391,46 @@ object PipelineQueries extends QueryPack {
         |FROM m CROSS JOIN bins b
         |LEFT JOIN cnt c ON c.media_id = m.media_id AND c.feature_pos = b.feature_pos
         |ORDER BY m.media_id, b.feature_pos""".stripMargin,
+    // Byte value at payload index `src` read off hex(blob) — the same
+    // strpos trick mm_features uses, as a reusable SQL fragment.
+    "mm_resize" -> {
+      def hexByte(src: String) =
+        s"""((strpos('0123456789ABCDEF', substring(hx, CAST(2 * ($src) + 1 AS INTEGER), 1)) - 1) * 16
+           | + (strpos('0123456789ABCDEF', substring(hx, CAST(2 * ($src) + 2 AS INTEGER), 1)) - 1))""".stripMargin
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |              WHEN doc_id % 3 = 1 THEN 'audio'
+         |              ELSE 'video' END AS kind,
+         |         hex(CAST(text AS BLOB)) AS hx,
+         |         octet_length(CAST(text AS BLOB)) AS nb,
+         |         n_chars % 64 + 16 AS w,
+         |         n_chars % 48 + 12 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id, kind, hx, nb,
+         |         ((i // 16) * h // 12) * w + ((i % 16) * w // 16) AS src
+         |  FROM (SELECT m.*, unnest(range(0, 192)) AS i FROM m))
+         |SELECT media_id, kind, CAST(192 AS BIGINT) AS n_bytes,
+         |       CAST(sum(CASE WHEN src < nb THEN ${hexByte("src")} ELSE 0 END) AS BIGINT)
+         |         AS byte_sum
+         |FROM px GROUP BY media_id, kind ORDER BY media_id""".stripMargin
+    },
+    "mm_frames" -> {
+      def hexByte(src: String) =
+        s"""((strpos('0123456789ABCDEF', substring(hx, CAST(2 * ($src) + 1 AS INTEGER), 1)) - 1) * 16
+           | + (strpos('0123456789ABCDEF', substring(hx, CAST(2 * ($src) + 2 AS INTEGER), 1)) - 1))""".stripMargin
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
+         |         octet_length(CAST(text AS BLOB)) AS nb
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT media_id, hx, unnest(range(0, nb // 128)) AS f
+         |  FROM m)
+         |SELECT media_id, count(*) AS n_frames,
+         |       CAST(sum(${hexByte("f * 128")}) AS BIGINT) AS first_byte_sum
+         |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
     "mm_kind_stats" ->
       """SELECT kind, count(*) AS n_media,
         |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
