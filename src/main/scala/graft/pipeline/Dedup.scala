@@ -167,7 +167,16 @@ object Dedup {
       "shingle universe (bounded d^2 blowup; sizes and intersections both " +
       "capped); similarity carried only by ultra-common shingles is not " +
       "reported — boilerplate, not near-dups")
-    val sh = TextAnalysis.shingles(docs, k).select(col("doc_id"), col("shingle")).distinct()
+    // the explicit isNotNull filters are semantic no-ops (doc_id and
+    // shingle are never null) but make every consumer branch's subtree
+    // IDENTICAL: the inner sizes-joins infer isnotnull(doc_id) onto
+    // their branch of the index, and a subtree that differs by an
+    // inferred filter defeats ReuseExchange — each branch would rescan
+    // documents instead of reading the one shuffled index copy
+    val sh = TextAnalysis.shingles(docs, k)
+      .select(col("doc_id"), col("shingle"))
+      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
+      .distinct()
     // two-phase skew-safe df: groupBy.count partially aggregates, so a
     // stop-shingle in 10^9 docs collapses to one row per map partition
     // instead of flooding a single window task (the count-over-window

@@ -188,14 +188,28 @@ object Similarity {
     * fixed, so the 100 TB cost is `iters + 1` scans, not a convergence
     * gamble. */
   def kmeansCentroids(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // materialize each iteration's k centroid rows (k x dim longs —
+    // bounded by construction, the same driver-side step MLlib's
+    // KMeans takes): without this the lazy lineage replays every
+    // previous iteration inside the next one — measured 16 corpus
+    // scans in the final plan for iters=2; with it, each Lloyd
+    // iteration is exactly ONE corpus scan against a local centroid
+    // table, and values are bit-identical (same plan per iteration,
+    // just cut at the k-row boundary)
+    def localized(cent: DataFrame): DataFrame =
+      cent.select(col("cell"), col("cv"), col("cn2"))
+        .as[(Long, Seq[Long], Long)].collect().toSeq
+        .toDF("cell", "cv", "cn2")
     val qv = quantized(emb)
-    var cent = qv
+    var cent = localized(qv
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2"))
+      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2")))
     for (_ <- 1 to iters)
-      cent = centroidsOf(assignCells(qv, cent).select(col("cell"), col("q")))
+      cent = localized(centroidsOf(assignCells(qv, cent).select(col("cell"), col("q"))))
     cent
   }
 
