@@ -118,6 +118,22 @@ class PlanSpec extends SparkSpec {
       "MaxShingleDf cap vanished from the optimized plan")
   }
 
+  test("dedup final plans scan documents exactly ONCE (exchange reuse shares the index/fingerprints)") {
+    // the shingle index (jaccard), minhash signatures, and the simhash
+    // fingerprint pipeline are each computed once and re-read via
+    // ReusedExchange by every consumer (cap counts, both self-join
+    // sides); a second FileScan in the FINAL adaptive plan means a
+    // branch diverged (e.g. an inferred filter specialized one subtree)
+    // and the whole corpus is being re-scanned and re-hashed
+    Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash_near").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect() // finalize AQE on THIS queryExecution
+      val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+      assert(scans == 1, s"$q reads documents ${scans}x — exchange reuse broken:\n$finalPlan")
+    }
+  }
+
   test("dedup caps are skew-safe: no WindowExec in any dedup plan (two-phase groupBy blacklist)") {
     // a count-over-window on the skewed key itself moves every row of
     // a hot shingle/bucket into ONE task before the cap can drop it —
