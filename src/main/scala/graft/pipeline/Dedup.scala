@@ -219,6 +219,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate DOC pairs — the semantic
+    * completion of the dedup family (exact / minhash / jaccard /
+    * simhash operate on surface text; this catches paraphrases the
+    * text-level signatures miss). Candidates come from the
+    * random-hyperplane LSH buckets ([[Similarity.lshBuckets]] — never
+    * all pairs), are verified with exact integer-quantized cosine, and
+    * are then restricted to ids present in `docs` via left-semi joins
+    * (the embedding table may cover more ids than the doc corpus).
+    * Both join planes shuffle on ids — no O(corpus) broadcast. */
+  def embeddingNearDups(docs: DataFrame, emb: DataFrame,
+      threshold: Double = Similarity.AnnThreshold): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    Similarity.annPairs(emb, threshold)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos_sim"))
+  }
+
   /** SimHash: 32-bit fingerprint from the hex digits of md5(token),
     * majority-weighted by term frequency. Exact-collision groups are
     * near-identical docs.

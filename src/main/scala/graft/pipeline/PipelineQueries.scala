@@ -26,6 +26,8 @@ object PipelineQueries extends QueryPack {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -89,6 +91,35 @@ object PipelineQueries extends QueryPack {
 
   private def planeSql(j: Int): String =
     s"((pos * ${j + 3} * 2654435761) % 2000001 - 1000000)"
+
+  /** LSH-bucketed cosine pair CTEs ending in `pairs(id_a, id_b,
+    * cos_sim)` — semantics of [[Similarity.annPairs]]; shared by
+    * sim_ann_pairs and dedup_embedding. */
+  private def annPairsCtes(threshold: Double): String = {
+    val dSums = (0 until Similarity.NumPlanes)
+      .map(j => s"SUM(qi * ${planeSql(j)}) AS d$j").mkString(",\n    ")
+    val bucketExpr = (0 until Similarity.NumPlanes)
+      .map(j => s"CASE WHEN d$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH qv AS ($QV2),
+       |pe AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
+       |ds AS (SELECT vec_id,
+       |    $dSums
+       |  FROM pe GROUP BY vec_id),
+       |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM ds),
+       |wb AS (SELECT b.bucket, v.vec_id,
+       |              list_transform(v.q, x -> CAST(x AS DOUBLE)) AS q, v.n2
+       |       FROM bk b JOIN qv v USING (vec_id)),
+       |dots AS (
+       |  -- quantized values are < 2^53: double dot product is exact
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_dot_product(a.q, b.q) AS dot, a.n2 AS n2a, b.n2 AS n2b
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
+       |  FROM dots
+       |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
+  }
 
   /** SimHash fingerprint CTEs (tf-weighted md5 hex-digit majority) —
     * semantics of [[Dedup.simhash]]. */
@@ -248,31 +279,17 @@ object PipelineQueries extends QueryPack {
          |                                   ORDER BY cos DESC, vec_id) AS rn
          |      FROM scored)
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
-    "sim_ann_pairs" -> {
-      val dSums = (0 until Similarity.NumPlanes)
-        .map(j => s"SUM(qi * ${planeSql(j)}) AS d$j").mkString(",\n    ")
-      val bucketExpr = (0 until Similarity.NumPlanes)
-        .map(j => s"CASE WHEN d$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH qv AS ($QV2),
-         |pe AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
-         |ds AS (SELECT vec_id,
-         |    $dSums
-         |  FROM pe GROUP BY vec_id),
-         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM ds),
-         |wb AS (SELECT b.bucket, v.vec_id,
-         |              list_transform(v.q, x -> CAST(x AS DOUBLE)) AS q, v.n2
-         |       FROM bk b JOIN qv v USING (vec_id)),
-         |dots AS (
-         |  -- quantized values are < 2^53: double dot product is exact
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         list_dot_product(a.q, b.q) AS dot, a.n2 AS n2a, b.n2 AS n2b
-         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b,
-         |       round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
-         |FROM dots
-         |WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= ${Similarity.AnnThreshold}
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "sim_ann_pairs" ->
+      s"""${annPairsCtes(Similarity.AnnThreshold)}
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""${annPairsCtes(Similarity.AnnThreshold)}
+         |SELECT id_a AS doc_a, id_b AS doc_b, cos_sim
+         |FROM pairs
+         |WHERE id_a IN (SELECT doc_id FROM documents)
+         |  AND id_b IN (SELECT doc_id FROM documents)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH qv AS ($QV2),
          |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),

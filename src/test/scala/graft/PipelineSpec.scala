@@ -148,6 +148,19 @@ class PipelineSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("embeddingNearDups restricts ANN pairs to ids present in the doc corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val all = Dedup.embeddingNearDups(Tables.documents(spark, sf0001), emb).collect()
+    assert(all.nonEmpty)
+    // shrink the corpus to even ids: both endpoints must survive the
+    // semi-joins, so every pair is even/even and some pairs drop
+    val evenDocs = Tables.documents(spark, sf0001).filter($"doc_id" % 2 === 0)
+    val even = Dedup.embeddingNearDups(evenDocs, emb)
+      .as[(Long, Long, Double)].collect()
+    assert(even.forall(p => p._1 % 2 == 0 && p._2 % 2 == 0), even.mkString(","))
+    assert(even.length < all.length)
+  }
+
   test("minhash handles documents shorter than the shingle width") {
     val short = Seq(
       (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
