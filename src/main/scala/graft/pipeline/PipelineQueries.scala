@@ -28,6 +28,7 @@ object PipelineQueries extends QueryPack {
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
+    "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -214,6 +215,42 @@ object PipelineQueries extends QueryPack {
          |WHERE len(list_filter(range(1, 33),
          |          p -> substring(fa, p, 1) <> substring(fb, p, 1))) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Composition of the text_langid, text_quality and exact-dedup
+    // oracles — keep in sync with Curation.trainingSet.
+    "pipeline_training_set" -> {
+      val sw = TextAnalysis.stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+      val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(w => s"'${w._2}'").mkString(", ")
+      s"""WITH sw(cand_lang, word) AS (VALUES $sw),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |langs AS (SELECT DISTINCT cand_lang FROM sw),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM toks JOIN sw USING (word) GROUP BY doc_id, cand_lang),
+         |allscores AS (
+         |  SELECT d.doc_id, l.cand_lang, coalesce(s.hits, 0) AS hits
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN langs l
+         |  LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.cand_lang = l.cand_lang),
+         |lang1 AS (
+         |  SELECT doc_id, cand_lang AS pred_lang
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                     ORDER BY hits DESC, cand_lang) AS rn
+         |        FROM allscores)
+         |  WHERE rn = 1),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round(least(1.0,
+         |           0.5 * least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+         |           0.5 * least(CAST(len(list_filter(tk, t -> t IN ($enStop))) AS DOUBLE) * 4.0
+         |                       / len(tk), 1.0)), 4) AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT q.doc_id, l.pred_lang, q.quality
+         |FROM qual q JOIN lang1 l USING (doc_id)
+         |WHERE q.doc_id IN (SELECT doc_id FROM reps)
+         |  AND l.pred_lang IN ('en') AND q.quality >= 0.5
+         |ORDER BY q.doc_id""".stripMargin
+    },
     "text_stats" ->
       s"""SELECT doc_id,
          |       CAST(len(toks) AS BIGINT) AS n_tokens,
