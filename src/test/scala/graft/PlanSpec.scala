@@ -126,9 +126,16 @@ class PlanSpec extends SparkSpec {
     // branch diverged (e.g. an inferred filter specialized one subtree)
     // and the whole corpus is being re-scanned and re-hashed
     Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash_near").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sf0001)
+      // sf0.01 on purpose: PipelineSpec cache()s the sf0.001 documents
+      // table in the shared session, and a cache hit rewrites the scan
+      // to InMemoryTableScan with different AQE stats — the invariant
+      // under test is the UNCACHED file-scan plan
+      val df = SparkEntry.queries(q)(spark, SparkSpec.SF001)
       df.collect() // finalize AQE on THIS queryExecution
       val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      if (finalPlan.contains("InMemoryTableScan")) {
+        cancel(s"$q plan was cache-substituted by another suite — scan-count not meaningful")
+      }
       val scans = "FileScan parquet".r.findAllIn(finalPlan).size
       assert(scans == 1, s"$q reads documents ${scans}x — exchange reuse broken:\n$finalPlan")
     }
