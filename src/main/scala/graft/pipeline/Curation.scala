@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data
@@ -32,6 +32,53 @@ object Curation {
       .select(col("doc_id"), col("quality"))
       .join(reps, Seq("doc_id"), "left_semi")
       .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      .filter(col("pred_lang").isin(langs: _*) && col("quality") >= minQuality)
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+  }
+
+  /** Row-local language ID — the streaming-safe spelling of
+    * [[TextAnalysis.langId]] (no joins, no windows): per-language
+    * stopword hits computed with array expressions, winner folded with
+    * the same (hits DESC, lang ASC) tie-break (candidates are visited
+    * lang-ascending and a later one must be STRICTLY better to win). */
+  private def predLang(toks: Column): Column = {
+    val langs = TextAnalysis.stopwords.map(_._1).distinct.sorted
+    val cands = langs.map { l =>
+      val words = TextAnalysis.stopwords.filter(_._1 == l).map(_._2)
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).cast("long").as("hits"),
+        lit(l).as("lang"))
+    }
+    cands.reduceLeft((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)).getField("lang")
+  }
+
+  /** The LIVE half of [[trainingSet]]: streaming document ingestion
+    * with watermark-TTL'd exact dedup (content hash) and the same
+    * language/quality gates, all row-local — Append-mode safe. The
+    * representative convention differs from batch by design: streaming
+    * keeps the FIRST ARRIVAL of each content group (arrival order is
+    * the only order a stream has), batch keeps the min doc_id. `docs`
+    * must carry (doc_id, text) plus an event-time `ts_utc`. */
+  def streamingIngest(docs: DataFrame, watermark: String = "1 hour",
+      langs: Seq[String] = Seq("en"), minQuality: Double = 0.5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(_._2)
+    val nTok = size(toks).cast("long")
+    val stopHits = size(filter(toks, t => t.isin(enStop: _*))).cast("long")
+    // same arithmetic as TextAnalysis.quality (asserted equal in spec)
+    val quality = round(
+      least(
+        lit(1.0),
+        lit(0.5) * least(nTok.cast("double") / 50.0, lit(1.0)) +
+          lit(0.5) * least(stopHits.cast("double") * 4.0 / nTok, lit(1.0))),
+      4)
+    docs
+      .withWatermark("ts_utc", watermark)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+      .withColumn("pred_lang", predLang(toks))
+      .withColumn("quality", quality)
       .filter(col("pred_lang").isin(langs: _*) && col("quality") >= minQuality)
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }

@@ -241,6 +241,49 @@ object LiveKV {
     }
   }
 
+  /** Offline compaction (the state table's VACUUM): consolidate every
+    * shard's CURRENT copy into the newest committed version dir, then
+    * delete all older versions and their markers. Long-quiet shards
+    * otherwise pin their old version dirs indefinitely — bounded at 2
+    * dirs per shard, but at production fan-out that is real listing
+    * surface for restarts and external readers.
+    *
+    * Contract: run while the stream is STOPPED and no readers are in
+    * flight (an offline maintenance op). Crash-safe by construction:
+    * each copied shard lands via a single atomic rename, and old
+    * versions are deleted only after every shard's copy is in place —
+    * a crash leaves the old layout, a completed copy, or an orphaned
+    * `_compact_shard_*` temp dir, all of which re-compact cleanly. A
+    * resumed stream sees one committed version <= its next batch id,
+    * so the incarnation guard still holds. */
+  def compactStateTable(spark: org.apache.spark.sql.SparkSession, stateDir: String): Unit = {
+    val fs = fileSystem(spark)
+    // orphans from a crashed earlier compaction
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("_compact_shard_"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val ids = commitIds(fs, stateDir).sorted
+    if (ids.size <= 1) return
+    val vMax = ids.max
+    val manifest = ids.map(v => v -> shardsOf(fs, stateDir, v)).toMap
+    currentShardPaths(stateDir, manifest).foreach { case (shard, path) =>
+      val target = s"$stateDir/v$vMax/shard=$shard"
+      if (path != target) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_compact_shard_$shard")
+        fs.delete(tmp, true)
+        spark.read.schema("key STRING, value STRING").parquet(path)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, new org.apache.hadoop.fs.Path(target)),
+          s"compaction rename failed for shard $shard")
+      }
+    }
+    ids.filter(_ != vMax).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commit_$v"), false)
+    }
+  }
+
   /** Read the current committed state table (empty if none yet): each
     * shard from its newest committed version. */
   def readStateTable(spark: org.apache.spark.sql.SparkSession, stateDir: String): org.apache.spark.sql.DataFrame = {

@@ -154,6 +154,47 @@ class SinkSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("compactStateTable consolidates to ONE version and the stream resumes cleanly after") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft_compact").toString
+    val ckpt = Files.createTempDirectory("graft_compact_ckpt").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def listNames(p: String, prefix: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).filter(_.startsWith(prefix)).toSeq.sorted
+
+    // three batches touching different shard mixes -> multiple versions
+    val blocks = Vector(
+      Vector(Op(0, 1, 0, "put", "a", "1"), Op(1, 1, 1, "put", "b", "2")),
+      Vector(Op(2, 1, 2, "append", "a", "X")),
+      Vector(Op(3, 1, 3, "put", "c", "3")))
+    val s1 = MemoryStream[Op]
+    val q1 = LiveKV.stateTableSink(s1.toDS(), stateDir, ckpt).start()
+    try {
+      blocks.foreach { b => s1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    val before = LiveKV.readStateTable(spark, stateDir).as[(String, String)].collect().toMap
+    assert(before == Map("a" -> "1X", "b" -> "2", "c" -> "3"))
+    assert(listNames(stateDir, "v").size >= 2, "need multiple versions to compact")
+
+    LiveKV.compactStateTable(spark, stateDir)
+    assert(listNames(stateDir, "v") == Seq("v2"), listNames(stateDir, "v").mkString(","))
+    assert(listNames(stateDir, "_commit_") == Seq("_commit_2"))
+    assert(LiveKV.readStateTable(spark, stateDir)
+      .as[(String, String)].collect().toMap == before)
+
+    // resume the SAME checkpoint: next batch id (3) is ahead of the
+    // single surviving commit (2), so the incarnation guard passes and
+    // new writes land as usual
+    val s2 = MemoryStream[Op]
+    blocks.foreach(s2.addData(_)) // same block alignment as before
+    s2.addData(Vector(Op(4, 1, 4, "append", "b", "Y")))
+    val q2 = LiveKV.stateTableSink(s2.toDS(), stateDir, ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(LiveKV.readStateTable(spark, stateDir).as[(String, String)].collect().toMap ==
+      Map("a" -> "1X", "b" -> "2Y", "c" -> "3"))
+  }
+
   test("streaming state survives checkpointed restart (S8 snapshot/restore)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

@@ -87,6 +87,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class TimedDoc(doc_id: Long, text: String, ts_utc: java.sql.Timestamp)
+
+  test("streamingIngest: content dups dropped in-horizon, gates match batch TextAnalysis") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodEn = ("the cat sat of the mat and then in a while it is gone " * 4).trim // 56 toks, stop-heavy
+    val german = ("der hund und die katze ist von hier " * 6).trim
+    // quality gate: "the" keeps langid on en, but 3 tokens with one
+    // stopword scores 0.5*0.06 + 0.5*min(4/3,1)... NOT low enough —
+    // use stopword-free filler so both components stay tiny
+    val shortEn = "zzz qqq www"
+    def doc(id: Long, text: String, min: Int) =
+      TimedDoc(id, text, new java.sql.Timestamp(1700000000000L + min * 60000L))
+    val stream = MemoryStream[TimedDoc]
+    val query = graft.pipeline.Curation.streamingIngest(stream.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ingest")
+      .start()
+    try {
+      stream.addData(doc(1, goodEn, 0), doc(2, german, 1), doc(3, shortEn, 2))
+      query.processAllAvailable()
+      // doc 4 duplicates doc 1's CONTENT inside the horizon: dropped;
+      // doc 5 is a fresh good doc: kept
+      stream.addData(doc(4, goodEn, 3), doc(5, goodEn + " extra", 4))
+      query.processAllAvailable()
+      val got = spark.table("ingest")
+        .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == Set(1L, 5L), s"kept ${got.keySet}")
+      // the row-local gates must agree with the batch operators
+      val batchDocs = Seq((1L, goodEn, "en"), (5L, goodEn + " extra", "en"))
+        .toDF("doc_id", "text", "lang")
+      val bq = graft.pipeline.TextAnalysis.quality(batchDocs)
+        .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+      val bl = graft.pipeline.TextAnalysis.langId(batchDocs)
+        .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+      got.foreach { case (id, (lang, q)) =>
+        assert(lang == bl(id), s"doc $id: streaming lang $lang != batch ${bl(id)}")
+        assert(q == bq(id), s"doc $id: streaming quality $q != batch ${bq(id)}")
+      }
+    } finally query.stop()
+  }
+
   case class Click(c_user: Long, c_ts: java.sql.Timestamp)
   case class Purchase(p_user: Long, p_ts: java.sql.Timestamp, amount: Double)
 
