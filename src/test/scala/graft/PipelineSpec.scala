@@ -117,6 +117,24 @@ class PipelineSpec extends SparkSpec {
     assert(fromDisk == direct && fromDisk.nonEmpty)
   }
 
+  test("on-disk IVF serve gets DYNAMIC partition pruning: only probed cells' partitions read") {
+    // the 100 TB serve story: the index is stored partitionBy(cell);
+    // probing joins a tiny broadcast probe set on the partition column,
+    // so Spark inserts a dynamic-pruning predicate and the scan reads
+    // only the probed cells' directories — asserted here on the real
+    // executed plan, not claimed in a comment
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString + "/index"
+    Similarity.ivfIndexKmeans(emb).write.partitionBy("cell").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("q"), col("n2"))
+    val served = Similarity.ivfTopKFromIndex(reloaded, 0L to 2L, 5)
+    val rows = served.collect()
+    assert(rows.length == 15)
+    assert(served.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "IVF serve lost dynamic partition pruning — full index scanned per query")
+  }
+
   test("kmeans IVF: label-free cells partition the corpus; nprobe=1 recall@5 clears the floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val idx = Similarity.ivfIndexKmeans(emb).cache()
