@@ -179,6 +179,17 @@ class PipelineSpec extends SparkSpec {
     assert(even.length < all.length)
   }
 
+  test("kmeans IVF assignment is invariant to input partitioning (determinism claim)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def assignment(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfIndexKmeans(df).select("vec_id", "cell")
+        .as[(Long, Long)].collect().toMap
+    // integer centroid sums + exact-long dots: a different partitioning
+    // changes per-partition accumulation order, which must not change
+    // a single cell assignment
+    assert(assignment(emb) == assignment(emb.repartition(7)))
+  }
+
   test("minhash handles documents shorter than the shingle width") {
     val short = Seq(
       (1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
