@@ -219,6 +219,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: training docs sharing at least
+    * `minHits` k-gram shingles with any probe (benchmark/test-set)
+    * doc — the overlap check a training pipeline runs before the
+    * corpus ships. Inverted-index semi-join shape: only (train, probe)
+    * pairs sharing a surviving shingle materialize, never all pairs;
+    * the train-side df blacklist (same two-phase groupBy.count +
+    * broadcast anti-join as [[jaccardPairs]]) keeps one stop-shingle
+    * from joining the whole corpus against every probe. The probe set
+    * is a benchmark — small by definition — but is NOT broadcast by
+    * hint; AQE broadcasts it when it actually fits. */
+  def contamination(train: DataFrame, probes: DataFrame, k: Int = 3,
+      minHits: Long = 2, maxDf: Long = MaxShingleDf): DataFrame = {
+    val t = TextAnalysis.shingles(train, k).select(col("doc_id"), col("shingle")).distinct()
+    val p = TextAnalysis.shingles(probes, k)
+      .select(col("doc_id").as("probe_id"), col("shingle")).distinct()
+    val overCap = t.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    t.join(broadcast(overCap), Seq("shingle"), "left_anti")
+      .join(p, Seq("shingle"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minHits)
+  }
+
   /** Embedding-cosine near-duplicate DOC pairs — the semantic
     * completion of the dedup family (exact / minhash / jaccard /
     * simhash operate on surface text; this catches paraphrases the

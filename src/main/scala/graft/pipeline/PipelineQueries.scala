@@ -29,6 +29,12 @@ object PipelineQueries extends QueryPack {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
     "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
+    // decontamination: docs 0-49 stand in for the benchmark probe set
+    "pipeline_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contamination(all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50))
+        .orderBy("doc_id", "probe_id")
+    }),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -215,6 +221,21 @@ object PipelineQueries extends QueryPack {
          |WHERE len(list_filter(range(1, 33),
          |          p -> substring(fa, p, 1) <> substring(fb, p, 1))) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // keep in sync with Dedup.contamination (df-capped train index,
+    // shared-shingle counts, minHits threshold)
+    "pipeline_contamination" ->
+      s"""WITH sh AS (${shinglesSql(3)}),
+         |tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 50),
+         |dfs AS (SELECT shingle, count(*) AS df FROM tr GROUP BY shingle),
+         |kept AS (SELECT tr.* FROM tr
+         |         WHERE shingle NOT IN (SELECT shingle FROM dfs
+         |                               WHERE df > ${Dedup.MaxShingleDf}))
+         |SELECT t.doc_id, p.probe_id, count(*) AS n_shared
+         |FROM kept t JOIN pr p USING (shingle)
+         |GROUP BY t.doc_id, p.probe_id
+         |HAVING count(*) >= 2
+         |ORDER BY doc_id, probe_id""".stripMargin,
     // Composition of the text_langid, text_quality and exact-dedup
     // oracles — keep in sync with Curation.trainingSet.
     "pipeline_training_set" -> {
