@@ -36,6 +36,29 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }
 
+  /** Deterministic stratified sampling for training-mix construction:
+    * each doc lands in one of 64 hash buckets (first byte of
+    * md5(doc_id), mod a power of two — unbiased over the 256 byte
+    * values and identical in any engine), and a per-language rate in
+    * 64ths keeps bucket < rate. Sampling is a pure function of doc_id:
+    * re-runs, retries and engines all pick the same docs — the
+    * property a reproducible data mix needs (rand() has none of it).
+    * Map-only; the rate table is a handful of literals. */
+  def stratifiedSample(docs: DataFrame, rates64: Map[String, Int]): DataFrame = {
+    require(rates64.values.forall(r => r >= 0 && r <= 64), "rates are in 64ths")
+    val bucket = (
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 64
+    ).as("bucket")
+    val rate = rates64.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+  }
+
   /** Row-local language ID — the streaming-safe spelling of
     * [[TextAnalysis.langId]] (no joins, no windows): per-language
     * stopword hits computed with array expressions, winner folded with

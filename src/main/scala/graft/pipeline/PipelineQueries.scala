@@ -35,6 +35,12 @@ object PipelineQueries extends QueryPack {
       Dedup.contamination(all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50))
         .orderBy("doc_id", "probe_id")
     }),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    // training-mix rates in 64ths: heavy en, medium de/fr/es, light zh
+    "pipeline_sample" -> ((s, d) =>
+      Curation.stratifiedSample(docs(s, d),
+        Map("en" -> 48, "de" -> 32, "fr" -> 32, "es" -> 32, "zh" -> 8))
+        .orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -221,6 +227,30 @@ object PipelineQueries extends QueryPack {
          |WHERE len(list_filter(range(1, 33),
          |          p -> substring(fa, p, 1) <> substring(fb, p, 1))) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id, count(*) AS n_grams,
+         |       count(DISTINCT shingle) AS n_distinct,
+         |       round(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 4)
+         |         AS rep_ratio
+         |FROM (
+         |  SELECT doc_id, array_to_string(toks[pos:pos+2], ' ') AS shingle
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+         |        FROM ($TOKS) WHERE len(toks) >= 3))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bucket = first md5 byte (two lowercase hex digits) mod 64 —
+    // keep in sync with Curation.stratifiedSample
+    "pipeline_sample" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         |FROM (
+         |  SELECT doc_id, lang, (${nib(1)} * 16 + ${nib(2)}) % 64 AS bucket,
+         |         CASE lang WHEN 'en' THEN 48 WHEN 'de' THEN 32 WHEN 'fr' THEN 32
+         |                   WHEN 'es' THEN 32 WHEN 'zh' THEN 8 ELSE 0 END AS rate
+         |  FROM documents)
+         |WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin
+    },
     // keep in sync with Dedup.contamination (df-capped train index,
     // shared-shingle counts, minHits threshold)
     "pipeline_contamination" ->

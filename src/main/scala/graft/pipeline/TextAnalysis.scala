@@ -121,4 +121,18 @@ object TextAnalysis {
       .agg(
         min(md5(col("shingle"))).as("fp"),
         count(lit(1)).cast("long").as("n_shingles"))
+
+  /** Intra-document repetition score — the boilerplate/looped-text
+    * detector (a doc whose k-grams repeat heavily is template output,
+    * scraper residue, or a generation loop): rep_ratio = 1 −
+    * distinct/total over the doc's positional k-grams. One groupBy on
+    * doc_id; both counts come from the same shuffled rows. */
+  def repetition(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
 }
