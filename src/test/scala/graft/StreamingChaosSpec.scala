@@ -53,8 +53,12 @@ class StreamingChaosSpec extends SparkSpec {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
       // 4 incarnations, each killed after a random prefix of blocks;
-      // the last one sees everything
+      // the last one sees everything. One randomly-chosen inter-
+      // incarnation gap also runs offline compaction (the VACUUM a
+      // real deployment schedules between restarts) — state and
+      // resume behavior must be unaffected.
       val stops = (Vector.fill(3)(1 + rnd.nextInt(blocks.size)) :+ blocks.size).sorted
+      val compactAfter = stops(rnd.nextInt(stops.size - 1))
       var delivered = 0
       stops.foreach { upTo =>
         // crashed previous attempt: a partial, unmarked version dir —
@@ -87,6 +91,12 @@ class StreamingChaosSpec extends SparkSpec {
         assert(got == expected, s"state diverged after kill at block $upTo (seed=$seed)")
         if (progresses)
           assert(!fs.exists(partial), s"crashed partial attempt survived (seed=$seed)")
+        if (upTo == compactAfter) {
+          LiveKV.compactStateTable(spark, stateDir)
+          val afterCompact = LiveKV.readStateTable(spark, stateDir)
+            .as[(String, String)].collect().toMap
+          assert(afterCompact == expected, s"compaction changed state (seed=$seed)")
+        }
       }
       assert(delivered == blocks.size)
       // after the whole sweep, GC must hold the per-shard bound: only
