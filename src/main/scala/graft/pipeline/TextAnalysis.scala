@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token stats,
@@ -60,8 +59,13 @@ object TextAnalysis {
   /** Language ID: score = stopword hits per language; winner by
     * (score desc, lang asc). Degenerates honestly on the synthetic
     * corpus (scores are what they are); the operator shape is the
-    * point: explode -> broadcast join -> windowed argmax.
-    */
+    * point: explode -> broadcast join -> argmax.
+    *
+    * The argmax is a min_by hash AGGREGATE over struct(-hits, lang)
+    * (lexicographic struct order == hits DESC, lang ASC exactly), not
+    * a row_number window: the aggregate gets map-side partial
+    * combining and needs no per-partition sort — at corpus scale the
+    * per-doc window was pure overhead. */
   def langId(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -75,11 +79,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("hits"))
     val full = docLang.join(scores, Seq("doc_id", "cand_lang"), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
-    val w = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("cand_lang"))
     full
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits").as("score"))
+      .groupBy("doc_id")
+      .agg(min_by(
+        struct(col("cand_lang"), col("hits")),
+        struct((-col("hits")).as("nh"), col("cand_lang"))).as("best"))
+      .select(col("doc_id"), col("best.cand_lang").as("pred_lang"), col("best.hits").as("score"))
   }
 
   /** Quality score in [0,1]: length component + stopword-density
