@@ -37,10 +37,14 @@ object Similarity {
       // cast float -> double BEFORE scaling: both engines must round
       // the same double value or boundary elements quantize differently
       transform(col("embedding"), x => round(x.cast("double") * Q).cast("long")).as("q"))
-      .withColumn("n2", aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("n2", dot(emb.sparkSession, col("q"), col("q")))
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  // native codegen'd integer dot product — the HOF spelling
+  // aggregate(zip_with(a, b, _*_), ...) evaluates interpreted in the
+  // hot loop of every similarity operator (see functions.DotProductLong)
+  private def dot(spark: org.apache.spark.sql.SparkSession,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.DotProductLong.dotLong(spark, a, b)
 
   /** Exact brute-force cosine top-k for a probe set. The probe side is
     * broadcast; the corpus streams — no shuffle of the corpus. */
@@ -52,7 +56,7 @@ object Similarity {
     val joined = qv.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
-        dot(col("pq"), col("q")).cast("double") /
+        dot(emb.sparkSession, col("pq"), col("q")).cast("double") /
           (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
@@ -97,7 +101,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        dot(col("q_a"), col("q_b")).cast("double") /
+        dot(emb.sparkSession, col("q_a"), col("q_b")).cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
@@ -158,7 +162,7 @@ object Similarity {
     qv
       .crossJoin(broadcast(cent))
       .withColumn("cscore",
-        dot(col("q"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+        dot(qv.sparkSession, col("q"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
       .groupBy("vec_id")
       .agg(max_by(
         struct(col("cell"), col("q"), col("n2")),
@@ -237,7 +241,7 @@ object Similarity {
     val probeCells = probes
       .crossJoin(broadcast(cent))
       .withColumn("cscore",
-        dot(col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+        dot(assign.sparkSession, col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("probe_id"), col("cell"), col("pq"), col("pn2"))
@@ -247,7 +251,7 @@ object Similarity {
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
-        dot(col("pq"), col("q")).cast("double") /
+        dot(assign.sparkSession, col("pq"), col("q")).cast("double") /
           (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
@@ -277,7 +281,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
-        dot(col("pq"), col("q")).cast("double") /
+        dot(assign.sparkSession, col("pq"), col("q")).cast("double") /
           (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)

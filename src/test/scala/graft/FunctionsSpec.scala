@@ -20,6 +20,32 @@ class FunctionsSpec extends SparkSpec {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("dot_long: native expression matches the interpreted HOF spelling incl. null semantics") {
+    import graft.functions.DotProductLong
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),          // 4+10+18 = 32
+      (Seq(-1000000L, 1000000L), Seq(1000000L, 1000000L)), // large but exact
+      (Seq.empty[Long], Seq.empty[Long]))           // empty -> 0
+    val df = rows.toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (s, x) => s + x))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val native = df.select(DotProductLong.dotLong(spark, col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(native.toSeq == hof.toSeq && native(0) == 32L && native(2) == 0L)
+    // unequal lengths: zip_with pads with null -> HOF yields null; the
+    // native expression must agree
+    val uneq = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    assert(uneq.select(DotProductLong.dotLong(spark, col("a"), col("b"))).head().isNullAt(0))
+    assert(uneq.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (s, x) => s + x))
+      .head().isNullAt(0))
+    // null array -> null; SQL registration works
+    assert(Seq((null.asInstanceOf[Seq[Long]], Seq(1L))).toDF("a", "b")
+      .select(DotProductLong.dotLong(spark, col("a"), col("b"))).head().isNullAt(0))
+    assert(spark.sql("SELECT dot_long(array(2L, 3L), array(4L, 5L))").as[Long].head() == 23L)
+  }
+
   test("simhashNearPairs: exact collisions appear at dist 0, banding finds <=3-bit pairs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val docs = Seq(
