@@ -206,15 +206,23 @@ object Similarity {
       cent.select(col("cell"), col("cv"), col("cn2"))
         .as[(Long, Seq[Long], Long)].collect().toSeq
         .toDF("cell", "cv", "cn2")
+    // persist the quantized corpus for the iteration loop (the MLlib
+    // KMeans pattern): every iteration executes eagerly via
+    // localized(), so without this each one re-scans the parquet and
+    // re-quantizes every vector. MEMORY_AND_DISK: spills rather than
+    // OOMs when the corpus outgrows executor memory.
     val qv = quantized(emb)
-    var cent = localized(qv
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2")))
-    for (_ <- 1 to iters)
-      cent = localized(centroidsOf(assignCells(qv, cent).select(col("cell"), col("q"))))
-    cent
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cent = localized(qv
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2")))
+      for (_ <- 1 to iters)
+        cent = localized(centroidsOf(assignCells(qv, cent).select(col("cell"), col("q"))))
+      cent
+    } finally qv.unpersist(false)
   }
 
   /** [[ivfIndex]] with the label column replaced by learned k-means
