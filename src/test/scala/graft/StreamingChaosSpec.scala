@@ -40,7 +40,7 @@ class StreamingChaosSpec extends SparkSpec {
     }
     val cuts = (Vector(0, withRedelivery.size) ++
       Vector.fill(nBlocks - 1)(rnd.nextInt(withRedelivery.size))).sorted
-    cuts.sliding(2).map { case Seq(a, b) => withRedelivery.slice(a, b).toVector }.toVector
+    cuts.sliding(2).collect { case Seq(a, b) => withRedelivery.slice(a, b).toVector }.toVector
   }
 
   test("stateTableSink survives seeded kill/restart across incarnations (exactly-once)") {
