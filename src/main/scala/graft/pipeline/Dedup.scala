@@ -246,9 +246,10 @@ object Dedup {
   /** Embedding-cosine near-duplicate DOC pairs — the semantic
     * completion of the dedup family (exact / minhash / jaccard /
     * simhash operate on surface text; this catches paraphrases the
-    * text-level signatures miss). Candidates come from the
-    * random-hyperplane LSH buckets ([[Similarity.lshBuckets]] — never
-    * all pairs), are verified with exact integer-quantized cosine, and
+    * text-level signatures miss). Candidates come from the banded,
+    * bucket-capped random-hyperplane LSH ([[Similarity.annPairs]] —
+    * never all pairs, mega-buckets blacklisted like the text-plane
+    * bands), are verified with exact integer-quantized cosine, and
     * are then restricted to ids present in `docs` via left-semi joins
     * (the embedding table may cover more ids than the doc corpus).
     * Both join planes shuffle on ids — no O(corpus) broadcast. */

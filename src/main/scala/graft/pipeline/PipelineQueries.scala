@@ -106,27 +106,40 @@ object PipelineQueries extends QueryPack {
     s"((pos * ${j + 3} * 2654435761) % 2000001 - 1000000)"
 
   /** LSH-bucketed cosine pair CTEs ending in `pairs(id_a, id_b,
-    * cos_sim)` — semantics of [[Similarity.annPairs]]; shared by
-    * sim_ann_pairs and dedup_embedding. */
+    * cos_sim)` — semantics of [[Similarity.annPairs]] (NumFamilies
+    * independent hyperplane families OR'd, buckets over MaxBandBucket
+    * docs leave candidate generation); shared by sim_ann_pairs and
+    * dedup_embedding. Keep in sync with Similarity.annPairs. */
   private def annPairsCtes(threshold: Double): String = {
-    val dSums = (0 until Similarity.NumPlanes)
-      .map(j => s"SUM(qi * ${planeSql(j)}) AS d$j").mkString(",\n    ")
-    val bucketExpr = (0 until Similarity.NumPlanes)
-      .map(j => s"CASE WHEN d$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val totalPlanes = Similarity.NumFamilies * Similarity.NumPlanes
+    val dSums = (0 until totalPlanes)
+      .map(p => s"SUM(qi * ${planeSql(p)}) AS d$p").mkString(",\n    ")
+    val famSelects = (0 until Similarity.NumFamilies).map { f =>
+      val bits = (0 until Similarity.NumPlanes)
+        .map(j => s"CASE WHEN d${f * Similarity.NumPlanes + j} >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"SELECT vec_id, $f AS fam, $bits AS sig FROM ds"
+    }.mkString("\n    UNION ALL ")
     s"""WITH qv AS ($QV2),
        |pe AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
        |ds AS (SELECT vec_id,
        |    $dSums
        |  FROM pe GROUP BY vec_id),
-       |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM ds),
-       |wb AS (SELECT b.bucket, v.vec_id,
+       |fams AS (
+       |  SELECT vec_id, fam, sig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY fam, sig) AS bucket_n
+       |    FROM ($famSelects))
+       |  WHERE bucket_n <= ${Dedup.MaxBandBucket}),
+       |wb AS (SELECT f.fam, f.sig, v.vec_id,
        |              list_transform(v.q, x -> CAST(x AS DOUBLE)) AS q, v.n2
-       |       FROM bk b JOIN qv v USING (vec_id)),
+       |       FROM fams f JOIN qv v USING (vec_id)),
        |dots AS (
-       |  -- quantized values are < 2^53: double dot product is exact
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  -- quantized values are < 2^53: double dot product is exact;
+       |  -- DISTINCT dedups the OR of families (same exact dot per pair)
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |         list_dot_product(a.q, b.q) AS dot, a.n2 AS n2a, b.n2 AS n2b
-       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM wb a JOIN wb b
+       |    ON a.fam = b.fam AND a.sig = b.sig AND a.vec_id < b.vec_id),
        |pairs AS (
        |  SELECT id_a, id_b,
        |         round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim

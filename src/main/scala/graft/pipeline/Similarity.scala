@@ -25,10 +25,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   val Q = 1000L
+
+  /** Bits per hyperplane family. Collision prob of a pair at angle θ
+    * is (1 − θ/π)^NumPlanes within one family — raise this with corpus
+    * size to keep buckets small. */
   val NumPlanes = 6
+
+  /** Independent hyperplane families (OR of bands, like minhash's 4×2
+    * banding): a pair is a candidate if it collides in ANY family, so
+    * recall lost to more bits per family is bought back with more
+    * families — the two knobs scale independently of each other. */
+  val NumFamilies = 2
+
   // p99 of pairwise cosine on the synthetic embeddings is ~0.29; 0.3
   // keeps the verified set small but non-empty at every sf
   val AnnThreshold = 0.3
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Similarity")
 
   /** (vec_id, label, q: array<long>, n2: long) — quantized vectors. */
   def quantized(emb: DataFrame): DataFrame =
@@ -73,38 +86,80 @@ object Similarity {
   private def planeComponent(i: org.apache.spark.sql.Column, j: Int) =
     ((i + 1) * (j + 3) * lit(2654435761L)) % 2000001L - 1000000L
 
-  /** Sign-of-dot LSH bucket per vector: NumPlanes bits. Carries q/n2
+  /** Sign-of-dot LSH signatures, one row per (vector, family):
+    * NumFamilies independent families of NumPlanes bits each, all
+    * computed in ONE aggregate pass (family f uses global plane
+    * indices f*NumPlanes .. f*NumPlanes+NumPlanes-1). Carries q/n2
     * through the aggregation so callers don't re-quantize + re-join. */
-  def lshBuckets(emb: DataFrame): DataFrame = {
+  def lshFamilySignatures(emb: DataFrame): DataFrame = {
+    val totalPlanes = NumFamilies * NumPlanes
     val qv = quantized(emb)
-    val withPos = qv.select(col("vec_id"), col("label"), col("q"), col("n2"),
+    val withPos = qv.select(col("vec_id"), col("q"), col("n2"),
       posexplode(col("q")).as(Seq("pos", "qi")))
-    val dAggs = (0 until NumPlanes).map { j =>
-      sum(col("qi") * planeComponent(col("pos").cast("long"), j)).as(s"d$j")
+    val dAggs = (0 until totalPlanes).map { p =>
+      sum(col("qi") * planeComponent(col("pos").cast("long"), p)).as(s"d$p")
     } ++ Seq(first(col("q")).as("q"), first(col("n2")).as("n2"))
     val bits = withPos
       .groupBy("vec_id")
       .agg(dAggs.head, dAggs.tail: _*)
-    val bucket = concat((0 until NumPlanes).map(j =>
-      when(col(s"d$j") >= 0, "1").otherwise("0")): _*)
-    bits.select(col("vec_id"), bucket.as("bucket"), col("q"), col("n2"))
+    val famStructs = (0 until NumFamilies).map { f =>
+      val sig = concat((0 until NumPlanes).map(j =>
+        when(col(s"d${f * NumPlanes + j}") >= 0, "1").otherwise("0")): _*)
+      struct(lit(f).as("family"), sig.as("sig"))
+    }
+    bits
+      .select(col("vec_id"), col("q"), col("n2"),
+        explode(array(famStructs: _*)).as("fs"))
+      .select(col("vec_id"), col("fs.family").as("family"), col("fs.sig").as("sig"),
+        col("q"), col("n2"))
   }
 
-  /** ANN near-dup pairs: same LSH bucket, verified quantized cosine >=
-    * threshold. Join is on bucket — candidates only. */
-  def annPairs(emb: DataFrame, threshold: Double = AnnThreshold): DataFrame = {
-    val withBucket = lshBuckets(emb)
-    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
+  /** ANN near-dup pairs: same LSH bucket in ANY family, verified
+    * quantized cosine >= threshold. Join is on (family, sig) —
+    * candidates only, and candidate generation is bounded the same two
+    * ways as the text-plane LSH ([[Dedup.minhashCandidates]]):
+    *
+    *  - a bucket with more than `maxBucket` members leaves candidate
+    *    generation via a two-phase groupBy.count over-cap blacklist +
+    *    broadcast anti-join (partial-aggregating, so the hot bucket
+    *    never floods one task; the blacklist is provably tiny — at most
+    *    corpus/maxBucket rows). A pair is lost only if EVERY family
+    *    buckets it into a mega-cluster — near-identical boilerplate
+    *    embeddings, which group/exact dedup reports as one group row;
+    *  - banding: more bits per family (smaller buckets at bigger
+    *    corpora) is paid for with more families, not with recall.
+    *
+    * Without the cap the join is ~N²/2^NumPlanes — quadratic at any
+    * fixed signature width. */
+  def annPairs(emb: DataFrame, threshold: Double = AnnThreshold,
+      maxBucket: Long = Dedup.MaxBandBucket): DataFrame = {
+    log.info(s"annPairs: LSH buckets with > $maxBucket vectors are dropped from " +
+      "the candidate join (bounded d^2 blowup); mega-cluster membership is " +
+      "reported by group-dedup, not pairwise")
+    val sigs = lshFamilySignatures(emb)
+    // two-phase skew-safe cap (see Dedup.minhashCandidates): partial-agg
+    // counts -> tiny over-cap blacklist -> broadcast anti-join drops
+    // mega-buckets map-side, before the self-join shuffle
+    val overCap = sigs
+      .groupBy("family", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("family"), col("sig"))
+    val kept = sigs.join(broadcast(overCap), Seq("family", "sig"), "left_anti")
+    val a = kept.select(col("family"), col("sig"), col("vec_id").as("id_a"),
       col("q").as("q_a"), col("n2").as("n2_a"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = kept.select(col("family"), col("sig"), col("vec_id").as("id_b"),
       col("q").as("q_b"), col("n2").as("n2_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("family", "sig"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         dot(emb.sparkSession, col("q_a"), col("q_b")).cast("double") /
           (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cos") >= threshold)
+      // a pair colliding in several families computes the SAME exact
+      // cosine each time (deterministic function of exact integers), so
+      // distinct after the cheap threshold filter dedups the OR of bands
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
   }
 
   /** IVF (inverted-file) top-k — the ANN scale path: a coarse

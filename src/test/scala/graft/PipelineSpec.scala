@@ -258,6 +258,32 @@ class PipelineSpec extends SparkSpec {
     ann.foreach { case (_, _, c) => assert(c >= Similarity.AnnThreshold) }
   }
 
+  test("annPairs bucket cap: an embedding mega-cluster leaves pairwise candidates but stays in group dedup") {
+    // 20 identical embeddings = one over-cap bucket in EVERY family
+    // (identical vectors share every signature); the genuine pair is
+    // their exact negation, so its signatures are the bitwise
+    // complement — its own tiny bucket, independent of the capped ones
+    val v = Array(1000f, 200f, -300f, 50f)
+    val neg = v.map(-_)
+    val emb = ((101L to 120L).map(i => (i, 0L, v)) ++ Seq((1L, 0L, neg), (2L, 0L, neg)))
+      .toDF("vec_id", "label", "embedding")
+    val capped = Similarity.annPairs(emb, threshold = 0.3, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 > 100 || p._2 > 100), s"mega-cluster pairs leaked: $capped")
+    assert(capped == Set((1L, 2L)), s"genuine pair lost: $capped")
+    // lifting the cap proves the blacklist (not the banding) dropped
+    // them: the cluster's 190 pairs come back
+    val uncapped = Similarity.annPairs(emb, threshold = 0.3, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 > 100 && p._2 > 100) == 190)
+    // the cluster is still visible — as ONE exact-dedup group row over
+    // the corresponding docs, not 190 pairwise rows
+    val clusterDocs = (101L to 120L).map(i => (i, "same bytes same doc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val groups = Dedup.exactGroups(clusterDocs).collect()
+    assert(groups.exists(_.getAs[Long]("n_docs") == 20))
+  }
+
   test("multimodal: stub decode yields normalized HistBins features, frames slice correctly") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.extractFeatures(media).collect()

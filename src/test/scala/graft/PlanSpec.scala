@@ -153,6 +153,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_pairs: bucket self-join is capped (broadcast anti-join blacklist), no window on the bucket key") {
+    // the r4 scale-killer: an UNCAPPED fixed-width bucket self-join is
+    // ~N²/2^bits at corpus scale; the cap must be the same two-phase
+    // groupBy.count blacklist the text-plane bands use — skew-safe
+    // (partial aggregation) and applied BEFORE the self-join shuffle
+    Seq("sim_ann_pairs", "dedup_embedding").foreach { q =>
+      val p = plan(q)
+      val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty, s"$q counts buckets with a window over the skewed key:\n$p")
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val antis = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.nonEmpty, s"$q lost its over-cap bucket blacklist anti-join:\n${df.queryExecution.optimizedPlan}")
+      assert(df.queryExecution.optimizedPlan.toString.contains(pipeline.Dedup.MaxBandBucket.toString),
+        s"$q: MaxBandBucket cap vanished from the optimized plan")
+    }
+  }
+
   test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
     val p = plan("sim_ivf_topk")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
