@@ -193,16 +193,16 @@ object Dedup {
     // the capped universe: everything the scores are computed over
     val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // candidate pruning WITHIN the universe: df=1 shingles cannot
-    // contribute to any intersection (exact — they stay in sizes).
-    // Plain shuffle semi-join on purpose: unique shingles are the
-    // MAJORITY of the universe, so their complement (2 <= df <= cap)
-    // is not broadcastable; the shuffle is skew-bounded because the
-    // blacklist already removed every key with > maxDf rows.
-    val dupSh = dfs.filter(col("df") > 1 && col("df") <= maxDf).select("shingle")
-    val shJ = kept.join(dupSh, Seq("shingle"), "left_semi")
-    val inter = shJ.as("a")
-      .join(shJ.as("b"),
+    // The self-join runs on the FULL capped universe — deliberately no
+    // df=1 semi-join prune (df=1 shingles match nothing, so results
+    // are identical either way). The sort-merge self-join duplicates
+    // its input subtree per branch while ReuseExchange shares only the
+    // exchanges, so a pre-prune semi-join would run its sorts and SMJ
+    // pass TWICE on top of the same full-index sort it was meant to
+    // shrink — measured +25% on the whole query. df=1 rows cost one
+    // extra streamed sort pass and zero join output.
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
