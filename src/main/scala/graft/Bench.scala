@@ -27,9 +27,12 @@ object Bench {
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // best of 3: first run can still absorb shuffle-file/page-cache
-    // effects; min is the stable per-query signal. A failing query is
-    // reported as -1, never as its elapsed-time-to-exception.
+    // median of 3 in-process runs per query: the median is robust to a
+    // one-off page-cache / GC / compilation hiccup in either direction,
+    // so round-over-round deltas >= 15% are decidable without a noise
+    // argument (min hid regressions' tails; a single pass hid
+    // everything). min/max are emitted alongside for spread. A failing
+    // query is reported as -1, never as its elapsed-time-to-exception.
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -37,13 +40,18 @@ object Bench {
           catch { case scala.util.control.NonFatal(_) => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val stats = if (times.contains(-1.0)) (-1.0, -1.0, -1.0)
+        else (times.sorted.apply(times.size / 2), times.min, times.max)
+      name -> stats
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, -1.0) => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    def jmap(f: ((Double, Double, Double)) => Double) =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = jmap(_._1)
+    val qsMin = jmap(_._2)
+    val qsMax = jmap(_._3)
+    val failed = results.collect { case (k, (-1.0, _, _)) => "\"" + k + "\"" }
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
