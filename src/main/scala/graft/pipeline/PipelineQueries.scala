@@ -70,6 +70,12 @@ object PipelineQueries extends QueryPack {
         .toDF("media_id", "kind", "n_bytes", "byte_sum")
         .orderBy("media_id")
     }),
+    // REAL-codec correctness row: committed PNG fixtures decoded by
+    // javax.imageio vs an ANALYTIC golden (DuckDB can't decode PNG, so
+    // the oracle is a VALUES table derived on paper — see PngFixtures).
+    // Independent of sfDir by design: the fixtures are the input.
+    "mm_decode" -> ((s, _) =>
+      PngFixtures.decodeQuery(s).orderBy("media_id", "feature_pos")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -509,6 +515,11 @@ object PipelineQueries extends QueryPack {
         |FROM m CROSS JOIN bins b
         |LEFT JOIN cnt c ON c.media_id = m.media_id AND c.feature_pos = b.feature_pos
         |ORDER BY m.media_id, b.feature_pos""".stripMargin,
+    // Real-codec golden: the oracle is the ANALYTIC histogram of the
+    // committed PNG patterns (see PngFixtures.golden) — DuckDB never
+    // touches the codec, so a decode/fallback bug on the Spark side
+    // cannot cancel out of the compare.
+    "mm_decode" -> PngFixtures.goldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {

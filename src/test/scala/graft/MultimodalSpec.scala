@@ -33,6 +33,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("committed PNG fixtures byte-match regeneration and decode to the analytic golden") {
+    import graft.pipeline.PngFixtures
+    val dir = java.nio.file.Paths.get(PngFixtures.fixtureDir)
+    // drift guard: the committed bytes are exactly what the generator
+    // writes (same JDK encoder) — a stale or corrupted fixture fails
+    // here before it fails the driver gate
+    PngFixtures.specs.foreach { case (_, name, w, h, rgb) =>
+      val committed = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.png"))
+      assert(committed.sameElements(PngFixtures.pngBytes(w, h, rgb)),
+        s"$name.png on disk differs from its deterministic regeneration")
+    }
+    // the mm_decode query output equals the on-paper golden: this is
+    // the same compare the driver runs (but in-test, against the same
+    // constants the oracle VALUES table carries)
+    val got = PngFixtures.decodeQuery(spark)
+      .orderBy("media_id", "feature_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == PngFixtures.golden,
+      s"decode output diverged from the analytic golden: $got")
+  }
+
   test("extractFeatures decodes real PNGs through the batched seam; non-images keep the stub") {
     val checker = png(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
     val textBytes = "just some document text".getBytes("UTF-8")
