@@ -45,6 +45,10 @@ object PipelineQueries extends QueryPack {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
     "text_bpe" -> ((s, d) => TextAnalysis.bpeCounts(docs(s, d)).orderBy("lang")),
+    // REAL BPE training: 3 iterations of the merge loop, each argmax a
+    // 1-row collect (kmeans pattern); oracle unrolls all 3 iterations
+    // in SQL including the greedy-overlap islands rule
+    "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d), 3).orderBy("step")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
@@ -88,6 +92,50 @@ object PipelineQueries extends QueryPack {
   )
 
   // ---- shared SQL fragments (DuckDB dialect) ----
+
+  /** DuckDB mirror of [[TextAnalysis.bpeTrain]]: `iters` unrolled
+    * merge iterations (the sim_ivf_kmeans oracle pattern — SQL can't
+    * loop, so each driver-side argmax becomes a LIMIT-1 CTE). */
+  private def bpeMergesSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT word, freq, pos, s,
+         |         lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $prev),
+         |b$i AS (SELECT s AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$i AS (SELECT word, freq, pos, s, nxt,
+         |               (s = (SELECT l FROM b$i) AND nxt = (SELECT r FROM b$i)) AS m
+         |        FROM p$i),
+         |i$i AS (SELECT *, CASE WHEN m THEN
+         |                 pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos)
+         |               END AS isl FROM m$i),
+         |k$i AS (SELECT *, m AND ((pos - MIN(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
+         |                 AS kept FROM i$i),
+         |s$i AS (SELECT word, freq,
+         |               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |               CASE WHEN kept THEN s || nxt ELSE s END AS s
+         |        FROM (SELECT *, lag(kept) OVER (PARTITION BY word ORDER BY pos) AS prev_kept
+         |              FROM k$i)
+         |        WHERE NOT coalesce(prev_kept, false))""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to iters).map { i =>
+      s"""SELECT $i AS step, (SELECT l FROM b$i) AS left_sym, (SELECT r FROM b$i) AS right_sym,
+         |       (SELECT cnt FROM b$i) AS pair_n,
+         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$i) AS n_symbols_after""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq, CAST(pos AS BIGINT) AS pos, s
+       |  FROM (SELECT word, freq, unnest(string_split(word, '')) AS s,
+       |               generate_subscripts(string_split(word, ''), 1) AS pos
+       |        FROM w0)),
+       |$iterCtes
+       |SELECT * FROM ($steps) ORDER BY step""".stripMargin
+  }
 
   private val TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
@@ -366,6 +414,11 @@ object PipelineQueries extends QueryPack {
          |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
          |       CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The merge loop unrolled: one CTE block per iteration, mirroring
+    // TextAnalysis.bpeTrain exactly — lead() pair counts, 1-row argmax
+    // (cnt DESC, l, r), gaps-and-islands greedy-overlap resolution,
+    // lag-consumed row drop, row_number re-positioning.
+    "text_bpe_merges" -> bpeMergesSql(3),
     "text_fingerprint" ->
       s"""SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
          |FROM (${shinglesSql(5)})

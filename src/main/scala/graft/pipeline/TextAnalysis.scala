@@ -48,6 +48,80 @@ object TextAnalysis {
         sum("ws_tokens").as("ws_tokens"),
         sum("bpe_tokens").as("bpe_tokens"))
 
+  /** REAL byte-pair-encoding training: the iterative merge loop a
+    * tokenizer-training pipeline actually runs ([[bpeCounts]] is the
+    * cheap regex proxy; this learns merges). Returns one row per merge
+    * step: (step, left_sym, right_sym, pair_n, n_symbols_after).
+    *
+    * Shape (the industrial one): the corpus collapses to the DISTINCT
+    * word-frequency table first — one partial-aggregating shuffle —
+    * and every iteration then works on vocabulary-sized data, never
+    * corpus-sized. Per iteration: adjacent-pair counts are a
+    * freq-weighted hash aggregate (map-side combine), the argmax pair
+    * is a ONE-row collect (the kmeansCentroids pattern — bounded
+    * driver traffic), and the merge is applied with per-word windows
+    * (partitions are single words — bounded length, unskewed by
+    * construction). Each iteration's symbol table is persisted and the
+    * previous one unpersisted, the MLlib iterative pattern, so
+    * iteration i+1 never replays iteration i's windows.
+    *
+    * Merge application handles BPE's greedy left-to-right overlap rule
+    * exactly: matches of (l, r) can only overlap when l == r (runs of
+    * the same symbol), and then the leftmost match of each maximal run
+    * wins alternately — gaps-and-islands over matched positions, kept
+    * iff the offset from the island start is even. "aaaa" + merge
+    * (a,a) -> [aa, aa], never [aa, a, a] or [a, aa, a]. */
+  def bpeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seq = words.select(col("word"), col("freq"),
+      posexplode(split(col("word"), "")).as(Seq("pos0", "s")))
+      .select(col("word"), col("freq"), (col("pos0") + 1).cast("long").as("pos"), col("s"))
+      .persist()
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    val byPos = Window.partitionBy("word").orderBy("pos")
+    var step = 1
+    var exhausted = false
+    while (step <= iters && !exhausted) {
+      val pairs = seq.withColumn("nxt", lead(col("s"), 1).over(byPos))
+      val best = pairs.filter(col("nxt").isNotNull)
+        .groupBy("s", "nxt").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("s"), col("nxt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = pairs.withColumn("m", col("s") === lit(l) && col("nxt") === lit(r))
+        // islands of consecutive matched positions (only possible when
+        // l == r): island id = pos - rank among matches; kept iff the
+        // offset from the island's first position is even
+        val isl = m.withColumn("isl",
+          when(col("m"), col("pos") - row_number().over(Window.partitionBy("word", "m").orderBy("pos"))))
+        val kept = isl.withColumn("kept",
+          col("m") && ((col("pos") - min("pos").over(Window.partitionBy("word", "isl"))) % 2 === 0))
+        val next = kept
+          .withColumn("prev_kept", lag(col("kept"), 1).over(byPos))
+          .filter(!coalesce(col("prev_kept"), lit(false)))
+          .select(col("word"), col("freq"),
+            row_number().over(byPos).cast("long").as("pos"),
+            when(col("kept"), concat(col("s"), col("nxt"))).otherwise(col("s")).as("s"))
+          .persist()
+        // corpus-weighted token count after this merge: one long per step
+        val nAfter = next.agg(sum("freq")).collect()(0).getLong(0)
+        seq.unpersist()
+        seq = next
+        results += ((step, l, r, cnt, nAfter))
+        step += 1
+      }
+    }
+    seq.unpersist()
+    import spark.implicits._
+    results.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "n_symbols_after")
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language
     * ID heuristic. Small by design (broadcast join). */
   val stopwords: Seq[(String, String)] = Seq(

@@ -320,6 +320,27 @@ class PipelineSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
   }
 
+  test("bpeTrain learns merges greedily with exact overlap handling and tie-breaks") {
+    // corpus: "ab" x3, "aaaa" x1, "cd" x1
+    //  step 1: (a,a)=3 ties (a,b)=3 -> (a,a) wins lexicographically;
+    //          greedy overlap: aaaa -> [aa, aa] (never [a, aa, a]);
+    //          tokens after: ab(2x3) + aaaa(2) + cd(2) = 10
+    //  step 2: (a,b)=3 -> ab merges to one symbol; 3 + 2 + 2 = 7
+    //  step 3: (aa,aa)=1 ties (c,d)=1 -> (aa,aa) wins; 3 + 1 + 2 = 6
+    val tiny = Seq((1L, "ab ab aaaa"), (2L, "ab cd")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(tiny, 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1, "a", "a", 3L, 10L),
+      (2, "a", "b", 3L, 7L),
+      (3, "aa", "aa", 1L, 6L)))
+    // iters beyond exhaustion stop cleanly: single-symbol words only
+    val lone = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(lone, 3).count() == 0)
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
