@@ -76,13 +76,31 @@ object Curation {
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a)).getField("lang")
   }
 
+  /** Row-local minhash of family `s` — the same arithmetic as
+    * [[Dedup.minhashSignatures]] (8-hex slices of two md5 digests over
+    * the doc's distinct k=3 shingles), spelled as array expressions so
+    * a STREAMING row can compute it with no join or aggregation
+    * (asserted equal to the batch aggregate in StreamingSpec). */
+  private def rowLocalMinhash(s: Int): Column = {
+    val sh = array_distinct(Dedup.shingleArray(3))
+    val digest = (x: Column) => if (s < 4) md5(x) else md5(concat(lit("x|"), x))
+    array_min(transform(sh, x => substring(digest(x), 1 + 8 * (s % 4), 8)))
+  }
+
   /** The LIVE half of [[trainingSet]]: streaming document ingestion
-    * with watermark-TTL'd exact dedup (content hash) and the same
-    * language/quality gates, all row-local — Append-mode safe. The
+    * with watermark-TTL'd exact dedup (content hash), a NEAR-dup gate
+    * on the minhash band-0 signature (semantic tier: catches re-crawls
+    * and light edits that break byte identity but keep the band — drop
+    * probability for a pair at Jaccard J is ~J^2 per the 2-row band;
+    * the full 4-band sweep stays a batch job, this is the in-stream
+    * tier), and the same language/quality gates — all row-local,
+    * Append-mode safe, both dedup states watermark-TTL'd. Documents
+    * too short to shingle fall back to their content hash as the band
+    * key, so distinct short docs never collapse together. The
     * representative convention differs from batch by design: streaming
-    * keeps the FIRST ARRIVAL of each content group (arrival order is
-    * the only order a stream has), batch keeps the min doc_id. `docs`
-    * must carry (doc_id, text) plus an event-time `ts_utc`. */
+    * keeps the FIRST ARRIVAL of each group (arrival order is the only
+    * order a stream has), batch keeps the min doc_id. `docs` must
+    * carry (doc_id, text) plus an event-time `ts_utc`. */
   def streamingIngest(docs: DataFrame, watermark: String = "1 hour",
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5): DataFrame = {
     val toks = split(col("text"), " ")
@@ -100,6 +118,10 @@ object Curation {
       .withWatermark("ts_utc", watermark)
       .withColumn("h", md5(col("text")))
       .dropDuplicatesWithinWatermark("h")
+      .withColumn("band_sig",
+        coalesce(concat(rowLocalMinhash(0), rowLocalMinhash(1)),
+          concat(lit("short:"), col("h"))))
+      .dropDuplicatesWithinWatermark("band_sig")
       .withColumn("pred_lang", predLang(toks))
       .withColumn("quality", quality)
       .filter(col("pred_lang").isin(langs: _*) && col("quality") >= minQuality)

@@ -72,8 +72,9 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** Per-doc shingle ARRAY, built row-locally (no explode): positions
-    * 1..n-k+1 sliced out of the token array. */
-  private def shingleArray(k: Int) = {
+    * 1..n-k+1 sliced out of the token array. Package-visible: the
+    * streaming ingest gate builds its row-local minhash band from it. */
+  private[pipeline] def shingleArray(k: Int) = {
     val toks = split(col("text"), " ")
     // guard short docs: sequence(1, 0) would step BACKWARDS ([1, 0])
     // and slice(toks, 0, k) throws — emit an empty shingle array

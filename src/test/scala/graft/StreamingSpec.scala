@@ -104,17 +104,41 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory").queryName("ingest")
       .start()
     try {
+      // nearDup edits one token of goodEn ("gone" -> "purple"): not
+      // byte-identical, but every minhash band survives the edit (the
+      // changed shingles are no family's argmin — deterministic under
+      // md5), so the band-0 gate must drop it. freshEn reorders the
+      // same vocabulary into disjoint shingles — a genuinely new doc
+      // (goodEn + " extra" would NOT be: appending keeps every original
+      // shingle, so the original minima survive and the band gate
+      // rightly treats it as a near-dup)
+      val nearDup = goodEn.split(" ").toVector.updated(13, "purple").mkString(" ")
+      assert(nearDup != goodEn)
+      val freshEn = ("is the dog in a den and it sat on the mat while then it is here " * 4).trim
       stream.addData(doc(1, goodEn, 0), doc(2, german, 1), doc(3, shortEn, 2))
       query.processAllAvailable()
       // doc 4 duplicates doc 1's CONTENT inside the horizon: dropped;
-      // doc 5 is a fresh good doc: kept
-      stream.addData(doc(4, goodEn, 3), doc(5, goodEn + " extra", 4))
+      // doc 5 is a fresh good doc: kept; doc 6 is the in-horizon
+      // NEAR-dup of doc 1: dropped by the band gate, not the hash gate
+      stream.addData(doc(4, goodEn, 3), doc(5, freshEn, 4), doc(6, nearDup, 5))
       query.processAllAvailable()
       val got = spark.table("ingest")
         .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got.keySet == Set(1L, 5L), s"kept ${got.keySet}")
+      // batch/stream parity of the semantic tier: the row-local band
+      // signature must equal the batch aggregate's (mh0 || mh1), and
+      // batch keep-first over band_sig must reproduce the kept set
+      val parityDocs = Seq((1L, goodEn), (5L, freshEn), (6L, nearDup))
+        .toDF("doc_id", "text")
+      val batchSig = graft.pipeline.Dedup.minhashSignatures(parityDocs)
+        .select(col("doc_id"), concat(col("mh0"), col("mh1")).as("band_sig"))
+        .as[(Long, String)].collect().toMap
+      assert(batchSig(1L) == batchSig(6L), "planted near-dup lost its band — fixture drifted")
+      assert(batchSig(1L) != batchSig(5L))
+      val batchKept = batchSig.groupBy(_._2).values.map(_.keys.min).toSet
+      assert(batchKept == got.keySet, s"batch keep-first $batchKept != stream ${got.keySet}")
       // the row-local gates must agree with the batch operators
-      val batchDocs = Seq((1L, goodEn, "en"), (5L, goodEn + " extra", "en"))
+      val batchDocs = Seq((1L, goodEn, "en"), (5L, freshEn, "en"))
         .toDF("doc_id", "text", "lang")
       val bq = graft.pipeline.TextAnalysis.quality(batchDocs)
         .select("doc_id", "quality").as[(Long, Double)].collect().toMap
