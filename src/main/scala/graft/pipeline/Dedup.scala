@@ -223,17 +223,23 @@ object Dedup {
   /** Benchmark decontamination: training docs sharing at least
     * `minHits` k-gram shingles with any probe (benchmark/test-set)
     * doc — the overlap check a training pipeline runs before the
-    * corpus ships. Inverted-index semi-join shape: only (train, probe)
-    * pairs sharing a surviving shingle materialize, never all pairs;
-    * the train-side df blacklist (same two-phase groupBy.count +
-    * broadcast anti-join as [[jaccardPairs]]) keeps one stop-shingle
-    * from joining the whole corpus against every probe. The probe set
-    * is a benchmark — small by definition — but is NOT broadcast by
-    * hint; AQE broadcasts it when it actually fits. */
+    * corpus ships. `probes` carries its OWN schema, (probe_id, text) —
+    * a benchmark set is a different table with a different identity
+    * space, not a slice of the corpus. Inverted-index semi-join shape:
+    * only (train, probe) pairs sharing a surviving shingle
+    * materialize, never all pairs; the train-side df blacklist (same
+    * two-phase groupBy.count + broadcast anti-join as [[jaccardPairs]])
+    * keeps one stop-shingle from joining the whole corpus against
+    * every probe. The probe set is a benchmark — small by definition —
+    * but is NOT broadcast by hint; AQE broadcasts it when it actually
+    * fits. */
   def contamination(train: DataFrame, probes: DataFrame, k: Int = 3,
       minHits: Long = 2, maxDf: Long = MaxShingleDf): DataFrame = {
     val t = TextAnalysis.shingles(train, k).select(col("doc_id"), col("shingle")).distinct()
-    val p = TextAnalysis.shingles(probes, k)
+    // re-shape to the corpus column contract (tokens() carries lang;
+    // a probe set has none — benchmarks are language-agnostic here)
+    val p = TextAnalysis.shingles(
+        probes.select(col("probe_id").as("doc_id"), col("text"), lit("probe").as("lang")), k)
       .select(col("doc_id").as("probe_id"), col("shingle")).distinct()
     val overCap = t.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")

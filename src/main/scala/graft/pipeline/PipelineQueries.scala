@@ -29,10 +29,14 @@ object PipelineQueries extends QueryPack {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
     "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
-    // decontamination: docs 0-49 stand in for the benchmark probe set
+    // decontamination: docs 0-49 stand in for the benchmark probe set,
+    // re-shaped to the probe schema (probe_id, text) — contamination
+    // takes a distinct probes table, not a corpus slice
     "pipeline_contamination" -> ((s, d) => {
       val all = docs(s, d)
-      Dedup.contamination(all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50))
+      val probes = all.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      Dedup.contamination(all.filter(col("doc_id") >= 50), probes)
         .orderBy("doc_id", "probe_id")
     }),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
