@@ -91,8 +91,9 @@ object Similarity {
     * computed in ONE aggregate pass (family f uses global plane
     * indices f*NumPlanes .. f*NumPlanes+NumPlanes-1). Carries q/n2
     * through the aggregation so callers don't re-quantize + re-join. */
-  def lshFamilySignatures(emb: DataFrame): DataFrame = {
-    val totalPlanes = NumFamilies * NumPlanes
+  def lshFamilySignatures(emb: DataFrame,
+      numFamilies: Int = NumFamilies): DataFrame = {
+    val totalPlanes = numFamilies * NumPlanes
     val qv = quantized(emb)
     val withPos = qv.select(col("vec_id"), col("q"), col("n2"),
       posexplode(col("q")).as(Seq("pos", "qi")))
@@ -102,7 +103,7 @@ object Similarity {
     val bits = withPos
       .groupBy("vec_id")
       .agg(dAggs.head, dAggs.tail: _*)
-    val famStructs = (0 until NumFamilies).map { f =>
+    val famStructs = (0 until numFamilies).map { f =>
       val sig = concat((0 until NumPlanes).map(j =>
         when(col(s"d${f * NumPlanes + j}") >= 0, "1").otherwise("0")): _*)
       struct(lit(f).as("family"), sig.as("sig"))
@@ -132,11 +133,12 @@ object Similarity {
     * Without the cap the join is ~N²/2^NumPlanes — quadratic at any
     * fixed signature width. */
   def annPairs(emb: DataFrame, threshold: Double = AnnThreshold,
-      maxBucket: Long = Dedup.MaxBandBucket): DataFrame = {
+      maxBucket: Long = Dedup.MaxBandBucket,
+      numFamilies: Int = NumFamilies): DataFrame = {
     log.info(s"annPairs: LSH buckets with > $maxBucket vectors are dropped from " +
       "the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by group-dedup, not pairwise")
-    val sigs = lshFamilySignatures(emb)
+    val sigs = lshFamilySignatures(emb, numFamilies)
     // two-phase skew-safe cap (see Dedup.minhashCandidates): partial-agg
     // counts -> tiny over-cap blacklist -> broadcast anti-join drops
     // mega-buckets map-side, before the self-join shuffle
