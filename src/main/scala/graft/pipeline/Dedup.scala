@@ -220,6 +220,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup PAIRS — the clustering step
+    * between pairwise candidate generation and keep-one-per-cluster
+    * curation (pairs alone under-count: {A~B, B~C} is ONE cluster of
+    * three even when A~C was never emitted by any band). Iterative
+    * min-label propagation: every doc starts as its own label; each
+    * round a doc adopts the smallest label among itself and its
+    * neighbors, until a fixpoint. Rounds needed = eccentricity of each
+    * component's min doc (<= diameter); LSH clusters are band-collision
+    * cliques and short chains, so a handful of rounds closes them —
+    * each round is one partial-aggregating shuffle (neighbor min) plus
+    * an equi-join, with a bounded 1-long driver count for convergence
+    * (the kmeans/BPE pattern; at larger diameters the same loop takes
+    * the large-star/small-star variant, which squares path lengths per
+    * round). Labels persist across rounds and the previous round is
+    * unpersisted — no lineage replay.
+    *
+    * Output: (doc_id, rep_doc = component min, n_docs = component
+    * size), one row per doc that appears in at least one pair. */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = e
+        .join(labels.select(col("v").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src").as("v"))
+        .agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("v"), col("label").as("old")), Seq("v"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    require(converged, s"components did not converge in $maxIters rounds — " +
+      "component diameter exceeds the bound; raise maxIters or switch to large-star/small-star")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(sizes, Seq("label"))
+      .select(col("v").as("doc_id"), col("label").as("rep_doc"), col("n_docs"))
+  }
+
   /** Benchmark decontamination: training docs sharing at least
     * `minHits` k-gram shingles with any probe (benchmark/test-set)
     * doc — the overlap check a training pipeline runs before the

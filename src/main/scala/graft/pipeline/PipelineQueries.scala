@@ -23,6 +23,9 @@ object PipelineQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactSummary(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // near-dup clusters from the candidate pairs: min-label fixpoint
+    "dedup_components" -> ((s, d) =>
+      Dedup.components(Dedup.minhashCandidates(docs(s, d))).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
@@ -205,6 +208,32 @@ object PipelineQueries extends QueryPack {
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
   }
 
+  /** MinHash band-candidate CTEs ending in `cand(doc_a, doc_b)` —
+    * semantics of [[Dedup.minhashCandidates]] (band buckets over
+    * MaxBandBucket docs leave candidate generation; keep in sync).
+    * Shared by dedup_minhash and dedup_components. */
+  private def minhashCandCtes: String = {
+    val mins = (0 until Dedup.NumHashes).map { s =>
+      val src = if (s < 4) "md5(shingle)" else "md5('x|' || shingle)"
+      s"min(substring($src, ${1 + 8 * (s % 4)}, 8)) AS mh$s"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      val lo = b * Dedup.BandRows
+      s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS (${shinglesSql(3)}),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bucket_n
+       |    FROM ($bandSelects))
+       |  WHERE bucket_n <= ${Dedup.MaxBandBucket}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** SimHash fingerprint CTEs (tf-weighted md5 hex-digit majority) —
     * semantics of [[Dedup.simhash]]. */
   private val FPS_SQL =
@@ -227,29 +256,28 @@ object PipelineQueries extends QueryPack {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dups
         |FROM documents""".stripMargin,
-    "dedup_minhash" -> {
-      val mins = (0 until Dedup.NumHashes).map { s =>
-        val src = if (s < 4) "md5(shingle)" else "md5('x|' || shingle)"
-        s"min(substring($src, ${1 + 8 * (s % 4)}, 8)) AS mh$s"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
-        val lo = b * Dedup.BandRows
-        s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
-      }.mkString("\n  UNION ALL ")
-      // band buckets over MaxBandBucket docs leave candidate
-      // generation — keep in sync with Dedup.minhashCandidates
-      s"""WITH sh AS (${shinglesSql(3)}),
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, band, sig FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bucket_n
-         |    FROM ($bandSelects))
-         |  WHERE bucket_n <= ${Dedup.MaxBandBucket})
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dedup_minhash" ->
+      s"""WITH $minhashCandCtes
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure of the candidate graph via recursive CTE
+    // (pairs are few post-LSH; the closure is exact), then
+    // component rep = min reachable doc — keep in sync with
+    // Dedup.components' min-label fixpoint.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_doc
+         |        FROM reach GROUP BY src)
+         |SELECT l.doc_id, l.rep_doc, CAST(c.n AS BIGINT) AS n_docs
+         |FROM lab l
+         |JOIN (SELECT rep_doc, count(*) AS n FROM lab GROUP BY rep_doc) c
+         |  USING (rep_doc)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       // sizes AND intersections over the same df-capped universe —
       // keep in sync with Dedup.jaccardPairs

@@ -356,6 +356,22 @@ class PipelineSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
   }
 
+  test("components: chains and cliques collapse to min-doc reps with exact sizes") {
+    // {1-2, 2-3}: one component of 3 via transitivity even though 1-3
+    // was never a pair; {10,11}: a pair; {20..23}: a diameter-3 chain
+    // (exercises multi-round propagation, not just one hop)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L)))
+    // empty pair set: no rows, no crash
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("bpeTrain learns merges greedily with exact overlap handling and tie-breaks") {
     // corpus: "ab" x3, "aaaa" x1, "cd" x1
     //  step 1: (a,a)=3 ties (a,b)=3 -> (a,a) wins lexicographically;
