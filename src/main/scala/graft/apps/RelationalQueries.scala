@@ -172,6 +172,28 @@ object RelationalQueries extends QueryPack {
         .select(col("event_id"), col("user_id"), col("last_signup"))
         .orderBy("event_id")
     },
+    // As-of join proper (operators.AsOfJoin): each event joined to the
+    // customer's most recent order at-or-before the event time. Union
+    // + carry-forward window — ONE shuffle on the key, no range probe,
+    // both sides arbitrarily large (ev_attribution is the same shape
+    // within one table; this is the two-table operator). The right
+    // side is first deduped to one row per (user, time) — max
+    // o_orderkey wins — because a deterministic as-of needs a unique
+    // right-side time per key.
+    "ev_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), Tables.eventTime(col("ts")).as("ts_utc"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(
+          max("o_orderkey").as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.operators.AsOfJoin
+        .join(ev, ord, "user_id", "ts_utc", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey"), col("asof_o_totalprice"))
+        .orderBy("event_id")
+    },
     // Tumbling window() rollup — the batch form of the streaming
     // windowed aggregation (hourly).
     "ev_hourly" -> { (s, dir) =>
@@ -285,6 +307,21 @@ object RelationalQueries extends QueryPack {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // DuckDB's native ASOF JOIN over the same deduped right side —
+    // equality on sub-ms never matters because o_orderdate carries ms
+    // precision, so Spark's micros truncation of ts can't cross it.
+    "ev_asof" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       o.o_orderkey AS asof_o_orderkey,
+        |       o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total

@@ -59,6 +59,41 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
   }
 
+  /** Sequence packing for training-batch construction: documents are
+    * concatenated in a deterministic order and chunked into fixed
+    * `packLen`-token packs (the GPT-style pack-then-chunk layout); a
+    * document whose tokens straddle a chunk boundary spans packs
+    * `[first_pack, last_pack]`. Output per doc: (doc_id, bucket,
+    * n_tokens, offset_in_bucket, first_pack, last_pack).
+    *
+    * Scale shape: docs are first routed to one of `nBuckets` md5
+    * buckets (pure function of doc_id — reproducible like
+    * [[stratifiedSample]]), and each bucket packs independently, so
+    * the running-offset window is PARTITIONED — no global sort, no
+    * single-task window. At 100 TB, nBuckets rises with the corpus so
+    * one bucket ~ one output pack file; within a bucket the offset is
+    * one window over that bucket's rows. All arithmetic is integer —
+    * exact in any engine. */
+  def packSequences(docs: DataFrame, nBuckets: Int = 16, packLen: Long = 256): DataFrame = {
+    val bucket = (
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long") % nBuckets
+    ).as("bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col("doc_id"),
+        // split(' ') is the exact tokenizer for this corpus — the same
+        // count as TextAnalysis.tokenStats' n_tokens
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        bucket)
+      .withColumn("offset_in_bucket", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // integer division on exact longs — floor in both engines
+      .withColumn("first_pack", expr(s"offset_in_bucket DIV $packLen"))
+      .withColumn("last_pack", expr(s"(offset_in_bucket + n_tokens - 1) DIV $packLen"))
+  }
+
   /** Row-local language ID — the streaming-safe spelling of
     * [[TextAnalysis.langId]] (no joins, no windows): per-language
     * stopword hits computed with array expressions, winner folded with

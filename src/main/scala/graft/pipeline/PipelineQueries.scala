@@ -48,6 +48,9 @@ object PipelineQueries extends QueryPack {
       Curation.stratifiedSample(docs(s, d),
         Map("en" -> 48, "de" -> 32, "fr" -> 32, "es" -> 32, "zh" -> 8))
         .orderBy("doc_id")),
+    // Sequence packing: md5-bucketed pack-then-chunk layout; the
+    // running-offset window is partitioned by bucket (no global sort)
+    "pipeline_pack" -> ((s, d) => Curation.packSequences(docs(s, d)).orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
@@ -59,6 +62,9 @@ object PipelineQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    // PQ-compressed ANN: codes + per-probe lookup tables — the corpus
+    // scan touches no raw vector (the 100 TB in-RAM index shape)
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
@@ -401,6 +407,28 @@ object PipelineQueries extends QueryPack {
          |  AND l.pred_lang IN ('en') AND q.quality >= 0.5
          |ORDER BY q.doc_id""".stripMargin
     },
+    // bucket = md5 first byte mod 16, running offset windowed PER
+    // BUCKET, integer floor division for chunk spans — keep in sync
+    // with Curation.packSequences (SUM over a window is HUGEINT in
+    // DuckDB, hence the outer BIGINT casts).
+    "pipeline_pack" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         (${nib(1)} * 16 + ${nib(2)}) % 16 AS bucket
+         |  FROM documents),
+         |o AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(off AS BIGINT) AS offset_in_bucket,
+         |       CAST(off // 256 AS BIGINT) AS first_pack,
+         |       CAST((off + n_tokens - 1) // 256 AS BIGINT) AS last_pack
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "text_stats" ->
       s"""SELECT doc_id,
          |       CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -482,6 +510,56 @@ object PipelineQueries extends QueryPack {
          |WHERE id_a IN (SELECT doc_id FROM documents)
          |  AND id_b IN (SELECT doc_id FROM documents)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Product quantization unrolled: seed-sample codebook, exact-long
+    // L2 argmin codes (score = cn2 - 2*dot; n2x constant within the
+    // argmin), per-probe LUT, ADC scores — keep in sync with
+    // Similarity.pqCodebook/pqCodes/pqTopK. list_dot_product over
+    // quantized values < 2^53 is exact, so the BIGINT casts are lossless.
+    "sim_pq_topk" -> {
+      val sub = (v: String) =>
+        s"list_slice($v, m * ${Similarity.PqSubDim} + 1, m * ${Similarity.PqSubDim} + ${Similarity.PqSubDim})"
+      s"""WITH qv AS ($QV2),
+         |ms AS (SELECT unnest(range(0, ${Similarity.PqM})) AS m),
+         |cb0 AS (SELECT vec_id AS code, q FROM qv
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.PqK}),
+         |cb AS (SELECT code, m,
+         |              list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS cq,
+         |              CAST(list_sum(list_transform(${sub("q")}, x -> x * x)) AS BIGINT) AS cn2
+         |       FROM cb0, ms),
+         |sub AS (SELECT vec_id, m,
+         |               list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS sq
+         |        FROM qv, ms),
+         |codes AS (
+         |  SELECT vec_id, m, code, cn2 FROM (
+         |    SELECT s.vec_id, s.m, c.code, c.cn2,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY c.cn2 - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+         |                      c.code) AS rn
+         |    FROM sub s JOIN cb c USING (m))
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, m, n2 AS pn2,
+         |                  list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS psq
+         |           FROM qv, ms WHERE vec_id < 10),
+         |lut AS (SELECT p.probe_id, p.pn2, p.m, c.code,
+         |               CAST(list_dot_product(p.psq, c.cq) AS BIGINT) AS pdot
+         |        FROM probes p JOIN cb c USING (m)),
+         |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
+         |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
+         |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
+         |        FROM codes d JOIN lut l ON l.m = d.m AND l.code = d.code
+         |        WHERE d.vec_id <> l.probe_id
+         |        GROUP BY 1, 2, 3),
+         |scored AS (SELECT probe_id, vec_id,
+         |                  CAST(adot AS DOUBLE)
+         |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
+         |           FROM adc)
+         |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY adc DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "sim_ivf_topk" ->
       s"""WITH qv AS ($QV2),
          |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),

