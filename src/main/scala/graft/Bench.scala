@@ -22,7 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
+    // queries (unset — the driver's mode — times the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }

@@ -223,27 +223,37 @@ object Dedup {
   /** Connected components over near-dup PAIRS — the clustering step
     * between pairwise candidate generation and keep-one-per-cluster
     * curation (pairs alone under-count: {A~B, B~C} is ONE cluster of
-    * three even when A~C was never emitted by any band). Iterative
-    * min-label propagation: every doc starts as its own label; each
-    * round a doc adopts the smallest label among itself and its
-    * neighbors, until a fixpoint. Rounds needed = eccentricity of each
-    * component's min doc (<= diameter); LSH clusters are band-collision
-    * cliques and short chains, so a handful of rounds closes them —
-    * each round is one partial-aggregating shuffle (neighbor min) plus
-    * an equi-join, with a bounded 1-long driver count for convergence
-    * (the kmeans/BPE pattern; at larger diameters the same loop takes
-    * the large-star/small-star variant, which squares path lengths per
-    * round). Labels persist across rounds and the previous round is
-    * unpersisted — no lineage replay.
+    * three even when A~C was never emitted by any band). Min-label
+    * propagation WITH pointer doubling: every doc starts as its own
+    * label; each round a doc adopts the smallest label among itself
+    * and its neighbors, then shortcuts through its label's label
+    * (label(v) <- min(label(v), label(label(v)))). The shortcut halves
+    * remaining path lengths, so rounds needed are O(log diameter)
+    * instead of O(diameter) — a 1000-link near-dup chain closes in
+    * ~10 rounds, not 1000. Every label is always the id of some vertex
+    * in the same component (init: itself; propagate/shortcut: mins
+    * over such ids), so the shortcut lookup is a self-join on the
+    * label table and the fixpoint is the component min (the min vertex
+    * never decreases, and at fixpoint labels are constant across every
+    * edge). Per round: one partial-aggregating shuffle (neighbor min),
+    * one equi-join (shortcut), ONE action — the changed count rides a
+    * flag column on the persisted next table instead of a re-join with
+    * the previous labels. Labels persist across rounds and the
+    * previous round is unpersisted — no lineage replay.
     *
     * Output: (doc_id, rep_doc = component min, n_docs = component
     * size), one row per doc that appears in at least one pair. */
-  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // both directions in ONE scan of the pairs subtree (a union of two
+    // selects would run candidate generation once per branch)
+    val e = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
       .persist()
-    var labels = e.select(col("src").as("v")).distinct()
+    var cached = e.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label")).persist()
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -251,21 +261,34 @@ object Dedup {
         .join(labels.select(col("v").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src").as("v"))
         .agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
+      val prop = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("p"))
+      // pointer doubling: shortcut through the PREVIOUS round's label
+      // of the propagated label (labels is cached — the lookup costs
+      // one equi-join, and composing one adjacency hop with two label
+      // hops still doubles resolved path lengths per round). p is
+      // always a vertex id present in labels.v (see scaladoc), so the
+      // left join only misses rows where p == v already.
+      val shortcut = labels.select(col("v").as("p"), col("label").as("pp"))
+      val next = prop
+        .join(shortcut, Seq("p"), "left")
         .select(col("v"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("p"), coalesce(col("pp"), col("p"))).as("label"),
+          (least(col("p"), coalesce(col("pp"), col("p"))) < col("old")).as("chg"))
         .persist()
-      val changed = next
-        .join(labels.select(col("v"), col("label").as("old")), Seq("v"))
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("v"), col("label"))
       converged = changed == 0
       iter += 1
     }
+    // NOTE: the final round's cache stays live — the returned plan
+    // reads it (unpersisting here would replay every round's lineage)
     e.unpersist()
     require(converged, s"components did not converge in $maxIters rounds — " +
-      "component diameter exceeds the bound; raise maxIters or switch to large-star/small-star")
+      s"component diameter exceeds 2^$maxIters; raise maxIters")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label"))
       .select(col("v").as("doc_id"), col("label").as("rep_doc"), col("n_docs"))
