@@ -89,18 +89,21 @@ object Dedup {
   /** Per-doc MinHash signature: NumHashes columns mh0..mhK-1, each the
     * min over the doc's shingles of md5(seed|shingle).
     *
-    * Shape: explode shingles -> ONE codegen'd hash aggregate with all
-    * K mins (no distinct pass first — min over the multiset == min
-    * over the set). A row-local array_min(transform(...)) variant was
-    * measured 4x slower: higher-order-function lambdas evaluate
-    * interpreted, while HashAggregateExec is whole-stage codegen. */
+    * Shape: explode positional shingles -> ONE codegen'd hash
+    * aggregate with all K mins. No distinct pass anywhere — min over
+    * the multiset == min over the set, so in-doc duplicate shingles
+    * only cost their (cheap, codegen'd) md5. Two row-local variants
+    * were measured and rejected: array_min(transform(...)) lambdas
+    * evaluate interpreted (4x slower), and even building the shingle
+    * ARRAY via transform(sequence, array_join(slice)) is interpreted
+    * per element (~6x slower than the exploded slice/array_join
+    * spelling, which stays inside whole-stage codegen). */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
-    // array_distinct BEFORE exploding: row-local dedup cuts the md5
-    // work without the shuffle a distinct() costs. The 8 hash families
-    // are 8-hex (32-bit) slices of just TWO md5 digests per shingle —
-    // 4x less hashing than 8 salted digests, and 32 bits is ample for
-    // a min over <= a few hundred shingles per doc.
-    val sh = docs.select(col("doc_id"), explode(array_distinct(shingleArray(k))).as("shingle"))
+    // The 8 hash families are 8-hex (32-bit) slices of just TWO md5
+    // digests per shingle — 4x less hashing than 8 salted digests,
+    // and 32 bits is ample for a min over <= a few hundred shingles.
+    val sh = TextAnalysis.shingles(docs, k)
+      .select(col("doc_id"), col("shingle"))
       .withColumn("h0", md5(col("shingle")))
       .withColumn("h1", md5(concat(lit("x|"), col("shingle"))))
     val aggs = (0 until NumHashes).map { s =>
@@ -237,23 +240,47 @@ object Dedup {
     * never decreases, and at fixpoint labels are constant across every
     * edge). Per round: one partial-aggregating shuffle (neighbor min),
     * one equi-join (shortcut), ONE action — the changed count rides a
-    * flag column on the persisted next table instead of a re-join with
-    * the previous labels. Labels persist across rounds and the
-    * previous round is unpersisted — no lineage replay.
+    * flag column on the label table instead of a re-join with the
+    * previous labels.
+    *
+    * Lineage is truncated EVERY round with an eager localCheckpoint:
+    * each round's logical plan otherwise embeds ~3 copies of the
+    * previous round's (labels feeds nbrMin, prop AND shortcut), so by
+    * round r the driver is analyzing/optimizing 3^r copies of the
+    * candidate-generation subtree — measured as multi-second
+    * PLANNING stalls per round on a graph of a few hundred edges,
+    * even with every byte of data served from cache. After the
+    * checkpoint, a round's plan is a flat scan of materialized label
+    * rows. (On a multi-executor cluster, localCheckpoint trades
+    * lineage-based recovery for speed — an executor loss mid-job
+    * fails the job and the component run restarts; the standard
+    * iterative-graph tradeoff, cf. GraphX Pregel's checkpointing.)
     *
     * Output: (doc_id, rep_doc = component min, n_docs = component
     * size), one row per doc that appears in at least one pair. */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Dataset.unpersist() manages the PLAN cache; a localCheckpoint's
+    // blocks live at the RDD level, so freeing a retired round means
+    // unpersisting the RDD behind its LogicalRDD plan (otherwise dead
+    // rounds' label blocks linger until driver GC runs ContextCleaner).
+    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     // both directions in ONE scan of the pairs subtree (a union of two
-    // selects would run candidate generation once per branch)
+    // selects would run candidate generation once per branch); eager
+    // localCheckpoint so the loop's per-round plans start from a flat
+    // in-memory edge list, not the candidate-generation lineage
     val e = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("ed"))
       .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-      .persist()
-    var cached = e.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label")).persist()
-    var labels = cached
+      .localCheckpoint(true)
+    var prevCp: DataFrame = null
+    var cp = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint(true)
+    var labels = cp
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -265,28 +292,33 @@ object Dedup {
         .select(col("v"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("p"))
       // pointer doubling: shortcut through the PREVIOUS round's label
-      // of the propagated label (labels is cached — the lookup costs
-      // one equi-join, and composing one adjacency hop with two label
-      // hops still doubles resolved path lengths per round). p is
-      // always a vertex id present in labels.v (see scaladoc), so the
-      // left join only misses rows where p == v already.
+      // of the propagated label (the lookup costs one equi-join, and
+      // composing one adjacency hop with two label hops still doubles
+      // resolved path lengths per round). p is always a vertex id
+      // present in labels.v (see scaladoc), so the left join only
+      // misses rows where p == v already.
       val shortcut = labels.select(col("v").as("p"), col("label").as("pp"))
+      val t0 = System.nanoTime()
       val next = prop
         .join(shortcut, Seq("p"), "left")
         .select(col("v"),
           least(col("p"), coalesce(col("pp"), col("p"))).as("label"),
           (least(col("p"), coalesce(col("pp"), col("p"))) < col("old")).as("chg"))
-        .persist()
-      val changed = next.filter(col("chg")).count()
-      cached.unpersist()
-      cached = next
+        .localCheckpoint(true) // materializes: the round's ONE action
+      val changed = next.filter(col("chg")).count() // served from the checkpoint
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // round N-1's checkpoint blocks are dead once round N's are
+      // materialized — free them now instead of waiting for GC
+      if (prevCp != null) freeCheckpoint(prevCp)
+      prevCp = cp
+      cp = next
       labels = next.select(col("v"), col("label"))
       converged = changed == 0
       iter += 1
     }
-    // NOTE: the final round's cache stays live — the returned plan
-    // reads it (unpersisting here would replay every round's lineage)
-    e.unpersist()
+    if (prevCp != null) freeCheckpoint(prevCp)
+    freeCheckpoint(e)
     require(converged, s"components did not converge in $maxIters rounds — " +
       s"component diameter exceeds 2^$maxIters; raise maxIters")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
@@ -310,10 +342,8 @@ object Dedup {
   def contamination(train: DataFrame, probes: DataFrame, k: Int = 3,
       minHits: Long = 2, maxDf: Long = MaxShingleDf): DataFrame = {
     val t = TextAnalysis.shingles(train, k).select(col("doc_id"), col("shingle")).distinct()
-    // re-shape to the corpus column contract (tokens() carries lang;
-    // a probe set has none — benchmarks are language-agnostic here)
     val p = TextAnalysis.shingles(
-        probes.select(col("probe_id").as("doc_id"), col("text"), lit("probe").as("lang")), k)
+        probes.select(col("probe_id").as("doc_id"), col("text")), k)
       .select(col("doc_id").as("probe_id"), col("shingle")).distinct()
     val overCap = t.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")

@@ -182,9 +182,11 @@ object TextAnalysis {
   }
 
   /** Positional k-gram shingles: (doc_id, pos, shingle) for pos in
-    * 1..n-k+1 (1-based, matching DuckDB list slicing). */
+    * 1..n-k+1 (1-based, matching DuckDB list slicing). Needs only
+    * (doc_id, text) — no lang contract, so probe/stream schemas fit. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
-    tokens(docs)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .filter(col("n") >= k)
       .select(col("doc_id"), col("toks"),
