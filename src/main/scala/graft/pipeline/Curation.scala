@@ -59,6 +59,40 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
   }
 
+  /** Temperature-weighted training-mixture construction: per-language
+    * sampling weights w_l proportional to (token count)^alpha — the
+    * standard upweighting of low-resource languages in multilingual
+    * pretraining (alpha = 1 reproduces natural frequencies, alpha -> 0
+    * approaches uniform). Output per language: corpus counts, the
+    * normalized mixture weight, the token target for a total budget,
+    * and the sampling rate (capped at 1 — a language smaller than its
+    * target cannot be sampled above itself; real mixes then either
+    * epoch it or re-normalize, which is a policy choice left to the
+    * caller).
+    *
+    * Scale shape: ONE partial-aggregating corpus scan (groupBy lang
+    * with map-side combine), then all arithmetic happens on the
+    * languages-sized table — the normalizer join is a broadcast of a
+    * single row. alpha = 0.5 computes via sqrt (correctly rounded in
+    * IEEE-754, hence engine-exact); other alphas use pow (within
+    * 1 ulp, absorbed by the 6-decimal rounding). */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.5,
+      budgetTokens: Long = 100000L): DataFrame = {
+    def weigh(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val perLang = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val z = perLang.agg(sum(weigh(col("n_tokens"))).as("z"))
+    val w = weigh(col("n_tokens")) / col("z")
+    perLang.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(w, 6).as("weight"),
+        round(lit(budgetTokens.toDouble) * w).cast("long").as("target_tokens"),
+        round(least(lit(1.0), lit(budgetTokens.toDouble) * w / col("n_tokens")), 6).as("rate"))
+  }
+
   /** Sequence packing for training-batch construction: documents are
     * concatenated in a deterministic order and chunked into fixed
     * `packLen`-token packs (the GPT-style pack-then-chunk layout); a

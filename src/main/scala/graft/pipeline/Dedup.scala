@@ -119,20 +119,26 @@ object Dedup {
     * Bands are emitted with ONE explode over an in-row array — a
     * union of per-band selects would re-run the (map-only, hence
     * unshared) signature computation once per band. */
-  def minhashCandidates(docs: DataFrame, k: Int = 3,
-      maxBucket: Long = MaxBandBucket): DataFrame = {
-    log.info(s"minhashCandidates: band buckets with > $maxBucket docs are dropped " +
-      "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
-      "reported by group-dedup, not pairwise")
-    val sig = minhashSignatures(docs, k)
+  /** (doc_id, band, sig) rows from a signature table — ONE explode
+    * over an in-row array (a union of per-band selects would re-run
+    * the map-only, hence unshared, signature computation per band). */
+  private def minhashBands(sig: DataFrame): DataFrame = {
     val nBands = NumHashes / BandRows
     val bandStructs = (0 until nBands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), concat(cols: _*).as("sig"))
     }
-    val bands0 = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def minhashCandidates(docs: DataFrame, k: Int = 3,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    log.info(s"minhashCandidates: band buckets with > $maxBucket docs are dropped " +
+      "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
+      "reported by group-dedup, not pairwise")
+    val bands0 = minhashBands(minhashSignatures(docs, k))
     // two-phase skew-safe cap: groupBy partially aggregates map-side,
     // so a mega-bucket collapses to one count row per map partition
     // (a count-over-window would instead move EVERY row of the hot
@@ -152,6 +158,62 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental dedup: screen a NEW crawl batch against an existing
+    * base corpus — the dedup job a production pipeline runs on every
+    * ingest, where re-deduplicating the full corpus (O(base^2) band
+    * joins) would be absurd. Two tiers, exact-first:
+    *
+    *  - exact: the batch doc's full-content md5 already exists in the
+    *    base (match = smallest such base doc);
+    *  - near: some minhash band signature of the batch doc collides
+    *    with a base doc's (match = smallest colliding base doc);
+    *  - new: neither.
+    *
+    * Scale shape: base and batch are signed SEPARATELY (each side is
+    * its own scan — at corpus scale batch << base and the band join is
+    * batch-vs-base only, NEVER base-vs-base; nothing here is quadratic
+    * in the corpus). The base-side band buckets get the same two-phase
+    * over-cap blacklist as [[minhashCandidates]]: a mega-bucket in the
+    * base (boilerplate cluster) would otherwise join against every
+    * colliding batch doc at d_base x d_batch cost. A batch doc whose
+    * every collision is with blacklisted buckets reports 'new' — the
+    * same recall contract as candidate generation (mega-cluster
+    * membership is group-dedup's job).
+    *
+    * Caller contract: base and batch doc_ids are disjoint (they are
+    * different crawls). Output: one row per batch doc —
+    * (doc_id, status in {exact, near, new}, match_doc nullable). */
+  def incrementalDedup(base: DataFrame, batch: DataFrame, k: Int = 3,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    // exact tier: base collapses to one (hash, min doc) row per
+    // content group — partial-aggregating, and the join key is the
+    // hash, so identical boilerplate in the base is ONE row
+    val baseHash = base.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("em"))
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(baseHash, Seq("h"))
+      .select(col("doc_id"), col("em"))
+    // near tier: band join batch -> base only
+    val bandsBase = minhashBands(minhashSignatures(base, k))
+    val bandsBatch = minhashBands(minhashSignatures(batch, k))
+    val overCap = bandsBase
+      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val near = bandsBatch
+      .join(bandsBase.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+          .select(col("band"), col("sig"), col("doc_id").as("bdoc")),
+        Seq("band", "sig"))
+      .groupBy("doc_id").agg(min("bdoc").as("nm"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("em").isNotNull, lit("exact"))
+          .when(col("nm").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("em"), col("nm")).as("match_doc"))
   }
 
   /** Pairwise n-gram Jaccard over the df-capped shingle universe, via

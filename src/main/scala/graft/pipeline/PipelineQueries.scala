@@ -31,6 +31,19 @@ object PipelineQueries extends QueryPack {
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
+    // incremental ingest dedup: every 5th doc plays the new crawl
+    // batch, screened against the rest as the standing base corpus —
+    // batch-vs-base joins only, never base-vs-base
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalDedup(
+        all.filter(col("doc_id") % 5 =!= 4),
+        all.filter(col("doc_id") % 5 === 4))
+        .orderBy("doc_id")
+    }),
+    // alpha=0.5 temperature mixture over languages, 100k-token budget
+    "pipeline_mixture" -> ((s, d) =>
+      Curation.temperatureMixture(docs(s, d)).orderBy("lang")),
     "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
     // decontamination: docs 0-49 stand in for the benchmark probe set,
     // re-shaped to the probe schema (probe_id, text) — contamination
@@ -152,11 +165,15 @@ object PipelineQueries extends QueryPack {
 
   private val TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
-  private def shinglesSql(k: Int): String =
+  private def shinglesSql(k: Int): String = shinglesSqlFrom(k, "documents")
+
+  /** Distinct k-gram shingles of any (doc_id, text) relation. */
+  private def shinglesSqlFrom(k: Int, rel: String): String =
     s"""SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, array_to_string(toks[pos:pos+${k - 1}], ' ') AS shingle
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS pos
-       |        FROM ($TOKS) WHERE len(toks) >= $k))""".stripMargin
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel)
+       |        WHERE len(toks) >= $k))""".stripMargin
 
   private val QV =
     """SELECT vec_id, label,
@@ -214,19 +231,27 @@ object PipelineQueries extends QueryPack {
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
   }
 
+  /** The 8 per-shingle minhash min-aggregates (8-hex slices of two md5
+    * digests) — [[Dedup.minhashSignatures]]' arithmetic. */
+  private def minhashSigExprs: String = (0 until Dedup.NumHashes).map { s =>
+    val src = if (s < 4) "md5(shingle)" else "md5('x|' || shingle)"
+    s"min(substring($src, ${1 + 8 * (s % 4)}, 8)) AS mh$s"
+  }.mkString(",\n  ")
+
+  /** Per-band (doc_id, band, sig) rows from a signature relation. */
+  private def bandUnionSql(sigRel: String): String =
+    (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      val lo = b * Dedup.BandRows
+      s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM $sigRel"
+    }.mkString("\n  UNION ALL ")
+
   /** MinHash band-candidate CTEs ending in `cand(doc_a, doc_b)` —
     * semantics of [[Dedup.minhashCandidates]] (band buckets over
     * MaxBandBucket docs leave candidate generation; keep in sync).
     * Shared by dedup_minhash and dedup_components. */
   private def minhashCandCtes: String = {
-    val mins = (0 until Dedup.NumHashes).map { s =>
-      val src = if (s < 4) "md5(shingle)" else "md5('x|' || shingle)"
-      s"min(substring($src, ${1 + 8 * (s % 4)}, 8)) AS mh$s"
-    }.mkString(",\n  ")
-    val bandSelects = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
-      val lo = b * Dedup.BandRows
-      s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val mins = minhashSigExprs
+    val bandSelects = bandUnionSql("sig")
     s"""sh AS (${shinglesSql(3)}),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
@@ -265,6 +290,51 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash" ->
       s"""WITH $minhashCandCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    // exact tier beats near tier; near matches go through the
+    // base-side bucket blacklist — keep in sync with
+    // Dedup.incrementalDedup
+    "dedup_incremental" ->
+      s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+         |bh AS (SELECT md5(text) AS h, min(doc_id) AS em FROM base GROUP BY 1),
+         |ex AS (SELECT b.doc_id, bh.em
+         |       FROM (SELECT doc_id, md5(text) AS h FROM batch) b JOIN bh USING (h)),
+         |shb AS (${shinglesSqlFrom(3, "base")}),
+         |shn AS (${shinglesSqlFrom(3, "batch")}),
+         |sigb AS (SELECT doc_id, $minhashSigExprs FROM shb GROUP BY doc_id),
+         |sigbatch AS (SELECT doc_id, $minhashSigExprs FROM shn GROUP BY doc_id),
+         |bandsb AS (${bandUnionSql("sigb")}),
+         |bandsn AS (${bandUnionSql("sigbatch")}),
+         |cap AS (SELECT band, sig FROM (
+         |          SELECT band, sig, count(*) AS c FROM bandsb GROUP BY 1, 2)
+         |        WHERE c > ${Dedup.MaxBandBucket}),
+         |keptb AS (SELECT * FROM bandsb bb
+         |          WHERE NOT EXISTS (SELECT 1 FROM cap c
+         |                            WHERE c.band = bb.band AND c.sig = bb.sig)),
+         |nr AS (SELECT n.doc_id, min(b.doc_id) AS nm
+         |       FROM bandsn n JOIN keptb b ON n.band = b.band AND n.sig = b.sig
+         |       GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CASE WHEN ex.em IS NOT NULL THEN 'exact'
+         |            WHEN nr.nm IS NOT NULL THEN 'near'
+         |            ELSE 'new' END AS status,
+         |       coalesce(ex.em, nr.nm) AS match_doc
+         |FROM (SELECT doc_id FROM batch) t
+         |LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // alpha=0.5 via sqrt (engine-exact); weights normalized over the
+    // per-language sqrt(token count) — keep in sync with
+    // Curation.temperatureMixture
+    "pipeline_mixture" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM l)
+        |SELECT lang, n_docs, n_tokens,
+        |       round(sqrt(n_tokens) / z, 6) AS weight,
+        |       CAST(round(100000.0 * sqrt(n_tokens) / z) AS BIGINT) AS target_tokens,
+        |       round(least(1.0, 100000.0 * sqrt(n_tokens) / z / n_tokens), 6) AS rate
+        |FROM l, z ORDER BY lang""".stripMargin,
     // Transitive closure of the candidate graph via recursive CTE
     // (pairs are few post-LSH; the closure is exact), then
     // component rep = min reachable doc — keep in sync with

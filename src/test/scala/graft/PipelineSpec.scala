@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-plane behavior tests: near-dup recall on planted
@@ -370,6 +370,56 @@ class PipelineSpec extends SparkSpec {
       (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L)))
     // empty pair set: no rows, no crash
     assert(Dedup.components(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("incrementalDedup: exact beats near, blacklisted buckets report new") {
+    // base: doc 1 "the quick brown fox jumps over the lazy dog today",
+    //       doc 2 a disjoint text; batch: doc 100 = byte-identical copy
+    //       of 1 (exact), doc 101 = one-token edit of 1 (near via band
+    //       collision), doc 102 = unrelated (new)
+    val t1 = "the quick brown fox jumps over the lazy dog today again soon"
+    val base = Seq(
+      (1L, t1),
+      (2L, "completely different corpus text with no shared shingles here at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, t1),
+      (101L, t1.replace("lazy", "sleepy")),
+      (102L, "unrelated brand new document text nothing in common whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(base, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((100L, "exact", 1L), (101L, "near", 1L), (102L, "new", -1L)))
+
+    // a planted mega-bucket in the BASE blacklists its band signatures:
+    // a batch doc colliding ONLY with that cluster reports 'new'
+    val boiler = "a b c d e f g h i j"
+    val megaBase = (0L until 40L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val probe = Seq((500L, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.incrementalDedup(megaBase, probe, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // exact tier still catches the byte-identical copy (hash groupBy is
+    // cap-free by design), so use a one-token edit to isolate the bands
+    val probeNear = Seq((500L, boiler.replace("j", "k"))).toDF("doc_id", "text")
+    val cappedNear = Dedup.incrementalDedup(megaBase, probeNear, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped == Set((500L, "exact")))
+    assert(cappedNear == Set((500L, "new")))
+  }
+
+  test("temperatureMixture: sqrt weights normalize; rate caps at 1") {
+    // en: 4 docs x 4 tokens = 16; fr: 1 doc x 4 = 4 -> sqrt weights
+    // 4/(4+2)=2/3 and 2/6=1/3; budget 12 -> targets 8 and 4; fr's
+    // target (4) equals its size -> rate 1.0, en rate 8/16 = 0.5
+    val docsDf = (
+      (1L to 4L).map(i => (i, "w x y z", "en")) :+ ((9L, "a b c d", "fr"))
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.temperatureMixture(docsDf, alpha = 0.5, budgetTokens = 12L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      ("en", 4L, 16L, 0.666667, 8L, 0.5),
+      ("fr", 1L, 4L, 0.333333, 4L, 1.0)))
   }
 
   test("bpeTrain learns merges greedily with exact overlap handling and tie-breaks") {
