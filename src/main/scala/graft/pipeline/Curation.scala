@@ -59,6 +59,35 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
   }
 
+  /** Keep-BEST-of-cluster near-dup curation: [[Dedup.components]]
+    * clusters the minhash candidate pairs, and each cluster keeps its
+    * highest-QUALITY member (ties -> smallest doc_id) instead of the
+    * smallest-id representative — the rule a production pipeline
+    * actually wants (near-dup groups usually contain one clean copy
+    * and several mangled ones; min-id keeps a random one). Docs in no
+    * cluster keep themselves. Output: one row per doc —
+    * (doc_id, keep_doc, kept).
+    *
+    * Scale shape: the cluster table is O(docs-in-pairs), the argmax is
+    * a max_by hash aggregate on rep_doc (partial-aggregating, no
+    * window), and the corpus-wide assembly is two equi-joins on
+    * doc_id/rep_doc. */
+  def keepBest(docs: DataFrame, k: Int = 3): DataFrame = {
+    val comp = Dedup.components(Dedup.minhashCandidates(docs, k))
+      .select(col("doc_id"), col("rep_doc"))
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+    // (quality ASC, -doc_id ASC) max == quality DESC, doc_id ASC argmax
+    val best = comp.join(q, Seq("doc_id"))
+      .groupBy("rep_doc")
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_doc"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(best, Seq("rep_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_doc"), col("doc_id")).as("keep_doc"),
+        (coalesce(col("keep_doc"), col("doc_id")) === col("doc_id")).as("kept"))
+  }
+
   /** Temperature-weighted training-mixture construction: per-language
     * sampling weights w_l proportional to (token count)^alpha — the
     * standard upweighting of low-resource languages in multilingual

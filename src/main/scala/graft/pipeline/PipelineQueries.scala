@@ -44,6 +44,10 @@ object PipelineQueries extends QueryPack {
     // alpha=0.5 temperature mixture over languages, 100k-token budget
     "pipeline_mixture" -> ((s, d) =>
       Curation.temperatureMixture(docs(s, d)).orderBy("lang")),
+    // keep-best-of-cluster: near-dup clusters keep their highest-
+    // quality member, solitary docs keep themselves
+    "pipeline_keep_best" -> ((s, d) =>
+      Curation.keepBest(docs(s, d)).orderBy("doc_id")),
     "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
     // decontamination: docs 0-49 stand in for the benchmark probe set,
     // re-shaped to the probe schema (probe_id, text) — contamination
@@ -322,6 +326,40 @@ object PipelineQueries extends QueryPack {
          |FROM (SELECT doc_id FROM batch) t
          |LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Transitive closure (the dedup_components oracle) + the
+    // text_quality score, argmax per cluster via row_number — keep in
+    // sync with Curation.keepBest.
+    "pipeline_keep_best" -> {
+      val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(w => s"'${w._2}'").mkString(", ")
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_doc
+         |        FROM reach GROUP BY src),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round(least(1.0,
+         |           0.5 * least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+         |           0.5 * least(CAST(len(list_filter(tk, t -> t IN ($enStop))) AS DOUBLE) * 4.0
+         |                       / len(tk), 1.0)), 4) AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+         |best AS (SELECT rep_doc, doc_id AS keep_doc FROM (
+         |    SELECT l.rep_doc, l.doc_id,
+         |           row_number() OVER (PARTITION BY l.rep_doc
+         |                              ORDER BY q.quality DESC, l.doc_id) AS rn
+         |    FROM lab l JOIN qual q USING (doc_id)) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |       coalesce(b.keep_doc, d.doc_id) AS keep_doc,
+         |       coalesce(b.keep_doc, d.doc_id) = d.doc_id AS kept
+         |FROM documents d
+         |LEFT JOIN lab l USING (doc_id)
+         |LEFT JOIN best b ON l.rep_doc = b.rep_doc
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // alpha=0.5 via sqrt (engine-exact); weights normalized over the
     // per-language sqrt(token count) — keep in sync with
     // Curation.temperatureMixture

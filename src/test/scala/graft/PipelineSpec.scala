@@ -407,6 +407,23 @@ class PipelineSpec extends SparkSpec {
     assert(cappedNear == Set((500L, "new")))
   }
 
+  test("keepBest keeps the highest-quality cluster member, not the min id") {
+    // docs 1 and 2 are a one-token-apart near-dup pair; doc 2's extra
+    // token is an en stopword, so its quality is strictly higher and
+    // the cluster must keep 2 even though 1 is the min-id rep. doc 3
+    // is solitary and keeps itself.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau"
+    val docsDf = Seq(
+      (1L, base + " zz", "en"),
+      (2L, base + " the", "en"),
+      (3L, "unrelated solitary document completely different content here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.keepBest(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
+  }
+
   test("temperatureMixture: sqrt weights normalize; rate caps at 1") {
     // en: 4 docs x 4 tokens = 16; fr: 1 doc x 4 = 4 -> sqrt weights
     // 4/(4+2)=2/3 and 2/6=1/3; budget 12 -> targets 8 and 4; fr's
