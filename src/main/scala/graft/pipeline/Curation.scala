@@ -199,6 +199,40 @@ object Curation {
     * keeps the FIRST ARRIVAL of each group (arrival order is the only
     * order a stream has), batch keeps the min doc_id. `docs` must
     * carry (doc_id, text) plus an event-time `ts_utc`. */
+  /** The LIVE half of [[Dedup.incrementalDedup]]: a document stream
+    * screened against a STATIC base corpus. The exact tier drops
+    * byte-identical re-crawls (stream-static left_anti on the content
+    * hash against the base's distinct hash set); the near tier drops a
+    * doc whose ANY minhash band signature collides with a base doc's
+    * (one left_anti per band against the base's distinct per-band
+    * signature set — the band signatures are row-local expressions, so
+    * the stream side needs no aggregation). Every join is
+    * stream-static and STATELESS: Append-safe, no watermark state, and
+    * the static side re-plans per micro-batch so a refreshed base
+    * parquet is picked up on the next batch. Anti joins are membership
+    * tests — no pair blowup, so no bucket cap is needed on this path
+    * (contrast [[Dedup.incrementalDedup]]'s reporting join). Base docs
+    * too short to shingle have no band signatures and are caught by
+    * the exact tier only; short STREAM docs fall back to a
+    * `short:`-prefixed content hash that never collides with real
+    * 16-hex band signatures. Output: the surviving (doc_id, text). */
+  def streamingIncremental(stream: DataFrame, base: DataFrame): DataFrame = {
+    val baseHashes = base.select(md5(col("text")).as("h")).distinct()
+    val baseSig = Dedup.minhashSignatures(base)
+    def baseBand(b: Int) = baseSig
+      .select(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b"))
+      .distinct()
+    val gated = (0 until Dedup.NumHashes / Dedup.BandRows).foldLeft(
+      stream.withColumn("h", md5(col("text")))
+        .join(baseHashes, Seq("h"), "left_anti")) { (df, b) =>
+      df.withColumn(s"band$b",
+          coalesce(concat(rowLocalMinhash(2 * b), rowLocalMinhash(2 * b + 1)),
+            concat(lit("short:"), col("h"))))
+        .join(baseBand(b), Seq(s"band$b"), "left_anti")
+    }
+    gated.select(col("doc_id"), col("text"))
+  }
+
   def streamingIngest(docs: DataFrame, watermark: String = "1 hour",
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5): DataFrame = {
     val toks = split(col("text"), " ")

@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpec {
 
   case class TimedDoc(doc_id: Long, text: String, ts_utc: java.sql.Timestamp)
 
+  test("streamingIncremental: stream-static gates == batch incrementalDedup statuses") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseText = ("the cat sat of the mat and then in a while it is gone " * 4).trim
+    // one-token edit: not byte-identical, but every minhash band
+    // survives (same fixture reasoning as the streamingIngest test)
+    val nearDup = baseText.split(" ").toVector.updated(13, "purple").mkString(" ")
+    val fresh = ("is the dog in a den and it sat on the mat while then it is here " * 4).trim
+    val base = Seq((1L, baseText), (2L, "some other base document entirely unrelated"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.pipeline.Curation
+      .streamingIncremental(stream.toDS().toDF("doc_id", "text"), base)
+      .writeStream.outputMode("append").format("memory").queryName("inc")
+      .start()
+    try {
+      stream.addData((100L, baseText), (101L, nearDup), (102L, fresh))
+      query.processAllAvailable()
+      val kept = spark.table("inc").as[(Long, String)].collect().map(_._1).toSet
+      assert(kept == Set(102L), s"kept $kept")
+      // parity: the streamed survivor set is exactly the batch
+      // operator's 'new' tier over the same batch
+      val batchDf = Seq((100L, baseText), (101L, nearDup), (102L, fresh))
+        .toDF("doc_id", "text")
+      val statuses = graft.pipeline.Dedup.incrementalDedup(base, batchDf)
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(statuses == Map(100L -> "exact", 101L -> "near", 102L -> "new"))
+      assert(statuses.filter(_._2 == "new").keySet == kept)
+    } finally query.stop()
+  }
+
   test("streamingIngest: content dups dropped in-horizon, gates match batch TextAnalysis") {
     implicit val sqlCtx = spark.sqlContext
     val goodEn = ("the cat sat of the mat and then in a while it is gone " * 4).trim // 56 toks, stop-heavy
