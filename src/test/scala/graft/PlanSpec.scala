@@ -160,6 +160,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: batch-vs-base joins only; cap is a groupBy blacklist, no window") {
+    val p = plan("dedup_incremental")
+    // the near tier must never self-join the base: every join in the
+    // plan is either hash-membership (exact tier), band (batch->base),
+    // the broadcast anti-join blacklist, or the final status assembly.
+    // A base-base band join would show as >= 2 extra documents scans.
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.table.name().contains("documents") => b
+    }
+    // the documented design: base is scanned twice (hash set, band
+    // sigs) and batch three times (id list, hashes, band sigs), six
+    // bounded passes total — each filter-pushed, so the expensive side
+    // (base, at corpus scale) costs exactly its two declared reads. A
+    // regressed base-vs-base candidate join would pull the band
+    // subtree in twice more and push this count past the bound.
+    assert(scans.size <= 6, s"dedup_incremental scans documents ${scans.size}x:\n$p")
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"dedup_incremental has a window on a skewed key:\n$p")
+    // the base-side mega-bucket blacklist is a broadcast anti-join
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(joins.nonEmpty, s"dedup_incremental lost its broadcast anti-join blacklist:\n$p")
+  }
+
+  test("pipeline_keep_best: cluster argmax is an aggregate (max_by), not a window") {
+    val p = plan("pipeline_keep_best")
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"pipeline_keep_best ranks clusters with a window:\n$p")
+  }
+
   test("sim_ann_pairs: bucket self-join is capped (broadcast anti-join blacklist), no window on the bucket key") {
     // the r4 scale-killer: an UNCAPPED fixed-width bucket self-join is
     // ~N²/2^bits at corpus scale; the cap must be the same two-phase
