@@ -320,15 +320,22 @@ object Dedup {
     *
     * Output: (doc_id, rep_doc = component min, n_docs = component
     * size), one row per doc that appears in at least one pair. */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Dataset.unpersist() manages the PLAN cache; a localCheckpoint's
-    // blocks live at the RDD level, so freeing a retired round means
-    // unpersisting the RDD behind its LogicalRDD plan (otherwise dead
-    // rounds' label blocks linger until driver GC runs ContextCleaner).
-    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+  /** Dataset.unpersist() manages the PLAN cache; a localCheckpoint's
+    * blocks live at the RDD level, so freeing a retired iteration
+    * table means unpersisting the RDD behind its LogicalRDD plan
+    * (otherwise dead rounds' blocks linger until driver GC runs
+    * ContextCleaner). Package-visible for other iterative operators.
+    * (bpeTrain measured SLOWER with per-iteration checkpoints — its
+    * tables are vocabulary-sized, so materialization overhead beats
+    * the duplicated window it would save; it keeps the persist
+    * pattern.) */
+  private[pipeline] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // both directions in ONE scan of the pairs subtree (a union of two
     // selects would run candidate generation once per branch); eager
     // localCheckpoint so the loop's per-round plans start from a flat
