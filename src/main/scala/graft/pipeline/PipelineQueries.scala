@@ -69,6 +69,9 @@ object PipelineQueries extends QueryPack {
     // running-offset window is partitioned by bucket (no global sort)
     "pipeline_pack" -> ((s, d) => Curation.packSequences(docs(s, d)).orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+    // exact nearest-rank length quantiles from the per-(lang, len)
+    // histogram — integer predicate, no sketch, no corpus sort
+    "text_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("lang")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
     "text_bpe" -> ((s, d) => TextAnalysis.bpeCounts(docs(s, d)).orderBy("lang")),
@@ -546,6 +549,22 @@ object PipelineQueries extends QueryPack {
          |       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_tok_len
          |FROM ($TOKS)
          |ORDER BY doc_id""".stripMargin,
+    // histogram CDF + nearest-rank integer predicate — keep in sync
+    // with TextAnalysis.lengthQuantiles
+    "text_quantiles" ->
+      """WITH h AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        |                  count(*) AS cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, len,
+        |             sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum,
+        |             sum(cnt) OVER (PARTITION BY lang) AS n
+        |      FROM h)
+        |SELECT lang,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 25 THEN len END) AS BIGINT) AS p25,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN len END) AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 75 THEN len END) AS BIGINT) AS p75,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS BIGINT) AS p90
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "text_langid" -> {
       val sw = TextAnalysis.stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
       s"""WITH sw(cand_lang, word) AS (VALUES $sw),

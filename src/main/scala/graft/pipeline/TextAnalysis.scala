@@ -122,6 +122,29 @@ object TextAnalysis {
     results.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "n_symbols_after")
   }
 
+  /** Exact per-language token-length quantiles (nearest-rank), the
+    * corpus-profiling step that sizes context windows and packing
+    * budgets. NOT a sort of the corpus: lengths first collapse to a
+    * per-(lang, len) HISTOGRAM — one partial-aggregating shuffle, and
+    * the domain is bounded by the longest document, not the corpus —
+    * then a cumulative window over that bounded histogram and ONE
+    * conditional-min aggregate pick all percentiles. Integer
+    * arithmetic only (cum*100 >= n*q is the exact nearest-rank
+    * predicate), so any engine agrees bit-for-bit — unlike
+    * approx_percentile sketches or float interpolation. */
+  def lengthQuantiles(docs: DataFrame, qs: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("lang", "len").agg(count(lit(1)).as("cnt"))
+    val cdf = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("lang").orderBy("len")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+    val picks = qs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("len"))).as(s"p$q"))
+    cdf.groupBy("lang").agg(picks.head, picks.tail: _*)
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language
     * ID heuristic. Small by design (broadcast join). */
   val stopwords: Seq[(String, String)] = Seq(

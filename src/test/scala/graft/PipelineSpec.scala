@@ -424,6 +424,19 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
   }
 
+  test("lengthQuantiles: exact nearest-rank picks from the histogram") {
+    // en lengths: [2, 2, 4, 6] (n=4) -> p25=2 (rank 1), p50=2 (rank 2),
+    // p75=4 (rank 3), p90=6 (ceil(3.6)=rank 4); fr: single doc -> all 3
+    val docsDf = Seq(
+      (1L, "a b", "en"), (2L, "c d", "en"),
+      (3L, "a b c d", "en"), (4L, "a b c d e f", "en"),
+      (5L, "x y z", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.lengthQuantiles(docsDf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("en", 2L, 2L, 4L, 6L), ("fr", 3L, 3L, 3L, 3L)))
+  }
+
   test("temperatureMixture: sqrt weights normalize; rate caps at 1") {
     // en: 4 docs x 4 tokens = 16; fr: 1 doc x 4 = 4 -> sqrt weights
     // 4/(4+2)=2/3 and 2/6=1/3; budget 12 -> targets 8 and 4; fr's
