@@ -82,6 +82,9 @@ object PipelineQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    // threshold range search: no window, pure map+filter over the scan
+    "sim_range" -> ((s, d) =>
+      Similarity.rangeSearch(emb(s, d), 0L to 9L).orderBy("probe_id", "neighbor_id")),
     // PQ-compressed ANN: codes + per-probe lookup tables — the corpus
     // scan touches no raw vector (the 100 TB in-RAM index shape)
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
@@ -630,6 +633,21 @@ object PipelineQueries extends QueryPack {
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // unranked threshold variant of the sim_topk oracle — filter on
+    // the UNROUNDED cosine, round only for output (matches
+    // Similarity.rangeSearch)
+    "sim_range" ->
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS q, n2 FROM qv),
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM qd WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id,
+         |         list_dot_product(p.pq, v.q)
+         |           / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) AS cos
+         |  FROM probes p JOIN qd v ON v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim
+         |FROM scored WHERE cos >= ${Similarity.AnnThreshold}
+         |ORDER BY probe_id, neighbor_id""".stripMargin,
     "dedup_embedding" ->
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a AS doc_a, id_b AS doc_b, cos_sim

@@ -354,6 +354,31 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** Exact cosine RANGE search: every corpus vector with cos >= minCos
+    * of each probe — the similarity-API complement of top-k (audits,
+    * dedup sweeps, "everything close to X" retrieval, where the answer
+    * size is data-dependent rather than k). Same scale shape as
+    * [[bruteTopK]] — probes broadcast, corpus streams, NO shuffle of
+    * the corpus — but with no window at all: the threshold replaces
+    * ranking, so the plan is a pure codegen'd map+filter over the
+    * scan. The integer-quantized dot keeps the cosine a deterministic
+    * function of exact longs (sqrt and division are correctly rounded
+    * IEEE ops), so the >= boundary is engine-exact. */
+  def rangeSearch(emb: DataFrame, probeIds: Seq[Long], minCos: Double = AnnThreshold): DataFrame = {
+    val qv = quantized(emb)
+    val probes = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    qv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(emb.sparkSession, col("pq"), col("q")).cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   val PqM = 16 // subspaces (64-dim vectors -> 16 x 4-dim)
   val PqSubDim = 4
   val PqK = 16 // codes per subspace -> 1 byte per (vector, subspace)

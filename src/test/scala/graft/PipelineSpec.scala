@@ -424,6 +424,24 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
   }
 
+  test("rangeSearch == the above-threshold slice of the exact brute ranking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    // brute top-k with k = corpus size IS the full exact ranking; both
+    // outputs carry ROUNDED cosines while rangeSearch thresholds the
+    // unrounded value, so compare strictly above the rounding boundary
+    val cut = Similarity.AnnThreshold + 1e-5
+    val full = Similarity.bruteTopK(emb, Seq(0L, 1L, 2L), n)
+      .filter(col("cos_sim") >= cut)
+      .select("probe_id", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ranged = Similarity.rangeSearch(emb, Seq(0L, 1L, 2L))
+      .filter(col("cos_sim") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ranged == full, s"range/${ranged.size} != brute/${full.size}")
+    assert(ranged.nonEmpty, "threshold left the fixture empty — lower AnnThreshold drift?")
+  }
+
   test("lengthQuantiles: exact nearest-rank picks from the histogram") {
     // en lengths: [2, 2, 4, 6] (n=4) -> p25=2 (rank 1), p50=2 (rank 2),
     // p75=4 (rank 3), p90=6 (ceil(3.6)=rank 4); fr: single doc -> all 3
