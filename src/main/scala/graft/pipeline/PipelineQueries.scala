@@ -79,6 +79,9 @@ object PipelineQueries extends QueryPack {
     // 1-row collect (kmeans pattern); oracle unrolls all 3 iterations
     // in SQL including the greedy-overlap islands rule
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d), 3).orderBy("step")),
+    // the trained merges applied back to the corpus: per-doc subword
+    // counts, segmentation computed once per DISTINCT word
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(docs(s, d), 3).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
@@ -133,6 +136,32 @@ object PipelineQueries extends QueryPack {
     * merge iterations (the sim_ivf_kmeans oracle pattern — SQL can't
     * loop, so each driver-side argmax becomes a LIMIT-1 CTE). */
   private def bpeMergesSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""SELECT $i AS step, (SELECT l FROM b$i) AS left_sym, (SELECT r FROM b$i) AS right_sym,
+         |       (SELECT cnt FROM b$i) AS pair_n,
+         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$i) AS n_symbols_after""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeLoopCtes(iters)}
+       |SELECT * FROM ($steps) ORDER BY step""".stripMargin
+  }
+
+  /** [[TextAnalysis.bpeApply]]: per-word subword counts from the final
+    * symbol table s`iters`, joined back to the exploded corpus. */
+  private def bpeApplySql(iters: Int): String =
+    s"""WITH ${bpeLoopCtes(iters)},
+       |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+       |       FROM s$iters GROUP BY word),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wl.n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, word FROM dw WHERE length(word) > 0) d
+       |JOIN wl USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** The unrolled merge-loop CTEs shared by [[bpeMergesSql]] and
+    * [[bpeApplySql]]: w0/s0 then p/b/m/i/k/s blocks per iteration,
+    * ending in the final symbol table s`iters`. */
+  private def bpeLoopCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT word, freq, pos, s,
@@ -155,12 +184,7 @@ object PipelineQueries extends QueryPack {
          |              FROM k$i)
          |        WHERE NOT coalesce(prev_kept, false))""".stripMargin
     }.mkString(",\n")
-    val steps = (1 to iters).map { i =>
-      s"""SELECT $i AS step, (SELECT l FROM b$i) AS left_sym, (SELECT r FROM b$i) AS right_sym,
-         |       (SELECT cnt FROM b$i) AS pair_n,
-         |       (SELECT CAST(SUM(freq) AS BIGINT) FROM s$i) AS n_symbols_after""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
@@ -169,8 +193,7 @@ object PipelineQueries extends QueryPack {
        |  FROM (SELECT word, freq, unnest(string_split(word, '')) AS s,
        |               generate_subscripts(string_split(word, ''), 1) AS pos
        |        FROM w0)),
-       |$iterCtes
-       |SELECT * FROM ($steps) ORDER BY step""".stripMargin
+       |$iterCtes""".stripMargin
   }
 
   private val TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
@@ -609,6 +632,7 @@ object PipelineQueries extends QueryPack {
     // (cnt DESC, l, r), gaps-and-islands greedy-overlap resolution,
     // lag-consumed row drop, row_number re-positioning.
     "text_bpe_merges" -> bpeMergesSql(3),
+    "text_bpe_apply" -> bpeApplySql(3),
     "text_fingerprint" ->
       s"""SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
          |FROM (${shinglesSql(5)})

@@ -73,6 +73,40 @@ object TextAnalysis {
     * (a,a) -> [aa, aa], never [aa, a, a] or [a, aa, a]. */
   def bpeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    val (seq, results) = bpeLoop(docs, iters)
+    seq.unpersist()
+    import spark.implicits._
+    results.toDF("step", "left_sym", "right_sym", "pair_n", "n_symbols_after")
+  }
+
+  /** Apply the merges [[bpeTrain]] learns back to the corpus: per-doc
+    * whitespace-word and subword-token counts under the trained vocab —
+    * the other half of the tokenizer loop (train on the corpus, then
+    * tokenize the corpus for packing/budgeting). The segmentation is
+    * computed ONCE per DISTINCT word (the training loop's final symbol
+    * table, vocabulary-sized) and joined back to the exploded corpus on
+    * word — never re-segmented per occurrence. The per-word subword
+    * counts are checkpointed eagerly (vocabulary-sized) so the
+    * iteration caches can be freed before the corpus join runs.
+    * Output: (doc_id, n_words, n_bpe_tokens). */
+  def bpeApply(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val (seq, _) = bpeLoop(docs, iters)
+    val wordLens = seq.groupBy("word")
+      .agg(count(lit(1)).as("n_sub"))
+      .localCheckpoint(true)
+    seq.unpersist()
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wordLens, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+  }
+
+  /** The shared merge loop: returns the final (word, freq, pos, s)
+    * symbol table — still persisted; the caller frees it — plus one
+    * (step, l, r, pair_n, n_after) tuple per completed merge. */
+  private def bpeLoop(docs: DataFrame,
+      iters: Int): (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -117,9 +151,7 @@ object TextAnalysis {
         step += 1
       }
     }
-    seq.unpersist()
-    import spark.implicits._
-    results.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "n_symbols_after")
+    (seq, results.toSeq)
   }
 
   /** Exact per-language token-length quantiles (nearest-rank), the

@@ -489,6 +489,12 @@ class PipelineSpec extends SparkSpec {
     // iters beyond exhaustion stop cleanly: single-symbol words only
     val lone = Seq((1L, "x y")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrain(lone, 3).count() == 0)
+
+    // apply the same 2-merge vocab back to the corpus: ab->1 subword,
+    // aaaa->[aa,aa]->2, cd->[c,d]->2; per-doc totals follow
+    val applied = TextAnalysis.bpeApply(tiny, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied == Set((1L, 3L, 4L), (2L, 2L, 3L)))
   }
 
   test("PQ: identical vectors get identical codes; ADC top-k recall clears the floor") {
