@@ -72,6 +72,8 @@ object PipelineQueries extends QueryPack {
     // exact nearest-rank length quantiles from the per-(lang, len)
     // histogram — integer predicate, no sketch, no corpus sort
     "text_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("lang")),
+    // corpus-unigram LM quality proxy: mean token log-probability
+    "text_logprob" -> ((s, d) => TextAnalysis.logProb(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
     "text_bpe" -> ((s, d) => TextAnalysis.bpeCounts(docs(s, d)).orderBy("lang")),
@@ -575,6 +577,18 @@ object PipelineQueries extends QueryPack {
          |       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_tok_len
          |FROM ($TOKS)
          |ORDER BY doc_id""".stripMargin,
+    // unigram self-scoring: mean ln(freq/total) per doc — keep in
+    // sync with TextAnalysis.logProb
+    "text_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tk AS (SELECT doc_id, word FROM t WHERE length(word) > 0),
+        |u AS (SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        |tot AS (SELECT sum(cnt) AS total FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(sum(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+        |             / count(*), 4) AS mean_logprob
+        |FROM tk JOIN u USING (word), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // histogram CDF + nearest-rank integer predicate — keep in sync
     // with TextAnalysis.lengthQuantiles
     "text_quantiles" ->

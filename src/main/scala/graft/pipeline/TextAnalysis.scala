@@ -154,6 +154,32 @@ object TextAnalysis {
     (seq, results.toSeq)
   }
 
+  /** Corpus-unigram log-probability scoring — the language-model
+    * quality proxy (docs of improbable tokens score low: gibberish,
+    * OCR noise, wrong-language fragments). score = mean over the doc's
+    * tokens of ln(corpus_freq(token) / corpus_tokens); every token
+    * exists in the corpus by construction (self-scoring), so no
+    * smoothing term is needed. Shape: the unigram table is ONE
+    * partial-aggregating shuffle and is vocabulary-sized; scoring is
+    * an equi-join on token (AQE broadcasts the unigram table iff it
+    * fits) plus a per-doc hash aggregate. ln/division are IEEE ops
+    * whose at-most-1-ulp engine differences vanish under the 4-decimal
+    * rounding of a length-normalized mean. */
+  def logProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt").as("total"))
+    toks
+      .join(uni, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(log(col("cnt").cast("double") / col("total").cast("double")))
+          / count(lit(1)), 4).as("mean_logprob"))
+  }
+
   /** Exact per-language token-length quantiles (nearest-rank), the
     * corpus-profiling step that sizes context windows and packing
     * budgets. NOT a sort of the corpus: lengths first collapse to a

@@ -442,6 +442,16 @@ class PipelineSpec extends SparkSpec {
     assert(ranged.nonEmpty, "threshold left the fixture empty — lower AnnThreshold drift?")
   }
 
+  test("logProb: frequent-token docs outscore rare-token docs; hand-checked values") {
+    // corpus unigrams: a x4, b x2, z x2 (total 8)
+    // doc 1 = "a a a a": mean ln(4/8) = ln(.5)    = -0.6931
+    // doc 2 = "b b z z": mean ln(2/8) = ln(.25)   = -1.3863
+    val docsDf = Seq((1L, "a a a a"), (2L, "b b z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.logProb(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 4L, -0.6931), (2L, 4L, -1.3863)))
+  }
+
   test("lengthQuantiles: exact nearest-rank picks from the histogram") {
     // en lengths: [2, 2, 4, 6] (n=4) -> p25=2 (rank 1), p50=2 (rank 2),
     // p75=4 (rank 3), p90=6 (ceil(3.6)=rank 4); fr: single doc -> all 3
