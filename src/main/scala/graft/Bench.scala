@@ -7,8 +7,34 @@ import org.apache.spark.sql.SparkSession
   * sf0.001 first: JVM/JIT, codegen caches and parquet footers are
   * per-process costs, not per-query costs — without it the first timed
   * query absorbs ~10 s of warm-up and the numbers are noise.
+  *
+  * Timing protocol: INTERLEAVED passes. The whole suite runs 3 times
+  * end-to-end and each query's reported time is the median of its 3
+  * cross-pass samples. Back-to-back repeats of one query (the r5
+  * protocol) put all 3 samples inside the same few seconds, so one
+  * sandbox-contention window poisons 2 of 3 and the median with it —
+  * r5's dedup_minhash reported 5.96 s median against a 1.15 s min and
+  * did not reproduce. Interleaving spaces a query's samples ~30 s
+  * apart (one full pass) at identical total cost, so a contention
+  * window can clip at most one sample per query, which the median
+  * discards by construction.
+  *
+  * Each sample also records the JVM GC time that elapsed inside it
+  * (GarbageCollectorMXBean deltas, all collectors summed). A sample
+  * inflated by memory pressure or a noisy neighbor forcing collections
+  * is then self-labeling: queries_gc alongside queries_max lets a
+  * reader separate "the query got slower" from "the JVM was busy".
   */
 object Bench {
+  private val Passes = 3
+
+  /** Sum of collection time across all GC beans, milliseconds. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -32,31 +58,42 @@ object Bench {
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // median of 3 in-process runs per query: the median is robust to a
-    // one-off page-cache / GC / compilation hiccup in either direction,
-    // so round-over-round deltas >= 15% are decidable without a noise
-    // argument (min hid regressions' tails; a single pass hid
-    // everything). min/max are emitted alongside for spread. A failing
-    // query is reported as -1, never as its elapsed-time-to-exception.
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val stats = if (times.contains(-1.0)) (-1.0, -1.0, -1.0)
-        else (times.sorted.apply(times.size / 2), times.min, times.max)
-      name -> stats
+    // samples(q) = one (seconds, gcSeconds) pair per pass; a failing
+    // sample is (-1, gc) and marks the query failed for the round —
+    // never reported as its elapsed-time-to-exception.
+    val samples = collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to Passes; (name, fn) <- ordered) {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      samples(name) = samples(name) :+ (if (ok) (sec, gcSec) else (-1.0, gcSec))
     }
-    def jmap(f: ((Double, Double, Double)) => Double) =
+
+    // per-query median/min/max across passes; GC seconds reported for
+    // the median-selected sample so the headline number and its GC
+    // label describe the same run
+    val results = ordered.map { case (name, _) =>
+      val s = samples(name)
+      if (s.exists(_._1 < 0)) name -> (-1.0, -1.0, -1.0, -1.0)
+      else {
+        val bySec = s.sortBy(_._1)
+        val (med, medGc) = bySec(s.size / 2)
+        name -> (med, bySec.head._1, bySec.last._1, medGc)
+      }
+    }
+    def jmap(f: ((Double, Double, Double, Double)) => Double) =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val qs = jmap(_._1)
     val qsMin = jmap(_._2)
     val qsMax = jmap(_._3)
-    val failed = results.collect { case (k, (-1.0, _, _)) => "\"" + k + "\"" }
+    val qsGc = jmap(_._4)
+    val failed = results.collect { case (k, (-1.0, _, _, _)) => "\"" + k + "\"" }
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
