@@ -442,6 +442,72 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos_sim"))
   }
 
+  /** Substring-level dedup: maximal shared token RUNS between document
+    * pairs — the span-removal operator from "Deduplicating Training
+    * Data Makes Language Models Better" (whole-doc dedup misses
+    * boilerplate headers, license blocks and templated paragraphs
+    * repeated inside otherwise-distinct documents). A shared run is a
+    * maximal sequence of consecutive positions where both docs carry
+    * the same k-gram shingles; two positional shingle streams match on
+    * a RUN exactly when their join hits lie on one diagonal
+    * (pos_a - pos_b constant) at consecutive pos_a — so runs are
+    * gaps-and-islands over (doc_a, doc_b, diagonal), the same pattern
+    * the BPE merge rule uses on matched positions.
+    *
+    * Scale shape: the join is [[jaccardPairs]]' inverted shingle index
+    * (pairs sharing >= 1 surviving shingle only, never all pairs) with
+    * the same two-phase df blacklist — df here is DISTINCT DOCS per
+    * shingle, so corpus-wide boilerplate k-grams leave the index
+    * before the self-join shuffles (a license shingle in 10^6 docs
+    * would otherwise emit 10^12 diagonal rows). The islands window
+    * partitions by (doc_a, doc_b, diag) — bounded by DOCUMENT length,
+    * not corpus size, so no partition outgrows a task at any corpus
+    * scale. In-doc repeats of one shingle fan out t_a x t_b rows per
+    * pair; that product is bounded by doc length squared and in
+    * practice by the repetition filter upstream ([[TextAnalysis.repetition]]
+    * flags those docs first).
+    *
+    * Output: one row per maximal shared run of at least `minRun`
+    * tokens: (doc_a, doc_b, start_a, start_b, len_tokens), positions
+    * 1-based token offsets. Runs shorter than minRun are noise (any
+    * two docs share stray k-grams); production uses ~50, the default
+    * here is sized to the synthetic corpus. */
+  def spanPairs(docs: DataFrame, k: Int = 3, minRun: Int = 10,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    log.info(s"spanPairs: shingles in > $maxDf distinct docs are removed from " +
+      "the positional index (bounded d^2 blowup); spans made only of " +
+      "corpus-wide boilerplate k-grams are not reported per-pair")
+    val sh = TextAnalysis.shingles(docs, k)
+    // df = distinct docs (positions within one doc must not count
+    // toward the cap); tiny over-cap set -> broadcast anti-join drops
+    // hot shingles map-side, before the self-join shuffle
+    val overCap = sh.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val hits = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    // islands: consecutive pos_a on one diagonal = one maximal run.
+    // (pos_a, diag) is unique per pair — (doc, pos) is unique in the
+    // shingle table — so row_number is exact, no pre-distinct needed.
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    hits
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(
+        min("pos_a").cast("long").as("start_a"),
+        (min("pos_a") - col("diag")).cast("long").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("len_tokens"))
+      .filter(col("len_tokens") >= minRun)
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+  }
+
   /** SimHash: 32-bit fingerprint from the hex digits of md5(token),
     * majority-weighted by term frequency. Exact-collision groups are
     * near-identical docs.
