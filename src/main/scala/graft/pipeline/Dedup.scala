@@ -467,11 +467,24 @@ object Dedup {
     * practice by the repetition filter upstream ([[TextAnalysis.repetition]]
     * flags those docs first).
     *
+    * df-cap contract (stronger than "boilerplate-only spans are
+    * unreported"): a blacklisted shingle in the MIDDLE of an otherwise
+    * unique shared run SPLITS that run at the gap — each fragment is
+    * reported separately and fragments shorter than minRun disappear.
+    * That is the deliberate trade: at the default caps a shingle goes
+    * over only when it appears in > maxDf distinct docs, i.e. it IS
+    * corpus boilerplate, and a span fragmented by boilerplate is
+    * reported as its unique pieces. Callers needing gap-bridging can
+    * lower k or raise maxDf; bridging in the islands pass itself would
+    * make run length depend on the blacklist, breaking the exact
+    * "maximal shared run over the capped index" semantics.
+    *
     * Output: one row per maximal shared run of at least `minRun`
     * tokens: (doc_a, doc_b, start_a, start_b, len_tokens), positions
     * 1-based token offsets. Runs shorter than minRun are noise (any
     * two docs share stray k-grams); production uses ~50, the default
-    * here is sized to the synthetic corpus. */
+    * here is sized to the synthetic corpus (non-trivial, stable result
+    * sets at sf0.001-0.1). */
   def spanPairs(docs: DataFrame, k: Int = 3, minRun: Int = 10,
       maxDf: Long = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -31,6 +31,11 @@ object PipelineQueries extends QueryPack {
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
+    // substring-level dedup: maximal shared token runs between doc
+    // pairs (diagonal gaps-and-islands over the positional shingle
+    // self-join)
+    "dedup_spans" -> ((s, d) =>
+      Dedup.spanPairs(docs(s, d)).orderBy("doc_a", "doc_b", "start_a", "start_b")),
     // incremental ingest dedup: every 5th doc plays the new crawl
     // batch, screened against the rest as the standing base corpus —
     // batch-vs-base joins only, never base-vs-base
@@ -201,6 +206,16 @@ object PipelineQueries extends QueryPack {
   private val TOKS = "SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents"
 
   private def shinglesSql(k: Int): String = shinglesSqlFrom(k, "documents")
+
+  /** POSITIONAL k-gram shingles (doc_id, pos, shingle), 1-based —
+    * [[TextAnalysis.shingles]]' exact shape (no distinct: positions
+    * matter). */
+  private def positionalShinglesSql(k: Int): String =
+    s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |       array_to_string(toks[pos:pos+${k - 1}], ' ') AS shingle
+       |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS pos
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |      WHERE len(toks) >= $k)""".stripMargin
 
   /** Distinct k-gram shingles of any (doc_id, text) relation. */
   private def shinglesSqlFrom(k: Int, rel: String): String =
@@ -444,6 +459,32 @@ object PipelineQueries extends QueryPack {
          |           JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // positional-shingle self-join + diagonal gaps-and-islands; df =
+    // DISTINCT docs per shingle — keep in sync with Dedup.spanPairs
+    "dedup_spans" ->
+      s"""WITH sh AS (${positionalShinglesSql(3)}),
+         |cap AS (SELECT shingle FROM (
+         |          SELECT shingle, count(DISTINCT doc_id) AS df
+         |          FROM sh GROUP BY shingle)
+         |        WHERE df > ${Dedup.MaxShingleDf}),
+         |kept AS (SELECT sh.* FROM sh
+         |         WHERE shingle NOT IN (SELECT shingle FROM cap)),
+         |hits AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         |         a.pos - b.pos AS diag
+         |  FROM kept a JOIN kept b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT *, pos_a - row_number()
+         |              OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+         |  FROM hits)
+         |SELECT doc_a, doc_b,
+         |       CAST(min(pos_a) AS BIGINT) AS start_a,
+         |       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+         |       CAST(count(*) + 2 AS BIGINT) AS len_tokens
+         |FROM isl GROUP BY doc_a, doc_b, diag, isl
+         |HAVING count(*) + 2 >= 10
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $FPS_SQL
          |SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc

@@ -50,6 +50,59 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L, 0.6)))
   }
 
+  test("spanPairs finds the planted shared paragraph at exact offsets and excludes the unrelated doc") {
+    // doc A carries the paragraph at token 6, doc B at token 4; the
+    // only shingles they share are fully inside it (prefixes/suffixes
+    // differ, so boundary shingles don't match) -> exactly one maximal
+    // run of 10 shingles = 12 tokens
+    val para = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (9101L, s"pa1 pa2 pa3 pa4 pa5 $para ta1 ta2"),
+      (9102L, s"qb1 qb2 qb3 $para ub1"),
+      (9103L, "totally unrelated text about catalyst plans and shuffle files"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = Dedup.spanPairs(docs, k = 3, minRun = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((9101L, 9102L, 6L, 4L, 12L)))
+  }
+
+  test("spanPairs df blacklist: corpus-wide boilerplate runs leave the index; unique spans survive") {
+    // the boilerplate run sits in 4 docs > maxDf=3, so every one of its
+    // interior shingles is blacklisted (df counts DISTINCT docs) and no
+    // boilerplate-only span is reported; the unique paragraph shared by
+    // 9201/9202 is still found at its exact offsets
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (9201L, s"$boiler x1 x2 x3 $para"),
+      (9202L, s"$para y1 $boiler"),
+      (9203L, s"z1 $boiler z2"),
+      (9204L, s"w1 w2 $boiler"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = Dedup.spanPairs(docs, k = 3, minRun = 10, maxDf = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((9201L, 9202L, 16L, 1L, 12L)))
+  }
+
+  test("spanPairs handles in-doc shingle repeats: runs stay diagonal-exact") {
+    // both docs repeat the paragraph twice -> 4 diagonal combinations,
+    // each a maximal run; the islands logic must not merge or miscount
+    // them (9301: paras at 1 and 16; 9302: paras at 4 and 19)
+    val para = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (9301L, s"$para g1 g2 g3 $para"),
+      (9302L, s"h1 h2 h3 $para k1 k2 k3 $para"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = Dedup.spanPairs(docs, k = 3, minRun = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (9301L, 9302L, 1L, 4L, 12L), (9301L, 9302L, 1L, 19L, 12L),
+      (9301L, 9302L, 16L, 4L, 12L), (9301L, 9302L, 16L, 19L, 12L)))
+  }
+
   test("minhash LSH candidates include the planted near-dup pair") {
     val cands = Dedup.minhashCandidates(planted)
       .as[(Long, Long)].collect().toSet

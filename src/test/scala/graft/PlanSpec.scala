@@ -189,6 +189,26 @@ class PlanSpec extends SparkSpec {
     assert(joins.nonEmpty, s"dedup_incremental lost its broadcast anti-join blacklist:\n$p")
   }
 
+  test("dedup_spans: df blacklist is a broadcast anti-join; only window is the doc-pair islands window") {
+    val p = plan("dedup_spans")
+    // exactly one WindowExec is allowed — the islands row_number over
+    // (doc_a, doc_b, diag), whose partitions are bounded by DOCUMENT
+    // length; a window keyed on the shingle itself would be the skewed
+    // hot-key shape the two-phase blacklist exists to prevent
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"dedup_spans expected exactly the islands window:\n$p")
+    assert(windows.head.partitionSpec.size == 3,
+      s"islands window must partition by (doc_a, doc_b, diag):\n${windows.head}")
+    val df = SparkEntry.queries("dedup_spans")(spark, sf0001)
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, s"dedup_spans lost its df blacklist anti-join:\n${df.queryExecution.optimizedPlan}")
+    assert(df.queryExecution.optimizedPlan.toString.contains(pipeline.Dedup.MaxShingleDf.toString),
+      "MaxShingleDf cap vanished from the optimized plan")
+  }
+
   test("pipeline_keep_best: cluster argmax is an aggregate (max_by), not a window") {
     val p = plan("pipeline_keep_best")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
