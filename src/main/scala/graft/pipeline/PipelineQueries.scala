@@ -100,6 +100,9 @@ object PipelineQueries extends QueryPack {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    // IVF x PQ composition: kmeans cells route probes, PQ codes score
+    // candidates — the scan touches only probed cells and no raw vector
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // Decode path: kind=image tries the REAL javax.imageio codec; the
@@ -280,6 +283,104 @@ object PipelineQueries extends QueryPack {
        |  FROM dots
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
   }
+
+  /** Unrolled fixed-iteration spherical k-means CTEs — semantics of
+    * [[Similarity.kmeansCentroids]] (seeded md5 init, integer centroid
+    * sums, score DESC / cell ASC argmax) — ending in `cent2` (the
+    * trained centroids) and `asg` (every vector's final cell,
+    * carrying qd/q/n2). Assumes a preceding `qv` CTE ($QV2); shared by
+    * sim_ivf_kmeans and sim_ivfpq_topk. */
+  private def kmeansCtes: String = {
+    def assign(centTbl: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cell, qd, q, n2 FROM (
+         |    SELECT v.vec_id, c.cell, v.qd, v.q, v.n2,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_dot_product(v.qd, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS rn
+         |    FROM qd v CROSS JOIN $centTbl c)
+         |  WHERE rn = 1)""".stripMargin
+    def update(assignTbl: String, out: String) =
+      s"""${out}_c AS (
+         |  SELECT cell, pos, CAST(SUM(qi) AS BIGINT) AS c
+         |  FROM (SELECT cell, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM $assignTbl)
+         |  GROUP BY cell, pos),
+         |$out AS (
+         |  SELECT cell, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv,
+         |         CAST(SUM(c * c) AS BIGINT) AS cn2
+         |  FROM ${out}_c GROUP BY cell)""".stripMargin
+    s"""qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, q, n2 FROM qv),
+       |seeds AS (
+       |  SELECT vec_id AS cell, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv, n2 AS cn2
+       |  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.KmeansK}),
+       |${assign("seeds", "a1")},
+       |${update("a1", "cent1")},
+       |${assign("cent1", "a2")},
+       |${update("a2", "cent2")},
+       |${assign("cent2", "asg")}""".stripMargin
+  }
+
+  /** DuckDB slice of subspace m out of a quantized vector column. */
+  private def pqSlice(v: String): String =
+    s"list_slice($v, m * ${Similarity.PqSubDim} + 1, m * ${Similarity.PqSubDim} + ${Similarity.PqSubDim})"
+
+  /** Lloyd-refined PQ codebook CTEs — semantics of
+    * [[Similarity.pqCodebook]]: seed sample init, then `iters`
+    * per-subspace k-means passes (exact-long L2 argmin assignment,
+    * component mean snapped to long via round(sum/count) — the double
+    * division of two exact integers rounds identically in any
+    * engine). Ends in `pqcb{iters}` (m, code, cq, cn2) and `pqsub`
+    * (vec_id, m, sq double-list, sqi long-list). Assumes `qv`;
+    * shared by sim_pq_topk and sim_ivfpq_topk. */
+  private def pqCbCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pqa$i AS (
+         |  SELECT m, code, sqi FROM (
+         |    SELECT s.m, c.code, s.sqi,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY c.cn2 - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+         |                      c.code) AS rn
+         |    FROM pqsub s JOIN pqcb${i - 1} c USING (m))
+         |  WHERE rn = 1),
+         |pqu$i AS (
+         |  SELECT m, code, pos, CAST(round(SUM(qi) / COUNT(*)) AS BIGINT) AS c
+         |  FROM (SELECT m, code, unnest(sqi) AS qi, generate_subscripts(sqi, 1) AS pos
+         |        FROM pqa$i)
+         |  GROUP BY m, code, pos),
+         |pqcb$i AS (
+         |  SELECT m, code, list(CAST(c AS DOUBLE) ORDER BY pos) AS cq,
+         |         CAST(SUM(c * c) AS BIGINT) AS cn2
+         |  FROM pqu$i GROUP BY m, code)""".stripMargin
+    }.mkString(",\n")
+    s"""ms AS (SELECT unnest(range(0, ${Similarity.PqM})) AS m),
+       |pqseed AS (SELECT vec_id AS code, q FROM qv
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.PqK}),
+       |pqcb0 AS (SELECT m, code,
+       |                 list_transform(${pqSlice("q")}, x -> CAST(x AS DOUBLE)) AS cq,
+       |                 CAST(list_sum(list_transform(${pqSlice("q")}, x -> x * x)) AS BIGINT) AS cn2
+       |          FROM pqseed, ms),
+       |pqsub AS (SELECT vec_id, m,
+       |                 list_transform(${pqSlice("q")}, x -> CAST(x AS DOUBLE)) AS sq,
+       |                 ${pqSlice("q")} AS sqi
+       |          FROM qv, ms)${if (iters > 0) ",\n" + iterCtes else ""}""".stripMargin
+  }
+
+  /** PQ encoding + per-probe LUT + ADC serve CTEs over the final
+    * codebook `pqcb{iters}` — ends in `pqcodes` and `pqlut`. */
+  private def pqServeCtes(iters: Int): String =
+    s"""pqcodes AS (
+       |  SELECT vec_id, m, code, cn2 FROM (
+       |    SELECT s.vec_id, s.m, c.code, c.cn2,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY c.cn2 - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+       |                      c.code) AS rn
+       |    FROM pqsub s JOIN pqcb$iters c USING (m))
+       |  WHERE rn = 1),
+       |pqprobes AS (SELECT s.vec_id AS probe_id, s.m, v.n2 AS pn2, s.sq AS psq
+       |             FROM pqsub s JOIN qv v USING (vec_id) WHERE s.vec_id < 10),
+       |pqlut AS (SELECT p.probe_id, p.pn2, p.m, c.code,
+       |                 CAST(list_dot_product(p.psq, c.cq) AS BIGINT) AS pdot
+       |          FROM pqprobes p JOIN pqcb$iters c USING (m))""".stripMargin
 
   /** The 8 per-shingle minhash min-aggregates (8-hex slices of two md5
     * digests) — [[Dedup.minhashSignatures]]' arithmetic. */
@@ -734,43 +835,20 @@ object PipelineQueries extends QueryPack {
          |WHERE id_a IN (SELECT doc_id FROM documents)
          |  AND id_b IN (SELECT doc_id FROM documents)
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // Product quantization unrolled: seed-sample codebook, exact-long
-    // L2 argmin codes (score = cn2 - 2*dot; n2x constant within the
-    // argmin), per-probe LUT, ADC scores — keep in sync with
-    // Similarity.pqCodebook/pqCodes/pqTopK. list_dot_product over
-    // quantized values < 2^53 is exact, so the BIGINT casts are lossless.
-    "sim_pq_topk" -> {
-      val sub = (v: String) =>
-        s"list_slice($v, m * ${Similarity.PqSubDim} + 1, m * ${Similarity.PqSubDim} + ${Similarity.PqSubDim})"
+    // Product quantization unrolled: Lloyd-refined codebook
+    // (pqCbCtes), exact-long L2 argmin codes (score = cn2 - 2*dot; n2x
+    // constant within the argmin), per-probe LUT, ADC scores — keep in
+    // sync with Similarity.pqCodebook/pqCodes/pqTopK. list_dot_product
+    // over quantized values < 2^53 is exact, so the BIGINT casts are
+    // lossless.
+    "sim_pq_topk" ->
       s"""WITH qv AS ($QV2),
-         |ms AS (SELECT unnest(range(0, ${Similarity.PqM})) AS m),
-         |cb0 AS (SELECT vec_id AS code, q FROM qv
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.PqK}),
-         |cb AS (SELECT code, m,
-         |              list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS cq,
-         |              CAST(list_sum(list_transform(${sub("q")}, x -> x * x)) AS BIGINT) AS cn2
-         |       FROM cb0, ms),
-         |sub AS (SELECT vec_id, m,
-         |               list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS sq
-         |        FROM qv, ms),
-         |codes AS (
-         |  SELECT vec_id, m, code, cn2 FROM (
-         |    SELECT s.vec_id, s.m, c.code, c.cn2,
-         |           row_number() OVER (PARTITION BY s.vec_id, s.m
-         |             ORDER BY c.cn2 - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
-         |                      c.code) AS rn
-         |    FROM sub s JOIN cb c USING (m))
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS probe_id, m, n2 AS pn2,
-         |                  list_transform(${sub("q")}, x -> CAST(x AS DOUBLE)) AS psq
-         |           FROM qv, ms WHERE vec_id < 10),
-         |lut AS (SELECT p.probe_id, p.pn2, p.m, c.code,
-         |               CAST(list_dot_product(p.psq, c.cq) AS BIGINT) AS pdot
-         |        FROM probes p JOIN cb c USING (m)),
+         |${pqCbCtes(Similarity.PqIters)},
+         |${pqServeCtes(Similarity.PqIters)},
          |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
          |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
          |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
-         |        FROM codes d JOIN lut l ON l.m = d.m AND l.code = d.code
+         |        FROM pqcodes d JOIN pqlut l ON l.m = d.m AND l.code = d.code
          |        WHERE d.vec_id <> l.probe_id
          |        GROUP BY 1, 2, 3),
          |scored AS (SELECT probe_id, vec_id,
@@ -782,8 +860,47 @@ object PipelineQueries extends QueryPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
          |                                   ORDER BY adc DESC, vec_id) AS rn
          |      FROM scored)
-         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // IVF x PQ: kmeans coarse cells (kmeansCtes) route probes to their
+    // KmeansNprobe nearest cells; candidates in those cells are
+    // ADC-scored over the Lloyd-trained codebook — keep in sync with
+    // Similarity.ivfPqTopK (no-residual IVFPQ: codes quantize the raw
+    // vector, so the codebook CTEs are exactly sim_pq_topk's).
+    "sim_ivfpq_topk" ->
+      s"""WITH qv AS ($QV2),
+         |$kmeansCtes,
+         |${pqCbCtes(Similarity.PqIters)},
+         |${pqServeCtes(Similarity.PqIters)},
+         |ccodes AS (SELECT d.*, a.cell FROM pqcodes d JOIN asg a USING (vec_id)),
+         |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
+         |            FROM asg WHERE vec_id < 10),
+         |pcells AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS crank
+         |    FROM probes0 p CROSS JOIN cent2 c)
+         |  WHERE crank <= ${Similarity.KmeansNprobe}),
+         |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
+         |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
+         |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
+         |        FROM ccodes d
+         |        JOIN pcells pc ON pc.cell = d.cell
+         |        JOIN pqlut l ON l.probe_id = pc.probe_id
+         |                    AND l.m = d.m AND l.code = d.code
+         |        WHERE d.vec_id <> l.probe_id
+         |        GROUP BY 1, 2, 3),
+         |scored AS (SELECT probe_id, vec_id,
+         |                  CAST(adot AS DOUBLE)
+         |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
+         |           FROM adc)
+         |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
+         |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY adc DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH qv AS ($QV2),
          |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),
@@ -818,34 +935,8 @@ object PipelineQueries extends QueryPack {
     // integer centroid sums, assignment argmax with score DESC / cell
     // ASC tie-break) — keep in sync with Similarity.kmeansCentroids.
     "sim_ivf_kmeans" -> {
-      def assign(centTbl: String, out: String) =
-        s"""$out AS (
-           |  SELECT vec_id, cell, qd, q, n2 FROM (
-           |    SELECT v.vec_id, c.cell, v.qd, v.q, v.n2,
-           |           row_number() OVER (PARTITION BY v.vec_id
-           |             ORDER BY list_dot_product(v.qd, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
-           |                      c.cell) AS rn
-           |    FROM qd v CROSS JOIN $centTbl c)
-           |  WHERE rn = 1)""".stripMargin
-      def update(assignTbl: String, out: String) =
-        s"""${out}_c AS (
-           |  SELECT cell, pos, CAST(SUM(qi) AS BIGINT) AS c
-           |  FROM (SELECT cell, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM $assignTbl)
-           |  GROUP BY cell, pos),
-           |$out AS (
-           |  SELECT cell, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv,
-           |         CAST(SUM(c * c) AS BIGINT) AS cn2
-           |  FROM ${out}_c GROUP BY cell)""".stripMargin
       s"""WITH qv AS ($QV2),
-         |qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, q, n2 FROM qv),
-         |seeds AS (
-         |  SELECT vec_id AS cell, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv, n2 AS cn2
-         |  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.KmeansK}),
-         |${assign("seeds", "a1")},
-         |${update("a1", "cent1")},
-         |${assign("cent1", "a2")},
-         |${update("a2", "cent2")},
-         |${assign("cent2", "asg")},
+         |$kmeansCtes,
          |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
          |            FROM asg WHERE vec_id < 10),
          |pcells AS (

@@ -382,30 +382,79 @@ object Similarity {
   val PqM = 16 // subspaces (64-dim vectors -> 16 x 4-dim)
   val PqSubDim = 4
   val PqK = 16 // codes per subspace -> 1 byte per (vector, subspace)
+  val PqIters = 2 // per-subspace Lloyd refinement passes
 
   private def subspaces(q: org.apache.spark.sql.Column, out: String) =
     explode(array((0 until PqM).map(m =>
       struct(lit(m).as("m"), slice(q, m * PqSubDim + 1, PqSubDim).as(out))): _*))
 
-  /** Product-quantization codebook: per subspace m, the sub-vectors of
-    * the `k` seed vectors with the smallest md5(vec_id) — a
-    * deterministic corpus sample, the same seeded draw
-    * [[kmeansCentroids]] initializes from (and the honest way to
-    * bootstrap a codebook at 100 TB: train on a sample; the Lloyd
-    * template at [[kmeansCentroids]] refines it per-subspace with the
-    * identical machinery if sample codes underfit). Output: (m, code,
-    * cq: array<long>, cn2: long) — k*PqM rows, broadcast-safe at any
-    * corpus size. */
-  def pqCodebook(emb: DataFrame, k: Int = PqK): DataFrame = {
+  /** Product-quantization codebook, Lloyd-refined per subspace: init is
+    * the sub-vectors of the `k` seed vectors with the smallest
+    * md5(vec_id) (the deterministic draw [[kmeansCentroids]] uses),
+    * then `iters` k-means passes PER SUBSPACE refine them — real PQ
+    * training, not a raw sample (iters=0 reproduces the plain sample
+    * for comparison). Unlike the IVF coarse quantizer (cosine —
+    * scale-invariant, so unnormalized integer SUMS work), PQ assignment
+    * is L2: the codeword must be the actual MEAN, so each refined
+    * component is round(sum/count) snapped back to an exact long —
+    * assignment stays pure integer arithmetic (`cn2 - 2<x,c>`) and the
+    * double division + half-away-from-zero round of two exact integers
+    * is engine-exact, so DuckDB replays training bit-for-bit.
+    *
+    * Scale shape: one corpus pass per iteration (the codebook is
+    * PqM x k rows — broadcast at any corpus size; per-iteration
+    * materialization collects only those rows, the MLlib k-means
+    * driver step); the subspace-exploded corpus is persisted across
+    * iterations (spill-safe) and freed before return. Codes that lose
+    * all members vanish — both engines drop them identically.
+    * Output: (m, code, cq: array<long>, cn2: long). */
+  def pqCodebook(emb: DataFrame, k: Int = PqK, iters: Int = PqIters): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val seeds = quantized(emb)
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("code"), col("q"))
-    seeds
+    val seedCb = seeds
       .select(col("code"), subspaces(col("q"), "cq").as("s"))
-      .select(col("code"), col("s.m").as("m"), col("s.cq").as("cq"))
-      .withColumn("cn2", dot(emb.sparkSession, col("cq"), col("cq")))
+      .select(col("s.m").as("m"), col("code"), col("s.cq").as("cq"))
+      .withColumn("cn2", dot(spark, col("cq"), col("cq")))
+    if (iters == 0) return seedCb
+    // k*PqM codebook rows per iteration — bounded by construction
+    def localized(cb: DataFrame): DataFrame =
+      cb.select(col("m"), col("code"), col("cq"), col("cn2"))
+        .as[(Int, Long, Seq[Long], Long)].collect().toSeq
+        .toDF("m", "code", "cq", "cn2")
+    val sub = quantized(emb)
+      .select(col("vec_id"), subspaces(col("q"), "sq").as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cb = localized(seedCb)
+      for (_ <- 1 to iters) {
+        // assign: exact-long L2 argmin (same key as pqCodes); min_by is
+        // a hash aggregate — no window on the corpus
+        val assigned = sub.join(broadcast(cb), Seq("m"))
+          .withColumn("score", col("cn2") - lit(2L) * dot(spark, col("sq"), col("cq")))
+          .groupBy("vec_id", "m")
+          .agg(min_by(struct(col("code"), col("sq")), struct(col("score"), col("code"))).as("best"))
+          .select(col("m"), col("best.code").as("code"), col("best.sq").as("sq"))
+        // update: component mean snapped to long — partial-aggregating
+        // integer sums, one divide+round per (m, code, pos) cell
+        val upd = assigned
+          .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "qi")))
+          .groupBy("m", "code", "pos")
+          .agg(sum("qi").as("s"), count(lit(1)).as("n"))
+          .withColumn("c", round(col("s").cast("double") / col("n")).cast("long"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), _.getField("c"))
+            .as("cq"))
+          .withColumn("cn2", dot(spark, col("cq"), col("cq")))
+        cb = localized(upd)
+      }
+      cb
+    } finally sub.unpersist(false)
   }
 
   /** PQ encoding: every (vector, subspace) assigned its nearest
@@ -436,10 +485,11 @@ object Similarity {
     * never touches a raw vector. ||recon||^2 = sum_m cn2 exactly
     * (concatenated subspaces), so adc_cos is a deterministic function
     * of exact longs. */
-  def pqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+  def pqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5,
+      iters: Int = PqIters): DataFrame = {
     val spark = emb.sparkSession
     val qv = quantized(emb)
-    val cb = pqCodebook(emb)
+    val cb = pqCodebook(emb, iters = iters)
     val codes = pqCodes(qv, cb)
     val lut = qv
       .filter(col("vec_id").isin(probeIds: _*))
@@ -453,6 +503,67 @@ object Similarity {
       .partitionBy("probe_id").orderBy(desc("adc_cos"), asc("vec_id"))
     codes
       .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"), col("pn2"))
+      .agg(sum("pdot").as("adot"), sum("cn2").as("rn2"))
+      .withColumn("adc_cos",
+        col("adot").cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("rn2").cast("double"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
+  }
+
+  /** IVF x PQ — the composed 100 TB ANN shape (FAISS's IVFPQ layout):
+    * the k-means coarse quantizer routes each probe to its `nprobe`
+    * nearest cells, and within those cells candidates are scored with
+    * PQ asymmetric distance — the scan touches only probed cells
+    * (partition-prunes when the code table is stored cell-partitioned)
+    * and only PQ codes, never a raw vector. Codes here quantize the RAW
+    * vector, not the cell residual (classic IVFADC subtracts the
+    * centroid first; that would make codewords depend on float means
+    * and break the exact-integer determinism contract — the standard
+    * no-residual IVFPQ variant, trading some quantization error for a
+    * cell-independent codebook).
+    *
+    * Everything bounded: centroid table k rows, codebook PqM x PqK
+    * rows, probe LUT probes x nprobe x PqM x PqK rows — all broadcast;
+    * the only corpus-sized object is the code table, touched once. */
+  def ivfPqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5,
+      nprobe: Int = KmeansNprobe): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = quantized(emb)
+    val cent = kmeansCentroids(emb)
+    val assign = assignCells(qv, cent)
+    val cb = pqCodebook(emb)
+    val codes = pqCodes(qv, cb).join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val probes = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cscore"), asc("cell"))
+    val probeCells = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore",
+        dot(spark, col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    val lut = probes
+      .select(col("probe_id"), col("pn2"), subspaces(col("pq"), "psq").as("s"))
+      .select(col("probe_id"), col("pn2"), col("s.m").as("m"), col("s.psq").as("psq"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(spark, col("psq"), col("cq")))
+      .select(col("probe_id"), col("pn2"), col("m"), col("code"), col("pdot"))
+      // LUT restricted to probed cells: probes x nprobe x PqM x PqK
+      // rows — bounded, broadcast; the join key (cell, m, code) makes
+      // the corpus-side scan a pure cell-pruned lookup
+      .join(probeCells, Seq("probe_id"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("adc_cos"), asc("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"), col("pn2"))
       .agg(sum("pdot").as("adot"), sum("cn2").as("rn2"))

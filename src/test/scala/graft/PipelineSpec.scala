@@ -593,6 +593,49 @@ class PipelineSpec extends SparkSpec {
     } finally cb.unpersist()
   }
 
+  test("Lloyd-refined PQ codebook beats the raw seed sample on brute-force recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // 50 probes: 10 is too small a sample to separate the codebooks
+    // (both land on 0.34); at 50 the refined codebook's win is stable
+    val probes = 0L to 49L
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteTopK(emb, probes, 5))
+    def recall(iters: Int): Double = {
+      val pq = topSets(Similarity.pqTopK(emb, probes, 5, iters = iters))
+      probes.map(p => (pq.getOrElse(p, Set.empty[Long]) & brute(p)).size / 5.0)
+        .sum / probes.size
+    }
+    val seed = recall(0)
+    val lloyd = recall(Similarity.PqIters)
+    info(f"PQ recall@5 over ${probes.size} probes: seed=$seed%.3f lloyd=$lloyd%.3f")
+    assert(lloyd > seed,
+      f"Lloyd refinement did not improve recall: seed=$seed%.3f lloyd=$lloyd%.3f")
+  }
+
+  test("ivfPqTopK: well-formed ranks, non-empty, candidates restricted to probed cells") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.ivfPqTopK(emb, 0L to 9L, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty)
+    // ranks are 1..k dense per probe, no self-matches
+    for ((p, rows) <- res.groupBy(_._1)) {
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.size), s"ranks not dense for probe $p")
+      assert(!rows.exists(_._2 == p), s"probe $p returned itself")
+    }
+    // cell restriction: every neighbor shares a probed cell with its probe
+    val cent = Similarity.kmeansCentroids(emb)
+    val asg = Similarity.ivfIndexKmeans(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val probeCells = Similarity.ivfTopKNprobe(
+      Similarity.ivfIndexKmeans(emb), cent, 0L to 9L, k = 1000, nprobe = Similarity.KmeansNprobe)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => asg(r._2)).toSet).toMap
+    for ((p, n, _, _) <- res)
+      assert(probeCells(p).contains(asg(n)), s"neighbor $n of probe $p outside probed cells")
+  }
+
   test("pqTopK plan: broadcast-only joins, no shuffle of raw vectors into the scan") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = Similarity.pqTopK(emb, 0L to 9L, 5).queryExecution.executedPlan.toString
