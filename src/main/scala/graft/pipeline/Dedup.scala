@@ -324,16 +324,42 @@ object Dedup {
     * blocks live at the RDD level, so freeing a retired iteration
     * table means unpersisting the RDD behind its LogicalRDD plan
     * (otherwise dead rounds' blocks linger until driver GC runs
-    * ContextCleaner). Package-visible for other iterative operators.
-    * (bpeTrain measured SLOWER with per-iteration checkpoints — its
-    * tables are vocabulary-sized, so materialization overhead beats
-    * the duplicated window it would save; it keeps the persist
-    * pattern.) */
-  private[pipeline] def freeCheckpoint(df: DataFrame): Unit =
+    * ContextCleaner). Public: callers that fully consumed a
+    * checkpoint-backed result (e.g. [[components]]' output) free it
+    * here deterministically. (bpeTrain measured SLOWER with
+    * per-iteration checkpoints — its tables are vocabulary-sized, so
+    * materialization overhead beats the duplicated window it would
+    * save; it keeps the persist pattern.) */
+  def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Checkpoint-backed RESULTS still live after their operator
+    * returns (the operator's internal round checkpoints are all freed
+    * before return; the result's own blocks must outlive the call so
+    * the returned DataFrame stays readable). They are registered here
+    * so a long-lived driver can reclaim them deterministically with
+    * [[freeRetained]] between queries, instead of waiting for the GC +
+    * ContextCleaner backstop (which does reclaim them once the result
+    * DataFrames become unreachable — the standard Spark lifecycle).
+    *
+    * Contract: [[freeRetained]] invalidates every result returned by
+    * retaining operators ([[components]], [[TextAnalysis.bpeApply]],
+    * and their compositions, e.g. Curation.keepBest) that has not been
+    * fully consumed — call it at query boundaries. */
+  private val retainedCps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[pipeline] def retain(df: DataFrame): DataFrame = synchronized {
+    retainedCps += df; df
+  }
+
+  /** Free every retained result checkpoint (see [[retainedCps]]). */
+  def freeRetained(): Unit = synchronized {
+    retainedCps.foreach(freeCheckpoint)
+    retainedCps.clear()
+  }
 
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // both directions in ONE scan of the pairs subtree (a union of two
@@ -391,8 +417,17 @@ object Dedup {
     require(converged, s"components did not converge in $maxIters rounds — " +
       s"component diameter exceeds 2^$maxIters; raise maxIters")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
-    labels.join(sizes, Seq("label"))
+    // return-and-free: materialize the OUTPUT (labels-sized — the same
+    // rows every round already materialized once) so the final round's
+    // checkpoint becomes internal-only and is freed before return; no
+    // invocation-private block outlives the call. The output's own
+    // blocks are retained (the caller is reading them) — freeable
+    // deterministically via freeRetained(), else by GC+ContextCleaner.
+    val out = labels.join(sizes, Seq("label"))
       .select(col("v").as("doc_id"), col("label").as("rep_doc"), col("n_docs"))
+      .localCheckpoint(true)
+    freeCheckpoint(cp)
+    retain(out)
   }
 
   /** Benchmark decontamination: training docs sharing at least

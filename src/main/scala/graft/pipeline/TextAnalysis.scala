@@ -91,9 +91,15 @@ object TextAnalysis {
     * Output: (doc_id, n_words, n_bpe_tokens). */
   def bpeApply(docs: DataFrame, iters: Int = 3): DataFrame = {
     val (seq, _) = bpeLoop(docs, iters)
-    val wordLens = seq.groupBy("word")
-      .agg(count(lit(1)).as("n_sub"))
-      .localCheckpoint(true)
+    // the per-word counts back the RETURNED plan (the output is
+    // corpus-sized — materializing it to free this vocabulary-sized
+    // table would be the worse trade), so they are retained: freed
+    // deterministically by Dedup.freeRetained() at query boundaries,
+    // else by GC+ContextCleaner once the result is unreferenced
+    val wordLens = Dedup.retain(
+      seq.groupBy("word")
+        .agg(count(lit(1)).as("n_sub"))
+        .localCheckpoint(true))
     seq.unpersist()
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)

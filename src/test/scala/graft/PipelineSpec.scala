@@ -103,6 +103,28 @@ class PipelineSpec extends SparkSpec {
       (9301L, 9302L, 16L, 4L, 12L), (9301L, 9302L, 16L, 19L, 12L)))
   }
 
+  test("iterative operators strand no checkpoints: persistent-RDD count returns to baseline") {
+    // sc.unpersistRDD removes the id from the persistentRdds map
+    // synchronously, so this counter is deterministic
+    def live = spark.sparkContext.getPersistentRDDs.size
+    // one warm-up run (lazy caches elsewhere in the session settle),
+    // then capture the baseline AFTER freeing its retained results
+    Dedup.components(Dedup.minhashCandidates(planted)).collect()
+    TextAnalysis.bpeApply(planted, 2).collect()
+    Dedup.freeRetained()
+    val baseline = live
+    for (_ <- 1 to 3) {
+      // internal round checkpoints must all be freed inside the call;
+      // the retained RESULTS are freed at the "query boundary" below
+      Dedup.components(Dedup.minhashCandidates(planted)).collect()
+      TextAnalysis.bpeApply(planted, 2).collect()
+      Curation.keepBest(planted).collect()
+    }
+    Dedup.freeRetained()
+    assert(live == baseline,
+      s"stranded checkpoint blocks: $live persistent RDDs vs baseline $baseline")
+  }
+
   test("minhash LSH candidates include the planted near-dup pair") {
     val cands = Dedup.minhashCandidates(planted)
       .as[(Long, Long)].collect().toSet
