@@ -185,6 +185,62 @@ object Curation {
     array_min(transform(sh, x => substring(digest(x), 1 + 8 * (s % 4), 8)))
   }
 
+  /** The LIVE half of [[Dedup.incrementalDedup]]: a document stream
+    * screened against a STATIC base corpus. The exact tier drops
+    * byte-identical re-crawls (stream-static left_anti on the content
+    * hash against the base's distinct hash set); the near tier drops a
+    * doc whose ANY minhash band signature collides with a base doc's
+    * (one left_anti per band against the base's distinct per-band
+    * signature set — the band signatures are row-local expressions, so
+    * the stream side needs no aggregation). Every join is
+    * stream-static and STATELESS: Append-safe, no watermark state.
+    * Anti joins are membership tests — no pair blowup, so no bucket
+    * cap is needed on this path (contrast
+    * [[Dedup.incrementalDedup]]'s reporting join). Base docs too short
+    * to shingle have no band signatures and are caught by the exact
+    * tier only; short STREAM docs fall back to a `short:`-prefixed
+    * content hash that never collides with real 16-hex band
+    * signatures. Output: the surviving (doc_id, text).
+    *
+    * The base-side tables (hash set + per-band signature sets) are
+    * computed ONCE and persisted: without this, every micro-batch
+    * re-ran the base's shingle-explode + 8-min signature aggregation
+    * once PER BAND — ~4 full passes over the standing corpus per
+    * batch, which dominates everything at a realistic base size. The
+    * cost is snapshot semantics: a refreshed base parquet is picked up
+    * on query RESTART, not mid-query (the contract a daily-refresh
+    * ingest pipeline wants anyway). Stopping the stream and calling
+    * Dataset.unpersist on [[lastBaseCache]]'s entries (or
+    * SparkSession.catalog.clearCache) frees the snapshot. */
+  def streamingIncremental(stream: DataFrame, base: DataFrame): DataFrame = {
+    val nBands = Dedup.NumHashes / Dedup.BandRows
+    val baseHashes = base.select(md5(col("text")).as("h")).distinct().persist()
+    // ONE signature pass feeds all bands: (band, sig) distinct pairs
+    val baseSig = Dedup.minhashSignatures(base)
+    val bandCols = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig")))
+    val baseBands = baseSig
+      .select(explode(array(bandCols: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .distinct().persist()
+    lastBaseCache = Seq(baseHashes, baseBands)
+    val gated = (0 until nBands).foldLeft(
+      stream.withColumn("h", md5(col("text")))
+        .join(baseHashes, Seq("h"), "left_anti")) { (df, b) =>
+      df.withColumn(s"band$b",
+          coalesce(concat(rowLocalMinhash(2 * b), rowLocalMinhash(2 * b + 1)),
+            concat(lit("short:"), col("h"))))
+        .join(baseBands.filter(col("band") === b).select(col("sig").as(s"band$b")),
+          Seq(s"band$b"), "left_anti")
+    }
+    gated.select(col("doc_id"), col("text"))
+  }
+
+  /** The persisted base-snapshot tables behind the most recent
+    * [[streamingIncremental]] plan — unpersist after stopping the
+    * query to free the snapshot. */
+  @volatile private[graft] var lastBaseCache: Seq[DataFrame] = Seq.empty
+
   /** The LIVE half of [[trainingSet]]: streaming document ingestion
     * with watermark-TTL'd exact dedup (content hash), a NEAR-dup gate
     * on the minhash band-0 signature (semantic tier: catches re-crawls
@@ -199,40 +255,6 @@ object Curation {
     * keeps the FIRST ARRIVAL of each group (arrival order is the only
     * order a stream has), batch keeps the min doc_id. `docs` must
     * carry (doc_id, text) plus an event-time `ts_utc`. */
-  /** The LIVE half of [[Dedup.incrementalDedup]]: a document stream
-    * screened against a STATIC base corpus. The exact tier drops
-    * byte-identical re-crawls (stream-static left_anti on the content
-    * hash against the base's distinct hash set); the near tier drops a
-    * doc whose ANY minhash band signature collides with a base doc's
-    * (one left_anti per band against the base's distinct per-band
-    * signature set — the band signatures are row-local expressions, so
-    * the stream side needs no aggregation). Every join is
-    * stream-static and STATELESS: Append-safe, no watermark state, and
-    * the static side re-plans per micro-batch so a refreshed base
-    * parquet is picked up on the next batch. Anti joins are membership
-    * tests — no pair blowup, so no bucket cap is needed on this path
-    * (contrast [[Dedup.incrementalDedup]]'s reporting join). Base docs
-    * too short to shingle have no band signatures and are caught by
-    * the exact tier only; short STREAM docs fall back to a
-    * `short:`-prefixed content hash that never collides with real
-    * 16-hex band signatures. Output: the surviving (doc_id, text). */
-  def streamingIncremental(stream: DataFrame, base: DataFrame): DataFrame = {
-    val baseHashes = base.select(md5(col("text")).as("h")).distinct()
-    val baseSig = Dedup.minhashSignatures(base)
-    def baseBand(b: Int) = baseSig
-      .select(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b"))
-      .distinct()
-    val gated = (0 until Dedup.NumHashes / Dedup.BandRows).foldLeft(
-      stream.withColumn("h", md5(col("text")))
-        .join(baseHashes, Seq("h"), "left_anti")) { (df, b) =>
-      df.withColumn(s"band$b",
-          coalesce(concat(rowLocalMinhash(2 * b), rowLocalMinhash(2 * b + 1)),
-            concat(lit("short:"), col("h"))))
-        .join(baseBand(b), Seq(s"band$b"), "left_anti")
-    }
-    gated.select(col("doc_id"), col("text"))
-  }
-
   def streamingIngest(docs: DataFrame, watermark: String = "1 hour",
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5): DataFrame = {
     val toks = split(col("text"), " ")

@@ -109,7 +109,13 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.table("inc").as[(Long, String)].collect().map(_._1).toSet
       assert(kept == Set(102L), s"kept $kept")
       // parity: the streamed survivor set is exactly the batch
-      // operator's 'new' tier over the same batch
+      // operator's 'new' tier over the same batch — PROVIDED no base
+      // band bucket exceeds MaxBandBucket (true here: the base is 2
+      // docs). The batch operator blacklists over-cap base buckets
+      // from its reporting join; the streaming gate's anti-joins are
+      // membership tests with no pair blowup, so they keep matching
+      // against mega-buckets — a doc colliding ONLY with a blacklisted
+      // bucket reports 'new' in batch but is dropped by the stream.
       val batchDf = Seq((100L, baseText), (101L, nearDup), (102L, fresh))
         .toDF("doc_id", "text")
       val statuses = graft.pipeline.Dedup.incrementalDedup(base, batchDf)
@@ -117,6 +123,58 @@ class StreamingSpec extends SparkSpec {
       assert(statuses == Map(100L -> "exact", 101L -> "near", 102L -> "new"))
       assert(statuses.filter(_._2 == "new").keySet == kept)
     } finally query.stop()
+  }
+
+  test("streamingIncremental: base snapshot persisted — later micro-batches rescan no base files") {
+    implicit val sqlCtx = spark.sqlContext
+    // parquet-backed base so a per-batch recompute would show up as
+    // FileSourceScanExec nodes in the micro-batch plan
+    val base = Tables.documents(spark, SparkSpec.SF0001).select("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.pipeline.Curation
+      .streamingIncremental(stream.toDS().toDF("doc_id", "text"), base)
+      .writeStream.outputMode("append").format("memory").queryName("inc_cache")
+      .start()
+    try {
+      stream.addData((900001L, "a first batch document with some words"))
+      query.processAllAvailable()
+      stream.addData((900002L, "a second batch document with other words"))
+      query.processAllAvailable()
+      // walk the final plan, recursing into AQE query stages (their
+      // subtrees are hidden from plain TreeNode.collect); a FileScan
+      // printed INSIDE an InMemoryRelation is just the cached plan's
+      // description, so node-typed collection is the honest check
+      import org.apache.spark.sql.execution.SparkPlan
+      def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+        val here = p.collect(f)
+        val nested = p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            collectAll(a.executedPlan)(f)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            collectAll(s.plan)(f)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            collectAll(r.child)(f)
+        }.flatten
+        here ++ nested
+      }
+      val plan = query
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val fileScans = collectAll(plan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.isEmpty,
+        s"micro-batch re-scans the base parquet (snapshot not persisted):\n$plan")
+      // the static side serves from the snapshot: 1 hash set + 4
+      // per-band signature sets
+      val cached = collectAll(plan) {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+      }
+      assert(cached.size == 5, s"expected 5 in-memory base scans, got ${cached.size}:\n$plan")
+    } finally {
+      query.stop()
+      graft.pipeline.Curation.lastBaseCache.foreach(_.unpersist())
+    }
   }
 
   test("streamingIngest: content dups dropped in-horizon, gates match batch TextAnalysis") {
