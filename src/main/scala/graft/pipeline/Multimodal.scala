@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * `kind=image` decodes for REAL through the JDK's `javax.imageio`
   * ([[decodeImage]] — PNG/JPEG/GIF/BMP pixels to a luminance
-  * histogram, no extra dependencies). Audio/video have no in-JDK
-  * codec, so they stay on [[decodeStub]], a clearly-marked
-  * deterministic stand-in (byte histogram) behind the SAME seam:
-  * binary column schema, per-partition batched processing (the JVM
-  * shape of `mapInPandas`), fixed-width feature output, and
+  * histogram, no extra dependencies), and `kind=audio` through the
+  * JDK's `javax.sound.sampled` ([[decodeAudio]] — WAV/AIFF/AU 16-bit
+  * PCM samples to an amplitude histogram). Video has no in-JDK codec,
+  * so it stays on [[decodeStub]], a clearly-marked deterministic
+  * stand-in (byte histogram) behind the SAME seam: binary column
+  * schema, per-partition batched processing (the JVM shape of
+  * `mapInPandas`), fixed-width feature output, and
   * partition-preserving plans. Swapping a codec never changes the
   * plan.
   */
@@ -89,12 +91,58 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode for `kind=audio` via the JDK's
+    * `javax.sound.sampled` (zero extra dependencies — the same
+    * in-JDK-codec stance as [[decodeImage]]): parses WAV/AIFF/AU
+    * containers, accepts 16-bit signed PCM, and emits a normalized
+    * HistBins-bin AMPLITUDE histogram — bin = (sample + 32768) *
+    * HistBins / 65536, exact integer arithmetic over the full 16-bit
+    * range, all channels pooled. Returns None when the bytes are not
+    * a parseable audio container (or not 16-bit PCM) — the caller
+    * falls back to [[decodeStub]], keeping non-media payloads on the
+    * honest stand-in path. Video remains stub-only (no in-JDK codec
+    * exists). */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] = {
+    val in =
+      try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    in.flatMap { ais =>
+      try {
+        val fmt = ais.getFormat
+        val pcm = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm) None
+        else {
+          val bytes = ais.readAllBytes()
+          val hist = new Array[Double](HistBins)
+          var i = 0
+          var n = 0
+          while (i + 1 < bytes.length) {
+            // 16-bit signed sample; WAV is little-endian, AIFF/AU big
+            val s =
+              if (fmt.isBigEndian) (bytes(i).toInt << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)
+            hist(((s + 32768) * HistBins) / 65536) += 1.0
+            n += 1
+            i += 2
+          }
+          if (n == 0) None else Some(hist.map(_ / n))
+        }
+      } finally ais.close()
+    }
+  }
+
   /** Batched per-partition feature extraction — the JVM analogue of
     * `mapInPandas`: one iterator per partition, codec state is
     * initialized once per partition, rows stream through. No shuffle;
     * partitioning is preserved. `kind=image` payloads go through the
-    * REAL [[decodeImage]] codec; undecodable bytes and audio/video
-    * fall back to [[decodeStub]]. */
+    * REAL [[decodeImage]] codec and `kind=audio` through the REAL
+    * [[decodeAudio]] codec; undecodable bytes and video fall back to
+    * [[decodeStub]]. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -103,9 +151,11 @@ object Multimodal {
       // once here, not per row
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val features =
-          if (m.kind == "image") decodeImage(m.payload).getOrElse(decodeStub(m.payload))
-          else decodeStub(m.payload)
+        val features = m.kind match {
+          case "image" => decodeImage(m.payload).getOrElse(decodeStub(m.payload))
+          case "audio" => decodeAudio(m.payload).getOrElse(decodeStub(m.payload))
+          case _ => decodeStub(m.payload)
+        }
         MediaFeatures(m.media_id, m.kind, m.n_bytes, features)
       }
     }

@@ -129,6 +129,11 @@ object PipelineQueries extends QueryPack {
     // Independent of sfDir by design: the fixtures are the input.
     "mm_decode" -> ((s, _) =>
       PngFixtures.decodeQuery(s).orderBy("media_id", "feature_pos")),
+    // REAL-audio-codec correctness row: committed WAV fixtures decoded
+    // by javax.sound.sampled vs an ANALYTIC amplitude-histogram golden
+    // (DuckDB can't decode WAV — see WavFixtures). NO stub fallback.
+    "mm_audio" -> ((s, _) =>
+      WavFixtures.decodeQuery(s).orderBy("media_id", "feature_pos")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -998,6 +1003,7 @@ object PipelineQueries extends QueryPack {
     // touches the codec, so a decode/fallback bug on the Spark side
     // cannot cancel out of the compare.
     "mm_decode" -> PngFixtures.goldenSql,
+    "mm_audio" -> WavFixtures.goldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {

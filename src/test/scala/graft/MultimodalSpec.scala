@@ -59,13 +59,18 @@ class MultimodalSpec extends SparkSpec {
   test("extractFeatures decodes real PNGs through the batched seam; non-images keep the stub") {
     val checker = png(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
     val textBytes = "just some document text".getBytes("UTF-8")
+    val wav = graft.pipeline.WavFixtures.wavBytes(Seq.fill(64)(0))
     val media = Seq(
       Multimodal.Media(1L, "image", checker, 8, 8, checker.length.toLong),
       // an image-kind row whose payload is NOT decodable (the synthetic
       // mm_features table is all such rows): falls back to the stub
       Multimodal.Media(2L, "image", textBytes, 8, 8, textBytes.length.toLong),
-      // audio has no JDK codec: stays on the stub even for PNG bytes
-      Multimodal.Media(3L, "audio", checker, 8, 8, checker.length.toLong)
+      // audio-kind with PNG bytes: not a parseable audio container ->
+      // honest stub fallback
+      Multimodal.Media(3L, "audio", checker, 8, 8, checker.length.toLong),
+      // audio-kind with real WAV bytes: the JDK codec decodes it —
+      // silence puts all weight in the zero-amplitude bin
+      Multimodal.Media(4L, "audio", wav, 0, 0, wav.length.toLong)
     ).toDS()
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
     // checkerboard: half white (last bin), half black (bin 0)
@@ -73,6 +78,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).features(Multimodal.HistBins - 1) == 0.5)
     assert(feats(2L).features.toSeq == Multimodal.decodeStub(textBytes).toSeq)
     assert(feats(3L).features.toSeq == Multimodal.decodeStub(checker).toSeq)
+    assert(feats(4L).features(8) == 1.0)
     assert(feats.values.forall(_.features.length == Multimodal.HistBins))
+  }
+
+  test("decodeAudio reads real WAV samples into an exact amplitude histogram") {
+    import graft.pipeline.WavFixtures
+    // full-scale square: half +32767 (bin 15), half -32768 (bin 0)
+    val sq = Multimodal.decodeAudio(
+      WavFixtures.wavBytes((0 until 100).map(i => if (i % 2 == 0) 32767 else -32768))).get
+    assert(sq(0) == 0.5 && sq(15) == 0.5 && sq.sum == 1.0)
+    // mid-amplitude constants land in interior bins: +16384 -> 12
+    val mid = Multimodal.decodeAudio(WavFixtures.wavBytes(Seq.fill(10)(16384))).get
+    assert(mid(12) == 1.0)
+    // bytes with no audio container: None (stub fallback upstream)
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    // a truncated header: None, not a crash
+    assert(Multimodal.decodeAudio(WavFixtures.wavBytes(Seq(0, 0)).take(20)).isEmpty)
+  }
+
+  test("committed WAV fixtures byte-match regeneration and decode to the analytic golden") {
+    import graft.pipeline.WavFixtures
+    val dir = java.nio.file.Paths.get(WavFixtures.fixtureDir)
+    // drift guard: the committed bytes are exactly what the generator
+    // writes (hand-assembled RIFF, no encoder in the loop)
+    WavFixtures.specs.foreach { case (_, name, samples) =>
+      val committed = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.wav"))
+      assert(committed.sameElements(WavFixtures.wavBytes(samples)),
+        s"$name.wav on disk differs from its deterministic regeneration")
+    }
+    // the mm_audio query output equals the on-paper golden — the same
+    // compare the driver runs against the oracle VALUES table
+    val got = WavFixtures.decodeQuery(spark)
+      .orderBy("media_id", "feature_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == WavFixtures.golden,
+      s"audio decode output diverged from the analytic golden: $got")
   }
 }
