@@ -133,13 +133,20 @@ object Curation {
     * buckets (pure function of doc_id — reproducible like
     * [[stratifiedSample]]), and each bucket packs independently, so
     * the running-offset window is PARTITIONED — no global sort, no
-    * single-task window. At 100 TB, nBuckets rises with the corpus so
-    * one bucket ~ one output pack file; within a bucket the offset is
-    * one window over that bucket's rows. All arithmetic is integer —
-    * exact in any engine. */
-  def packSequences(docs: DataFrame, nBuckets: Int = 16, packLen: Long = 256): DataFrame = {
+    * single-task window. By default nBuckets is DERIVED from the
+    * corpus (one cheap partial-aggregating token count):
+    * max(16, corpusTokens / [[TargetTokensPerBucket]]), so each
+    * window partition holds ~4M tokens no matter the corpus — at
+    * 100 TB that is millions of buckets, one bucket ~ one output pack
+    * file, never 16 giant single-task windows. All arithmetic is
+    * integer — exact in any engine. */
+  def packSequences(docs: DataFrame, nBuckets: Int = 0, packLen: Long = 256): DataFrame = {
+    val buckets = if (nBuckets > 0) nBuckets else autoBuckets(docs)
+    // 48 hash bits, not one byte: the derived bucket count reaches the
+    // millions at corpus scale, and a 1-byte hash would silently cap
+    // distinct buckets at 256
     val bucket = (
-      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long") % nBuckets
+      conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long") % buckets
     ).as("bucket")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
@@ -155,6 +162,23 @@ object Curation {
       // integer division on exact longs — floor in both engines
       .withColumn("first_pack", expr(s"offset_in_bucket DIV $packLen"))
       .withColumn("last_pack", expr(s"(offset_in_bucket + n_tokens - 1) DIV $packLen"))
+  }
+
+  /** Tokens per pack bucket the default derivation targets (~4M: a
+    * window partition of tens of MB at any corpus size; with
+    * packLen=256 that is ~16k packs per bucket). */
+  val TargetTokensPerBucket = 4L * 1024 * 1024
+
+  /** Derive [[packSequences]]' bucket count from ONE cheap
+    * partial-aggregating corpus pass: max(16, corpusTokens /
+    * [[TargetTokensPerBucket]]). The floor keeps small corpora off the
+    * degenerate 1-bucket global window; the ratio keeps every window
+    * partition ~constant-sized as the corpus grows. */
+  def autoBuckets(docs: DataFrame): Int = {
+    val total = docs
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    math.max(16L, total / TargetTokensPerBucket).toInt
   }
 
   /** Row-local language ID — the streaming-safe spelling of

@@ -693,17 +693,27 @@ object PipelineQueries extends QueryPack {
          |  AND l.pred_lang IN ('en') AND q.quality >= 0.5
          |ORDER BY q.doc_id""".stripMargin
     },
-    // bucket = md5 first byte mod 16, running offset windowed PER
-    // BUCKET, integer floor division for chunk spans — keep in sync
-    // with Curation.packSequences (SUM over a window is HUGEINT in
-    // DuckDB, hence the outer BIGINT casts).
+    // bucket = first 48 md5 bits mod the DERIVED bucket count
+    // (max(16, tokens/target)), running offset windowed PER BUCKET,
+    // integer floor division for chunk spans — keep in sync with
+    // Curation.packSequences/autoBuckets (SUM over a window is HUGEINT
+    // in DuckDB, hence the outer BIGINT casts).
     "pipeline_pack" -> {
       def nib(i: Int) =
         s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-      s"""WITH t AS (
+      // Horner-free 48-bit value: sum of nibble * 16^(11-i) — exact in
+      // BIGINT, identical to Spark's conv(substring(md5, 1, 12), 16, 10)
+      val hash48 = (0 until 12)
+        .map(i => s"${nib(i + 1)} * ${1L << (4 * (11 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH nb AS (
+         |  SELECT greatest(16, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                      // ${Curation.TargetTokensPerBucket}) AS n
+         |  FROM documents),
+         |t AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         (${nib(1)} * 16 + ${nib(2)}) % 16 AS bucket
+         |         $hash48 % (SELECT n FROM nb) AS bucket
          |  FROM documents),
          |o AS (
          |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

@@ -668,6 +668,19 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "LUT/codebook join not broadcast")
   }
 
+  test("autoBuckets: floor of 16 on small corpora; derived count scales with tokens") {
+    // the sf0.001 corpus is far under one bucket target -> the floor
+    assert(graft.pipeline.Curation.autoBuckets(docs) == 16)
+    // the default packSequences derives the same layout as an explicit
+    // autoBuckets(docs) call
+    val derived = graft.pipeline.Curation.packSequences(docs)
+      .orderBy("doc_id").collect().toSeq
+    val explicit = graft.pipeline.Curation
+      .packSequences(docs, nBuckets = graft.pipeline.Curation.autoBuckets(docs))
+      .orderBy("doc_id").collect().toSeq
+    assert(derived == explicit)
+  }
+
   test("packSequences: per-bucket running offsets, exact chunk spans, partitioning-invariant") {
     val got = graft.pipeline.Curation.packSequences(docs, nBuckets = 16, packLen = 256)
       .as[(Long, Long, Long, Long, Long, Long)].collect()

@@ -235,6 +235,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_pack: running-offset window stays bucket-partitioned (no global single-task window)") {
+    val p = plan("pipeline_pack")
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"pipeline_pack lost its running-offset window:\n$p")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"running-offset window lost its bucket partitioning (global sort):\n$p")
+    }
+  }
+
   test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
     val p = plan("sim_ivf_topk")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
