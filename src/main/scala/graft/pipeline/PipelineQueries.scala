@@ -79,6 +79,9 @@ object PipelineQueries extends QueryPack {
     "text_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("lang")),
     // corpus-unigram LM quality proxy: mean token log-probability
     "text_logprob" -> ((s, d) => TextAnalysis.logProb(docs(s, d)).orderBy("doc_id")),
+    // bigram tier with stupid backoff: catches shuffled-token gibberish
+    // the unigram score cannot (same multiset, same unigram mean)
+    "text_logprob2" -> ((s, d) => TextAnalysis.logProb2(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
     "text_bpe" -> ((s, d) => TextAnalysis.bpeCounts(docs(s, d)).orderBy("lang")),
@@ -745,6 +748,31 @@ object PipelineQueries extends QueryPack {
         |       round(sum(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
         |             / count(*), 4) AS mean_logprob
         |FROM tk JOIN u USING (word), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram conditional with stupid backoff through the unigram —
+    // keep in sync with TextAnalysis.logProb2 (minCount=2, backoff=0.4)
+    "text_logprob2" ->
+      """WITH tk AS (SELECT doc_id, toks
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |            WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos FROM tk)
+        |       WHERE length(toks[pos]) > 0 AND length(toks[pos + 1]) > 0),
+        |bi AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+        |kept AS (SELECT * FROM bi WHERE cnt2 >= 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS ctx FROM bi GROUP BY 1),
+        |u AS (SELECT word, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |      WHERE length(word) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(sum(CASE WHEN k.cnt2 IS NOT NULL
+        |                      THEN ln(CAST(k.cnt2 AS DOUBLE) / CAST(ctx.ctx AS DOUBLE))
+        |                      ELSE ln(0.4 * CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+        |                 END) / count(*), 4) AS mean_logprob2
+        |FROM bg LEFT JOIN kept k USING (w1, w2)
+        |JOIN ctx USING (w1)
+        |JOIN u ON u.word = bg.w2, tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // histogram CDF + nearest-rank integer predicate — keep in sync
     // with TextAnalysis.lengthQuantiles

@@ -186,6 +186,64 @@ object TextAnalysis {
           / count(lit(1)), 4).as("mean_logprob"))
   }
 
+  /** Bigram-tier language-model quality scoring — the gibberish
+    * detector [[logProb]] cannot be: a token-SHUFFLED document keeps
+    * its unigram distribution exactly (same multiset) but destroys its
+    * bigrams, so only a sequence-aware score separates fluent text
+    * from bag-of-words noise. Per doc: mean over adjacent token pairs
+    * of ln(P(w2|w1)), with "stupid backoff" (Brants et al. 2007,
+    * "Large Language Models in Machine Translation"): seen-often pairs
+    * score their exact conditional count(w1,w2)/count(w1,*); pairs
+    * below `minCount` fall back to backoff * unigram P(w2).
+    *
+    * The count prune IS the scale story: a corpus's bigram table is
+    * zipfian — most entries are singletons, together ~corpus-sized —
+    * so the JOINED table keeps only rows with cnt >= minCount
+    * (vocabulary-shaped, partial-aggregated before the prune), while
+    * the pruned tail routes through the vocabulary-sized unigram
+    * table. Context totals keep the pruned mass (sum over the FULL
+    * bigram aggregate), so kept conditionals stay true probabilities.
+    * All ratios are exact-integer divisions; ln/multiply are IEEE ops
+    * whose ulp-level engine differences vanish under the 4-decimal
+    * rounding of a length-normalized mean (the [[logProb]] contract).
+    * Docs with fewer than 2 tokens have no bigrams and drop from the
+    * output. Output: (doc_id, n_bigrams, mean_logprob2). */
+  def logProb2(docs: DataFrame, minCount: Long = 2, backoff: Double = 0.4): DataFrame = {
+    // row-local adjacent pairs: explode positions 1..n-1, element_at
+    // picks both tokens — no self-join, no window
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("toks"), explode(sequence(lit(1), col("n") - 1)).as("pos"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("pos")).as("w1"),
+        element_at(col("toks"), col("pos") + 1).as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val kept = bi.filter(col("cnt2") >= minCount)
+    // context totals over the FULL aggregate (pruned mass included)
+    val ctx = bi.groupBy("w1").agg(sum("cnt2").as("ctx"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt").as("total"))
+    pairs
+      .join(kept, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("cnt").as("ucnt")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        when(col("cnt2").isNotNull,
+          log(col("cnt2").cast("double") / col("ctx").cast("double")))
+          .otherwise(
+            log(lit(backoff) * col("ucnt").cast("double") / col("total").cast("double"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum("lp") / count(lit(1)), 4).as("mean_logprob2"))
+  }
+
   /** Exact per-language token-length quantiles (nearest-rank), the
     * corpus-profiling step that sizes context windows and packing
     * budgets. NOT a sort of the corpus: lengths first collapse to a

@@ -668,6 +668,32 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "LUT/codebook join not broadcast")
   }
 
+  test("logProb2: a token-shuffled doc scores below its unshuffled twin (unigram tier cannot tell them apart)") {
+    // plant a duplicate of a real doc (so its bigrams are corpus-seen
+    // at least twice and survive the minCount prune) plus the SAME
+    // tokens deterministically shuffled — identical multiset, so the
+    // unigram score is identical; the bigrams are destroyed, so the
+    // bigram tier must separate them
+    val src = docs.orderBy("doc_id").limit(1).collect()(0)
+    val toks = src.getAs[String]("text").split(" ")
+    val shuffled = new scala.util.Random(42).shuffle(toks.toVector).mkString(" ")
+    assert(shuffled != toks.mkString(" "))
+    val planted = docs.unionByName(Seq(
+      (900001L, toks.mkString(" "), "en", "planted", 1L),
+      (900002L, shuffled, "en", "planted", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val lp2 = TextAnalysis.logProb2(planted)
+      .filter(col("doc_id") >= 900001L)
+      .select("doc_id", "mean_logprob2").as[(Long, Double)].collect().toMap
+    assert(lp2(900002L) < lp2(900001L),
+      s"bigram tier failed to separate: $lp2")
+    val lp1 = TextAnalysis.logProb(planted)
+      .filter(col("doc_id") >= 900001L)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    assert(lp1(900002L) == lp1(900001L),
+      s"unigram scores should be identical for a permuted multiset: $lp1")
+  }
+
   test("autoBuckets: floor of 16 on small corpora; derived count scales with tokens") {
     // the sf0.001 corpus is far under one bucket target -> the floor
     assert(graft.pipeline.Curation.autoBuckets(docs) == 16)
