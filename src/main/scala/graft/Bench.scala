@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
   * inflated by memory pressure or a noisy neighbor forcing collections
   * is then self-labeling: queries_gc alongside queries_max lets a
   * reader separate "the query got slower" from "the JVM was busy".
+  *
+  * Failure accounting: a query's headline number is the median of its
+  * SUCCESSFUL samples; -1 means every pass failed. Queries with a
+  * partial failure keep their good median and show up in
+  * queries_failed_passes (interleaving makes one transient window span
+  * several queries' single passes — discarding good samples over it
+  * would flag healthy queries failed for the round).
   */
 object Bench {
   private val Passes = 3
@@ -73,27 +80,42 @@ object Bench {
       samples(name) = samples(name) :+ (if (ok) (sec, gcSec) else (-1.0, gcSec))
     }
 
-    // per-query median/min/max across passes; GC seconds reported for
+    // per-query median/min/max over the SUCCESSFUL samples: under
+    // interleaving one transient environment window spans several
+    // queries' single passes, so a lone failing pass must not flag a
+    // query failed and discard its good samples — the headline map
+    // reports the median of what succeeded, -1 is reserved for
+    // all-passes-failed, and per-query failed-pass counts ride a
+    // separate queries_failed_passes map. GC seconds are reported for
     // the median-selected sample so the headline number and its GC
-    // label describe the same run
+    // label describe the same run; queries with no successful sample
+    // are OMITTED from min/max/gc rather than overloading the -1
+    // sentinel into columns where a valid measurement never existed.
+    case class QStat(median: Double, min: Double, max: Double, gc: Double,
+        failedPasses: Int, allFailed: Boolean)
     val results = ordered.map { case (name, _) =>
       val s = samples(name)
-      if (s.exists(_._1 < 0)) name -> (-1.0, -1.0, -1.0, -1.0)
+      val good = s.filter(_._1 >= 0).sortBy(_._1)
+      val nFailed = s.size - good.size
+      if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, nFailed, allFailed = true)
       else {
-        val bySec = s.sortBy(_._1)
-        val (med, medGc) = bySec(s.size / 2)
-        name -> (med, bySec.head._1, bySec.last._1, medGc)
+        val (med, medGc) = good(good.size / 2)
+        name -> QStat(med, good.head._1, good.last._1, medGc, nFailed, allFailed = false)
       }
     }
-    def jmap(f: ((Double, Double, Double, Double)) => Double) =
-      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val qs = jmap(_._1)
-    val qsMin = jmap(_._2)
-    val qsMax = jmap(_._3)
-    val qsGc = jmap(_._4)
-    val failed = results.collect { case (k, (-1.0, _, _, _)) => "\"" + k + "\"" }
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    def jmap(rows: Seq[(String, Double)]) =
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, st) => k -> st.median })
+    val ok = results.filterNot(_._2.allFailed)
+    val qsMin = jmap(ok.map { case (k, st) => k -> st.min })
+    val qsMax = jmap(ok.map { case (k, st) => k -> st.max })
+    val qsGc = jmap(ok.map { case (k, st) => k -> st.gc })
+    val qsFailedPasses = results.collect { case (k, st) if st.failedPasses > 0 =>
+      "\"" + k + "\":" + st.failedPasses
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, st) if st.allFailed => "\"" + k + "\"" }
+    val total = ok.map(_._2.median).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
