@@ -556,6 +556,48 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
   }
 
+  /** Span REMOVAL — the curation step [[spanPairs]] exists for (the
+    * dedup paper's pipeline removes the shared bytes, it doesn't just
+    * report them): every maximal shared run loses its copy in the
+    * HIGHER-id doc of the pair (the lower id keeps it — the min-id
+    * representative convention the rest of the dedup family uses), and
+    * affected documents are rebuilt with those token positions excised.
+    * A doc in several pairs loses the union of its drop ranges
+    * (overlaps collapse via the distinct position set semantics).
+    *
+    * Scale shape: [[spanPairs]] does the heavy lifting; the drop
+    * ranges then collapse to ONE small array per AFFECTED doc
+    * (collect_list after a partial-aggregating groupBy — bounded by
+    * that doc's span count), the corpus joins it with a left join on
+    * doc_id, and the rebuild is ROW-LOCAL (filter-with-index over the
+    * token array against the doc's own ranges; untouched docs
+    * short-circuit through the original text and never evaluate the
+    * lambda). No shuffle is corpus-wide except the one doc_id join.
+    *
+    * Output: (doc_id, text, n_removed) for every input doc. */
+  def removeSpans(docs: DataFrame, k: Int = 3, minRun: Int = 10,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val drops = spanPairs(docs, k, minRun, maxDf)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("len_tokens")).as("e"))
+    val ranges = drops.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rs"))
+    val toks = split(col("text"), " ")
+    // 1-based token position pos = i + 1; a token is dropped when ANY
+    // range covers it — overlapping ranges union naturally
+    val keptToks = filter(toks, (_, i) =>
+      !exists(col("rs"), r =>
+        (i + 1) >= r.getField("s") && (i + 1) < r.getField("e")))
+    docs
+      .join(ranges, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("rs").isNull, col("text"))
+          .otherwise(array_join(keptToks, " ")).as("text"),
+        when(col("rs").isNull, lit(0L))
+          .otherwise(size(toks).cast("long") - size(keptToks).cast("long")).as("n_removed"))
+  }
+
   /** SimHash: 32-bit fingerprint from the hex digits of md5(token),
     * majority-weighted by term frequency. Exact-collision groups are
     * near-identical docs.

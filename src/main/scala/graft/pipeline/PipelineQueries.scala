@@ -36,6 +36,9 @@ object PipelineQueries extends QueryPack {
     // self-join)
     "dedup_spans" -> ((s, d) =>
       Dedup.spanPairs(docs(s, d)).orderBy("doc_a", "doc_b", "start_a", "start_b")),
+    // span removal: the corpus with every shared run excised from the
+    // higher-id doc of its pair (min-id keeps its copy)
+    "dedup_spans_clean" -> ((s, d) => Dedup.removeSpans(docs(s, d)).orderBy("doc_id")),
     // incremental ingest dedup: every 5th doc plays the new crawl
     // batch, screened against the rest as the standing base corpus —
     // batch-vs-base joins only, never base-vs-base
@@ -291,6 +294,35 @@ object PipelineQueries extends QueryPack {
        |  FROM dots
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
   }
+
+  /** Positional-shingle span CTEs ending in `spans(doc_a, doc_b,
+    * start_a, start_b, len_tokens)` — semantics of [[Dedup.spanPairs]]
+    * (df = DISTINCT docs per shingle; diagonal gaps-and-islands).
+    * Shared by dedup_spans and dedup_spans_clean. */
+  private def spanCtes(k: Int, minRun: Int): String =
+    s"""sh AS (${positionalShinglesSql(k)}),
+       |cap AS (SELECT shingle FROM (
+       |          SELECT shingle, count(DISTINCT doc_id) AS df
+       |          FROM sh GROUP BY shingle)
+       |        WHERE df > ${Dedup.MaxShingleDf}),
+       |kept AS (SELECT sh.* FROM sh
+       |         WHERE shingle NOT IN (SELECT shingle FROM cap)),
+       |hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+       |         a.pos - b.pos AS diag
+       |  FROM kept a JOIN kept b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, pos_a - row_number()
+       |              OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(min(pos_a) AS BIGINT) AS start_a,
+       |         CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+       |         CAST(count(*) + ${k - 1} AS BIGINT) AS len_tokens
+       |  FROM isl GROUP BY doc_a, doc_b, diag, isl
+       |  HAVING count(*) + ${k - 1} >= $minRun)""".stripMargin
 
   /** Unrolled fixed-iteration spherical k-means CTEs — semantics of
     * [[Similarity.kmeansCentroids]] (seeded md5 init, integer centroid
@@ -571,29 +603,40 @@ object PipelineQueries extends QueryPack {
     // positional-shingle self-join + diagonal gaps-and-islands; df =
     // DISTINCT docs per shingle — keep in sync with Dedup.spanPairs
     "dedup_spans" ->
-      s"""WITH sh AS (${positionalShinglesSql(3)}),
-         |cap AS (SELECT shingle FROM (
-         |          SELECT shingle, count(DISTINCT doc_id) AS df
-         |          FROM sh GROUP BY shingle)
-         |        WHERE df > ${Dedup.MaxShingleDf}),
-         |kept AS (SELECT sh.* FROM sh
-         |         WHERE shingle NOT IN (SELECT shingle FROM cap)),
-         |hits AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
-         |         a.pos - b.pos AS diag
-         |  FROM kept a JOIN kept b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |isl AS (
-         |  SELECT *, pos_a - row_number()
-         |              OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
-         |  FROM hits)
-         |SELECT doc_a, doc_b,
-         |       CAST(min(pos_a) AS BIGINT) AS start_a,
-         |       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
-         |       CAST(count(*) + 2 AS BIGINT) AS len_tokens
-         |FROM isl GROUP BY doc_a, doc_b, diag, isl
-         |HAVING count(*) + 2 >= 10
+      s"""WITH ${spanCtes(3, 10)}
+         |SELECT doc_a, doc_b, start_a, start_b, len_tokens
+         |FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    // rebuild affected docs without their dropped positions (higher-id
+    // doc of each pair loses the run; overlaps union via DISTINCT) —
+    // keep in sync with Dedup.removeSpans
+    "dedup_spans_clean" ->
+      s"""WITH ${spanCtes(3, 10)},
+         |drops AS (SELECT doc_b AS doc_id, start_b AS s,
+         |                 start_b + len_tokens AS e
+         |          FROM spans),
+         |dw AS (SELECT doc_id, tok, CAST(pos AS BIGINT) AS pos
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |                    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |             FROM documents
+         |             WHERE doc_id IN (SELECT doc_id FROM drops))),
+         |dropped AS (SELECT DISTINCT d.doc_id, d.pos
+         |            FROM dw d JOIN drops r
+         |              ON r.doc_id = d.doc_id AND d.pos >= r.s AND d.pos < r.e),
+         |rebuilt AS (
+         |  SELECT a.doc_id,
+         |         coalesce(string_agg(CASE WHEN x.pos IS NULL THEN dw.tok END,
+         |                             ' ' ORDER BY dw.pos), '') AS text2,
+         |         CAST(count(x.pos) AS BIGINT) AS n_removed
+         |  FROM (SELECT DISTINCT doc_id FROM drops) a
+         |  JOIN dw USING (doc_id)
+         |  LEFT JOIN dropped x ON x.doc_id = dw.doc_id AND x.pos = dw.pos
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(r.text2, d.text) AS text,
+         |       coalesce(r.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $FPS_SQL
          |SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc

@@ -487,11 +487,30 @@ object Similarity {
     * of exact longs. */
   def pqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5,
       iters: Int = PqIters): DataFrame = {
+    val (cb, codes) = pqIndex(emb, iters = iters)
+    pqTopKFromIndex(emb, cb, codes, probeIds, k)
+  }
+
+  /** The PQ index — the "build once, query many" half (the
+    * [[ivfIndex]] stance): the trained codebook (PqM x PqK rows) and
+    * the coded corpus (PqM small ints per vector). At corpus scale,
+    * write both once (`codes.write.parquet(...)`) and serve every
+    * top-k from them; the build's corpus passes (Lloyd iterations +
+    * encoding) amortize over all queries. */
+  def pqIndex(emb: DataFrame, k: Int = PqK,
+      iters: Int = PqIters): (DataFrame, DataFrame) = {
+    val cb = pqCodebook(emb, k, iters)
+    (cb, pqCodes(quantized(emb), cb))
+  }
+
+  /** ADC top-k served from a prebuilt [[pqIndex]]: probes re-quantize
+    * from `emb` at full precision (asymmetric distance), the per-probe
+    * LUT is probes x PqM x PqK rows against the broadcast codebook,
+    * and the scan reads ONLY the code table — no raw vector. */
+  def pqTopKFromIndex(emb: DataFrame, cb: DataFrame, codes: DataFrame,
+      probeIds: Seq[Long], k: Int = 5): DataFrame = {
     val spark = emb.sparkSession
-    val qv = quantized(emb)
-    val cb = pqCodebook(emb, iters = iters)
-    val codes = pqCodes(qv, cb)
-    val lut = qv
+    val lut = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("n2").as("pn2"),
         subspaces(col("q"), "psq").as("s"))
@@ -532,13 +551,31 @@ object Similarity {
     * the only corpus-sized object is the code table, touched once. */
   def ivfPqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int = 5,
       nprobe: Int = KmeansNprobe): DataFrame = {
-    val spark = emb.sparkSession
+    val (cent, cb, ccodes) = ivfPqIndex(emb)
+    ivfPqTopKFromIndex(emb, cent, cb, ccodes, probeIds, k, nprobe)
+  }
+
+  /** The IVFPQ index — centroids (k rows), codebook (PqM x PqK rows)
+    * and the cell-tagged code table. At corpus scale, write the code
+    * table once cell-partitioned (`ccodes.write.partitionBy("cell")
+    * .parquet(...)`): serving then partition-prunes to the probed
+    * cells and reads only codes. */
+  def ivfPqIndex(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val qv = quantized(emb)
     val cent = kmeansCentroids(emb)
-    val assign = assignCells(qv, cent)
     val cb = pqCodebook(emb)
-    val codes = pqCodes(qv, cb).join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val probes = qv
+    val ccodes = pqCodes(qv, cb)
+      .join(assignCells(qv, cent).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    (cent, cb, ccodes)
+  }
+
+  /** IVFPQ top-k served from a prebuilt [[ivfPqIndex]]. */
+  def ivfPqTopKFromIndex(emb: DataFrame, cent: DataFrame, cb: DataFrame,
+      ccodes: DataFrame, probeIds: Seq[Long], k: Int = 5,
+      nprobe: Int = KmeansNprobe): DataFrame = {
+    val spark = emb.sparkSession
+    val codes = ccodes
+    val probes = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
     val wc = org.apache.spark.sql.expressions.Window

@@ -86,6 +86,42 @@ class PipelineSpec extends SparkSpec {
     assert(spans == Set((9201L, 9202L, 16L, 1L, 12L)))
   }
 
+  test("removeSpans excises the shared run from the higher-id doc only; unaffected docs byte-identical") {
+    val para = (1 to 12).map(i => s"s$i").mkString(" ")
+    val textA = s"pa1 pa2 pa3 pa4 pa5 $para ta1 ta2"
+    val textB = s"qb1 qb2 qb3 $para ub1"
+    val textC = "totally unrelated text about catalyst plans and shuffle files"
+    val docs = Seq((9101L, textA), (9102L, textB), (9103L, textC))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.removeSpans(docs, k = 3, minRun = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // lower id keeps its copy byte-identically
+    assert(out(9101L) == (textA, 0L))
+    // higher id loses exactly the 12 paragraph tokens at positions 4..15
+    assert(out(9102L) == ("qb1 qb2 qb3 ub1", 12L))
+    // untouched doc passes through the original string, not a rebuild
+    assert(out(9103L) == (textC, 0L))
+  }
+
+  test("removeSpans unions overlapping drop ranges (doc paired with two others)") {
+    // doc 3 shares tokens 1..12 with doc 1 and tokens 4..15 with doc 2:
+    // the union 1..15 is removed once, not double-counted
+    val p = (1 to 15).map(i => s"v$i").mkString(" ")   // v1..v15
+    val head12 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val tail12 = (4 to 15).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $head12"),
+      (2L, s"b1 b2 b3 $tail12"),
+      (3L, s"$p z1 z2"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.removeSpans(docs, k = 3, minRun = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
+    assert(out(3L) == ("z1 z2", 15L), s"got ${out(3L)}")
+  }
+
   test("spanPairs handles in-doc shingle repeats: runs stay diagonal-exact") {
     // both docs repeat the paragraph twice -> 4 diagonal combinations,
     // each a maximal run; the islands logic must not merge or miscount
@@ -634,6 +670,27 @@ class PipelineSpec extends SparkSpec {
     info(f"PQ recall@5 over ${probes.size} probes: seed=$seed%.3f lloyd=$lloyd%.3f")
     assert(lloyd > seed,
       f"Lloyd refinement did not improve recall: seed=$seed%.3f lloyd=$lloyd%.3f")
+  }
+
+  test("pqIndex / ivfPqIndex are build-once indexes: cached tables serve identical top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (cb, codes) = Similarity.pqIndex(emb)
+    val cbC = cb.cache(); val codesC = codes.cache()
+    val (cent, icb, ccodes) = Similarity.ivfPqIndex(emb)
+    val centC = cent.cache(); val icbC = icb.cache(); val ccodesC = ccodes.cache()
+    try {
+      val pqFromIdx = Similarity.pqTopKFromIndex(emb, cbC, codesC, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      val pqDirect = Similarity.pqTopK(emb, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      assert(pqFromIdx == pqDirect && pqFromIdx.nonEmpty)
+      val ivfpqFromIdx = Similarity
+        .ivfPqTopKFromIndex(emb, centC, icbC, ccodesC, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      val ivfpqDirect = Similarity.ivfPqTopK(emb, 0L to 9L, 5)
+        .orderBy("probe_id", "rank").collect().toSeq
+      assert(ivfpqFromIdx == ivfpqDirect && ivfpqFromIdx.nonEmpty)
+    } finally Seq(cbC, codesC, centC, icbC, ccodesC).foreach(_.unpersist())
   }
 
   test("ivfPqTopK: well-formed ranks, non-empty, candidates restricted to probed cells") {
