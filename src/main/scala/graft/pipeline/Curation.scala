@@ -164,6 +164,43 @@ object Curation {
       .withColumn("last_pack", expr(s"(offset_in_bucket + n_tokens - 1) DIV $packLen"))
   }
 
+  /** Per-source corpus profile — the crawl-audit rollup (which feeds
+    * are big, which are junk): doc and token counts plus mean quality
+    * per source. ONE partial-aggregating shuffle on source; the mean
+    * is sum/count (engine-exact under rounding), never avg(). */
+  def sourceStats(docs: DataFrame): DataFrame =
+    TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        // sum the 4-decimal quality as exact 1e4-scaled longs: a
+        // double sum's value depends on accumulation order, which
+        // differs per engine/partitioning — an integer sum does not
+        round(sum(round(col("quality") * 10000).cast("long")).cast("double")
+          / 10000.0 / count(lit(1)), 4).as("mean_quality"))
+
+  /** Per-source cap — the anti-spam curation rule (one feed must not
+    * dominate the mix): keep at most `maxPerSource` docs per source,
+    * best quality first, ties to the smallest doc_id. Output:
+    * (doc_id, source, quality, rank).
+    *
+    * Scale shape: the rank window partitions by source, and the
+    * rank <= N predicate plans as a WindowGroupLimit (PlanSpec-pinned)
+    * — Spark inserts a PARTIAL group-limit before the shuffle, so
+    * every map task forwards at most N rows per source and a
+    * mega-source never floods one window task with its full row set. */
+  def sourceCap(docs: DataFrame, maxPerSource: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("quality"), asc("doc_id"))
+    TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= maxPerSource)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"))
+  }
+
   /** Tokens per pack bucket the default derivation targets (~4M: a
     * window partition of tens of MB at any corpus size; with
     * packLen=256 that is ~16k packs per bucket). */

@@ -76,6 +76,9 @@ object PipelineQueries extends QueryPack {
     // Sequence packing: md5-bucketed pack-then-chunk layout; the
     // running-offset window is partitioned by bucket (no global sort)
     "pipeline_pack" -> ((s, d) => Curation.packSequences(docs(s, d)).orderBy("doc_id")),
+    // per-source crawl audit + the anti-spam per-source cap
+    "pipeline_source_stats" -> ((s, d) => Curation.sourceStats(docs(s, d)).orderBy("source")),
+    "pipeline_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d)).orderBy("source", "rank")),
     "text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     // exact nearest-rank length quantiles from the per-(lang, len)
     // histogram — integer predicate, no sketch, no corpus sort
@@ -293,6 +296,21 @@ object PipelineQueries extends QueryPack {
        |         round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
        |  FROM dots
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
+  }
+
+  /** Per-doc quality CTE `q(doc_id, source, n_tokens, quality)` —
+    * [[TextAnalysis.quality]]'s arithmetic with the source column
+    * carried through; shared by the pipeline_source_* oracles. */
+  private def docQualityCte: String = {
+    val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(w => s"'${w._2}'").mkString(", ")
+    s"""q AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(tk) AS BIGINT) AS n_tokens,
+       |         round(least(1.0,
+       |           0.5 * least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) +
+       |           0.5 * least(CAST(len(list_filter(tk, t -> t IN ($enStop))) AS DOUBLE) * 4.0
+       |                       / len(tk), 1.0)), 4) AS quality
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents))""".stripMargin
   }
 
   /** Positional-shingle span CTEs ending in `spans(doc_a, doc_b,
@@ -852,6 +870,21 @@ object PipelineQueries extends QueryPack {
          |      FROM allscores)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    // shared per-doc quality CTE (text_quality's arithmetic + source)
+    "pipeline_source_stats" ->
+      s"""WITH $docQualityCte
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+         |             / 10000.0 / count(*), 4) AS mean_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_source_cap" ->
+      s"""WITH $docQualityCte
+         |SELECT doc_id, source, quality, CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY quality DESC, doc_id) AS rn
+         |      FROM q)
+         |WHERE rn <= 10 ORDER BY source, rank""".stripMargin,
     "text_quality" -> {
       val enStop = TextAnalysis.stopwords.filter(_._1 == "en").map(w => s"'${w._2}'").mkString(", ")
       s"""SELECT doc_id,

@@ -751,6 +751,25 @@ class PipelineSpec extends SparkSpec {
       s"unigram scores should be identical for a permuted multiset: $lp1")
   }
 
+  test("sourceCap keeps the N best-quality docs per source, ties to min doc_id") {
+    val mk = (id: Long, src: String, text: String) => (id, text, "en", src, text.length.toLong)
+    // srcA: 3 docs, quality order: 2 (long, stopword-rich) > 1 > 3;
+    // srcB: 1 doc — survives any cap
+    val good = ("the of and in is " * 12).trim
+    val mid = "the quick brown fox jumps over fences daily"
+    val bad = "zzz"
+    val corpus = Seq(mk(1L, "srcA", mid), mk(2L, "srcA", good), mk(3L, "srcA", bad),
+      mk(4L, "srcB", mid))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Curation.sourceCap(corpus, maxPerSource = 2)
+      .select("doc_id", "source", "rank").as[(Long, String, Int)].collect().toSet
+    assert(capped == Set((2L, "srcA", 1), (1L, "srcA", 2), (4L, "srcB", 1)))
+    // stats: per-source counts + integer-exact mean quality
+    val stats = Curation.sourceStats(corpus)
+      .select("source", "n_docs").as[(String, Long)].collect().toMap
+    assert(stats == Map("srcA" -> 3L, "srcB" -> 1L))
+  }
+
   test("autoBuckets: floor of 16 on small corpora; derived count scales with tokens") {
     // the sf0.001 corpus is far under one bucket target -> the floor
     assert(graft.pipeline.Curation.autoBuckets(docs) == 16)

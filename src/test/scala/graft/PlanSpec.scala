@@ -235,6 +235,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_source_cap: rank <= N plans as WindowGroupLimit (map-side cap, mega-source safe)") {
+    val p = plan("pipeline_source_cap")
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // the PARTIAL group-limit before the shuffle is what keeps a
+    // mega-source from flooding one window task with all its rows
+    assert(limits.nonEmpty, s"pipeline_source_cap lost its WindowGroupLimit pushdown:\n$p")
+  }
+
   test("pipeline_pack: running-offset window stays bucket-partitioned (no global single-task window)") {
     val p = plan("pipeline_pack")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
