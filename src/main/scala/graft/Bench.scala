@@ -25,6 +25,16 @@ import org.apache.spark.sql.SparkSession
   * is then self-labeling: queries_gc alongside queries_max lets a
   * reader separate "the query got slower" from "the JVM was busy".
   *
+  * The timed action is count() — kept stable across rounds so medians
+  * stay comparable. Catalyst optimizes under it like any action: maps
+  * prune to the counted columns, and a join that provably cannot
+  * change cardinality (e.g. dedup_spans_clean's left join against the
+  * aggregate-keyed ranges table) is eliminated outright, so such a
+  * query's bench number measures its COUNT cost, not its full
+  * materialization (the correctness gate writes every column and pays
+  * the full cost). Changing the action would re-baseline every query;
+  * not worth it mid-series.
+  *
   * Failure accounting: a query's headline number is the median of its
   * SUCCESSFUL samples; -1 means every pass failed. Queries with a
   * partial failure keep their good median and show up in

@@ -122,6 +122,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ("z1 z2", 15L), s"got ${out(3L)}")
   }
 
+  test("removeSpans actually dedups: re-running spanPairs on the cleaned corpus finds no original pair's run") {
+    val before = Dedup.spanPairs(docs).as[(Long, Long, Long, Long, Long)].collect()
+    assert(before.nonEmpty) // the fixture corpus has real shared runs
+    val cleaned = Dedup.removeSpans(docs)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val after = Dedup.spanPairs(cleaned).as[(Long, Long, Long, Long, Long)].collect()
+    // removal strictly shrinks the shared-run mass, and no surviving
+    // run is a leftover of an original pair (seam-adjacency can in
+    // principle mint NEW short runs; an original one persisting would
+    // mean the excision missed tokens)
+    assert(after.map(_._5).sum < before.map(_._5).sum)
+    val beforePairs = before.map(s => (s._1, s._2)).toSet
+    val afterPairs = after.map(s => (s._1, s._2)).toSet
+    assert(afterPairs.intersect(beforePairs).isEmpty,
+      s"pairs still sharing runs after removal: ${afterPairs.intersect(beforePairs)}")
+  }
+
   test("spanPairs handles in-doc shingle repeats: runs stay diagonal-exact") {
     // both docs repeat the paragraph twice -> 4 diagonal combinations,
     // each a maximal run; the islands logic must not merge or miscount
