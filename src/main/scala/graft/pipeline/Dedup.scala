@@ -361,7 +361,15 @@ object Dedup {
     retainedCps.clear()
   }
 
+  /** Per-round trace of the most recent [[components]] run on this
+    * driver: (round, labels changed, seconds). A debug surface for
+    * convergence tuning (is the pointer doubling biting? which round
+    * stalls?) that costs nothing extra — the changed-count action
+    * already runs every round. */
+  @volatile var lastComponentsTrace: Seq[(Int, Long, Double)] = Seq.empty
+
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     // both directions in ONE scan of the pairs subtree (a union of two
     // selects would run candidate generation once per branch); eager
     // localCheckpoint so the loop's per-round plans start from a flat
@@ -401,6 +409,7 @@ object Dedup {
           (least(col("p"), coalesce(col("pp"), col("p"))) < col("old")).as("chg"))
         .localCheckpoint(true) // materializes: the round's ONE action
       val changed = next.filter(col("chg")).count() // served from the checkpoint
+      trace += ((iter, changed, (System.nanoTime() - t0) / 1e9))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
       // round N-1's checkpoint blocks are dead once round N's are
@@ -414,6 +423,7 @@ object Dedup {
     }
     if (prevCp != null) freeCheckpoint(prevCp)
     freeCheckpoint(e)
+    lastComponentsTrace = trace.toSeq
     require(converged, s"components did not converge in $maxIters rounds — " +
       s"component diameter exceeds 2^$maxIters; raise maxIters")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))

@@ -179,6 +179,17 @@ class PipelineSpec extends SparkSpec {
       s"stranded checkpoint blocks: $live persistent RDDs vs baseline $baseline")
   }
 
+  test("components exposes its per-round convergence trace") {
+    Dedup.components(Dedup.minhashCandidates(planted)).collect()
+    val trace = Dedup.lastComponentsTrace
+    assert(trace.nonEmpty)
+    // rounds are 0..n-1, the final round changed nothing (fixpoint),
+    // every round has a real elapsed time
+    assert(trace.map(_._1) == trace.indices.toSeq)
+    assert(trace.last._2 == 0L)
+    assert(trace.forall(_._3 > 0.0))
+  }
+
   test("minhash LSH candidates include the planted near-dup pair") {
     val cands = Dedup.minhashCandidates(planted)
       .as[(Long, Long)].collect().toSet
