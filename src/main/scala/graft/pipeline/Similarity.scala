@@ -249,7 +249,21 @@ object Similarity {
     * fixed, so the 100 TB cost is `iters + 1` scans, not a convergence
     * gamble. */
   def kmeansCentroids(emb: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
-    val spark = emb.sparkSession
+    // persist the quantized corpus for the iteration loop (the MLlib
+    // KMeans pattern): every iteration executes eagerly via
+    // localized(), so without this each one re-scans the parquet and
+    // re-quantizes every vector. MEMORY_AND_DISK: spills rather than
+    // OOMs when the corpus outgrows executor memory.
+    val qv = quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansCentroidsFrom(qv, k, iters) finally qv.unpersist(false)
+  }
+
+  /** [[kmeansCentroids]] against an ALREADY-PERSISTED quantized corpus
+    * — composite builds ([[ivfPqIndex]]) quantize once and share. */
+  private[pipeline] def kmeansCentroidsFrom(qv: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    val spark = qv.sparkSession
     import spark.implicits._
     // materialize each iteration's k centroid rows (k x dim longs —
     // bounded by construction, the same driver-side step MLlib's
@@ -263,23 +277,14 @@ object Similarity {
       cent.select(col("cell"), col("cv"), col("cn2"))
         .as[(Long, Seq[Long], Long)].collect().toSeq
         .toDF("cell", "cv", "cn2")
-    // persist the quantized corpus for the iteration loop (the MLlib
-    // KMeans pattern): every iteration executes eagerly via
-    // localized(), so without this each one re-scans the parquet and
-    // re-quantizes every vector. MEMORY_AND_DISK: spills rather than
-    // OOMs when the corpus outgrows executor memory.
-    val qv = quantized(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cent = localized(qv
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(k)
-        .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2")))
-      for (_ <- 1 to iters)
-        cent = localized(centroidsOf(assignCells(qv, cent).select(col("cell"), col("q"))))
-      cent
-    } finally qv.unpersist(false)
+    var cent = localized(qv
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn2")))
+    for (_ <- 1 to iters)
+      cent = localized(centroidsOf(assignCells(qv, cent).select(col("cell"), col("q"))))
+    cent
   }
 
   /** [[ivfIndex]] with the label column replaced by learned k-means
@@ -408,10 +413,19 @@ object Similarity {
     * iterations (spill-safe) and freed before return. Codes that lose
     * all members vanish — both engines drop them identically.
     * Output: (m, code, cq: array<long>, cn2: long). */
-  def pqCodebook(emb: DataFrame, k: Int = PqK, iters: Int = PqIters): DataFrame = {
-    val spark = emb.sparkSession
+  def pqCodebook(emb: DataFrame, k: Int = PqK, iters: Int = PqIters): DataFrame =
+    pqCodebookFrom(quantized(emb), k, iters)
+
+  /** [[pqCodebook]] against a pre-built (ideally persisted) quantized
+    * corpus — composite builds ([[pqIndex]], [[ivfPqIndex]]) quantize
+    * once and share; the Lloyd loop still persists its own
+    * subspace-exploded view (cheaper to cache exploded than to
+    * re-explode per iteration). */
+  private[pipeline] def pqCodebookFrom(qv: DataFrame, k: Int = PqK,
+      iters: Int = PqIters): DataFrame = {
+    val spark = qv.sparkSession
     import spark.implicits._
-    val seeds = quantized(emb)
+    val seeds = qv
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
@@ -426,7 +440,7 @@ object Similarity {
       cb.select(col("m"), col("code"), col("cq"), col("cn2"))
         .as[(Int, Long, Seq[Long], Long)].collect().toSeq
         .toDF("m", "code", "cq", "cn2")
-    val sub = quantized(emb)
+    val sub = qv
       .select(col("vec_id"), subspaces(col("q"), "sq").as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -496,11 +510,23 @@ object Similarity {
     * the coded corpus (PqM small ints per vector). At corpus scale,
     * write both once (`codes.write.parquet(...)`) and serve every
     * top-k from them; the build's corpus passes (Lloyd iterations +
-    * encoding) amortize over all queries. */
+    * encoding) amortize over all queries.
+    *
+    * The build quantizes the corpus ONCE (persisted, shared by
+    * training and encoding — separately each would re-scan and
+    * re-hash) and materializes the code table eagerly: codes ARE the
+    * build artifact, ~32x smaller than the raw vectors, and
+    * checkpointing them lets the raw-corpus cache be freed before
+    * return. The retained code blocks follow the
+    * [[Dedup.freeRetained]] lifecycle. */
   def pqIndex(emb: DataFrame, k: Int = PqK,
       iters: Int = PqIters): (DataFrame, DataFrame) = {
-    val cb = pqCodebook(emb, k, iters)
-    (cb, pqCodes(quantized(emb), cb))
+    val qv = quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = pqCodebookFrom(qv, k, iters)
+      (cb, Dedup.retain(pqCodes(qv, cb).localCheckpoint(true)))
+    } finally qv.unpersist(false)
   }
 
   /** ADC top-k served from a prebuilt [[pqIndex]]: probes re-quantize
@@ -559,14 +585,26 @@ object Similarity {
     * and the cell-tagged code table. At corpus scale, write the code
     * table once cell-partitioned (`ccodes.write.partitionBy("cell")
     * .parquet(...)`): serving then partition-prunes to the probed
-    * cells and reads only codes. */
+    * cells and reads only codes.
+    *
+    * One quantize pass feeds everything: k-means training, PQ
+    * training, encoding and cell assignment all share the persisted
+    * corpus (built separately they would scan + re-hash it four
+    * times); the cell-tagged code table — the compressed build
+    * artifact — is materialized eagerly so the raw-corpus cache can
+    * be freed before return ([[Dedup.freeRetained]] lifecycle). */
   def ivfPqIndex(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val qv = quantized(emb)
-    val cent = kmeansCentroids(emb)
-    val cb = pqCodebook(emb)
-    val ccodes = pqCodes(qv, cb)
-      .join(assignCells(qv, cent).select(col("vec_id"), col("cell")), Seq("vec_id"))
-    (cent, cb, ccodes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = kmeansCentroidsFrom(qv)
+      val cb = pqCodebookFrom(qv)
+      val ccodes = Dedup.retain(
+        pqCodes(qv, cb)
+          .join(assignCells(qv, cent).select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .localCheckpoint(true))
+      (cent, cb, ccodes)
+    } finally qv.unpersist(false)
   }
 
   /** IVFPQ top-k served from a prebuilt [[ivfPqIndex]]. */
