@@ -270,10 +270,16 @@ object Curation {
     * batch, which dominates everything at a realistic base size. The
     * cost is snapshot semantics: a refreshed base parquet is picked up
     * on query RESTART, not mid-query (the contract a daily-refresh
-    * ingest pipeline wants anyway). Stopping the stream and calling
-    * Dataset.unpersist on [[lastBaseCache]]'s entries (or
-    * SparkSession.catalog.clearCache) frees the snapshot. */
+    * ingest pipeline wants anyway). The snapshot belongs to the MOST
+    * RECENT query: a new streamingIncremental call unpersists the
+    * previous snapshot (persisted plans are strongly held by Spark's
+    * CacheManager, so without this a restart loop leaks one base
+    * snapshot per restart; an older still-running query keeps working
+    * — its plan just recomputes the base uncached). Stopping the
+    * stream and unpersisting [[lastBaseCache]]'s entries (or
+    * SparkSession.catalog.clearCache) frees the current one. */
   def streamingIncremental(stream: DataFrame, base: DataFrame): DataFrame = {
+    lastBaseCache.foreach(_.unpersist())
     val nBands = Dedup.NumHashes / Dedup.BandRows
     val baseHashes = base.select(md5(col("text")).as("h")).distinct().persist()
     // ONE signature pass feeds all bands: (band, sig) distinct pairs

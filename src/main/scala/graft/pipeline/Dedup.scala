@@ -341,23 +341,29 @@ object Dedup {
     * before return; the result's own blocks must outlive the call so
     * the returned DataFrame stays readable). They are registered here
     * so a long-lived driver can reclaim them deterministically with
-    * [[freeRetained]] between queries, instead of waiting for the GC +
-    * ContextCleaner backstop (which does reclaim them once the result
-    * DataFrames become unreachable — the standard Spark lifecycle).
+    * [[freeRetained]] between queries. The registry holds WEAK
+    * references: a strong registry would keep every result reachable
+    * forever and silently defeat the GC + ContextCleaner backstop that
+    * reclaims checkpoint blocks once a result DataFrame is dropped —
+    * the registry must observe lifecycles, not extend them.
     *
     * Contract: [[freeRetained]] invalidates every result returned by
     * retaining operators ([[components]], [[TextAnalysis.bpeApply]],
-    * and their compositions, e.g. Curation.keepBest) that has not been
-    * fully consumed — call it at query boundaries. */
-  private val retainedCps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    * the PQ/IVFPQ index builds, and their compositions, e.g.
+    * Curation.keepBest) that has not been fully consumed — call it at
+    * query boundaries. */
+  private val retainedCps =
+    scala.collection.mutable.ArrayBuffer.empty[scala.ref.WeakReference[DataFrame]]
 
   private[pipeline] def retain(df: DataFrame): DataFrame = synchronized {
-    retainedCps += df; df
+    retainedCps += scala.ref.WeakReference(df); df
   }
 
-  /** Free every retained result checkpoint (see [[retainedCps]]). */
+  /** Free every still-reachable retained result checkpoint (see
+    * [[retainedCps]]); collected entries were (or will be) reclaimed
+    * by ContextCleaner. */
   def freeRetained(): Unit = synchronized {
-    retainedCps.foreach(freeCheckpoint)
+    retainedCps.foreach(_.get.foreach(freeCheckpoint))
     retainedCps.clear()
   }
 

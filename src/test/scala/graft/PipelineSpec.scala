@@ -163,20 +163,29 @@ class PipelineSpec extends SparkSpec {
     def live = spark.sparkContext.getPersistentRDDs.size
     // one warm-up run (lazy caches elsewhere in the session settle),
     // then capture the baseline AFTER freeing its retained results
-    Dedup.components(Dedup.minhashCandidates(planted)).collect()
-    TextAnalysis.bpeApply(planted, 2).collect()
+    val warm = Seq(
+      Dedup.components(Dedup.minhashCandidates(planted)),
+      TextAnalysis.bpeApply(planted, 2))
+    warm.foreach(_.collect())
     Dedup.freeRetained()
-    val baseline = live
+    val baseline = live // warm refs still held: nothing frees async under us
+    // hold STRONG refs to the results until after freeRetained: the
+    // registry is weak by design (it must not defeat the GC backstop),
+    // so a GC between collect and freeRetained would otherwise hand a
+    // result to the ASYNC ContextCleaner and make this count racy
+    val held = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     for (_ <- 1 to 3) {
       // internal round checkpoints must all be freed inside the call;
       // the retained RESULTS are freed at the "query boundary" below
-      Dedup.components(Dedup.minhashCandidates(planted)).collect()
-      TextAnalysis.bpeApply(planted, 2).collect()
-      Curation.keepBest(planted).collect()
+      held += Dedup.components(Dedup.minhashCandidates(planted))
+      held += TextAnalysis.bpeApply(planted, 2)
+      held += Curation.keepBest(planted)
+      held.takeRight(3).foreach(_.collect())
     }
     Dedup.freeRetained()
     assert(live == baseline,
       s"stranded checkpoint blocks: $live persistent RDDs vs baseline $baseline")
+    held.clear()
   }
 
   test("components exposes its per-round convergence trace") {
