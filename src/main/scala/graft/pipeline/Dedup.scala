@@ -352,18 +352,28 @@ object Dedup {
     * the PQ/IVFPQ index builds, and their compositions, e.g.
     * Curation.keepBest) that has not been fully consumed — call it at
     * query boundaries. */
-  private val retainedCps =
-    scala.collection.mutable.ArrayBuffer.empty[scala.ref.WeakReference[DataFrame]]
+  private val retainedCps = scala.collection.mutable.ArrayBuffer
+    .empty[scala.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
+  /** Register the RDD behind a checkpoint-backed result. The weak ref
+    * targets the RDD, not the Dataset wrapper: an internal retained
+    * table (e.g. bpeApply's word table) drops its wrapper immediately
+    * while its RDD stays reachable through every consumer plan — the
+    * RDD's reachability IS the lifetime the registry must observe. */
   private[pipeline] def retain(df: DataFrame): DataFrame = synchronized {
-    retainedCps += scala.ref.WeakReference(df); df
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        retainedCps += scala.ref.WeakReference(lr.rdd)
+      case _ => ()
+    }
+    df
   }
 
   /** Free every still-reachable retained result checkpoint (see
     * [[retainedCps]]); collected entries were (or will be) reclaimed
     * by ContextCleaner. */
   def freeRetained(): Unit = synchronized {
-    retainedCps.foreach(_.get.foreach(freeCheckpoint))
+    retainedCps.foreach(_.get.foreach(_.unpersist(false)))
     retainedCps.clear()
   }
 
