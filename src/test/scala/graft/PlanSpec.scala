@@ -235,6 +235,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 query plans: no stray windows, no cartesian blowups, broadcast where bounded") {
+    // text_logprob2: aggregates + equi-joins only — a window on the
+    // (zipfian) bigram key would be the hot-key shape the prune avoids
+    val lpWindows = collectAll(plan("text_logprob2")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(lpWindows.isEmpty, "text_logprob2 grew a window")
+    // dedup_spans_clean: exactly the islands window (the rebuild is
+    // row-local; the ranges join must not rank anything)
+    val scWindows = collectAll(plan("dedup_spans_clean")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(scWindows.size == 1, s"dedup_spans_clean expected only the islands window, got ${scWindows.size}")
+    // sim_ivfpq_topk: the only windows are the two bounded rankings
+    // (probe->cell routing over k rows/probe, final top-k); the
+    // LUT/codebook joins must not fall back to SMJ of the code table
+    val p = plan("sim_ivfpq_topk")
+    val ivfWindows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ivfWindows.size <= 2, s"sim_ivfpq_topk grew windows: ${ivfWindows.size}")
+    assert(!p.toString.contains("CartesianProduct"), "sim_ivfpq_topk produced a cartesian join")
+  }
+
   test("pipeline_source_cap: rank <= N plans as WindowGroupLimit (map-side cap, mega-source safe)") {
     val p = plan("pipeline_source_cap")
     val limits = collectAll(p) {
