@@ -97,6 +97,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(WavFixtures.wavBytes(Seq(0, 0)).take(20)).isEmpty)
   }
 
+  test("decodeAudio handles big-endian containers: AIFF of the same samples matches the WAV histogram") {
+    import graft.pipeline.WavFixtures
+    val samples = (0 until 100).map(i => if (i % 2 == 0) 16384 else -16384)
+    // encode the same PCM through the JDK's AIFF writer (big-endian)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val bytes = new Array[Byte](samples.size * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.size.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = Multimodal.decodeAudio(bos.toByteArray).get
+    val wav = Multimodal.decodeAudio(WavFixtures.wavBytes(samples)).get
+    assert(aiff.toSeq == wav.toSeq)
+    assert(aiff(4) == 0.5 && aiff(12) == 0.5)
+  }
+
   test("committed WAV fixtures byte-match regeneration and decode to the analytic golden") {
     import graft.pipeline.WavFixtures
     val dir = java.nio.file.Paths.get(WavFixtures.fixtureDir)
