@@ -140,8 +140,28 @@ object Curation {
     * 100 TB that is millions of buckets, one bucket ~ one output pack
     * file, never 16 giant single-task windows. All arithmetic is
     * integer — exact in any engine. */
-  def packSequences(docs: DataFrame, nBuckets: Int = 0, packLen: Long = 256): DataFrame = {
-    val buckets = if (nBuckets > 0) nBuckets else autoBuckets(docs)
+  def packSequences(docs: DataFrame, nBuckets: Int = 0, packLen: Long = 256): DataFrame =
+    // split(' ') is the exact tokenizer for this corpus — the same
+    // count as TextAnalysis.tokenStats' n_tokens
+    packSequencesBy(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      nBuckets, packLen)
+
+  /** [[packSequences]] over an ARBITRARY per-doc token count table
+    * (doc_id, n_tokens) — the real pipeline packs by TOKENIZER counts
+    * (e.g. [[TextAnalysis.bpeApply]]'s n_bpe_tokens), since the
+    * training budget is measured in model tokens, not whitespace
+    * words. Same derived bucketing: max(16, totalTokens /
+    * [[TargetTokensPerBucket]]) from one cheap count over the
+    * (already corpus-collapsed) counts table. */
+  def packSequencesBy(counts: DataFrame, nBuckets: Int = 0, packLen: Long = 256): DataFrame = {
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else {
+        val total = counts.agg(coalesce(sum("n_tokens"), lit(0L)))
+          .collect()(0).getLong(0)
+        math.max(16L, total / TargetTokensPerBucket).toInt
+      }
     // 48 hash bits, not one byte: the derived bucket count reaches the
     // millions at corpus scale, and a 1-byte hash would silently cap
     // distinct buckets at 256
@@ -151,13 +171,8 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(
-        col("doc_id"),
-        // split(' ') is the exact tokenizer for this corpus — the same
-        // count as TextAnalysis.tokenStats' n_tokens
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        bucket)
+    counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), bucket)
       .withColumn("offset_in_bucket", coalesce(sum("n_tokens").over(w), lit(0L)))
       // integer division on exact longs — floor in both engines
       .withColumn("first_pack", expr(s"offset_in_bucket DIV $packLen"))

@@ -76,6 +76,13 @@ object PipelineQueries extends QueryPack {
     // Sequence packing: md5-bucketed pack-then-chunk layout; the
     // running-offset window is partitioned by bucket (no global sort)
     "pipeline_pack" -> ((s, d) => Curation.packSequences(docs(s, d)).orderBy("doc_id")),
+    // tokenizer-true packing: the BPE-trained subword counts drive the
+    // layout (training budgets are model tokens, not whitespace words)
+    "pipeline_pack_bpe" -> ((s, d) =>
+      Curation.packSequencesBy(
+        TextAnalysis.bpeApply(docs(s, d), 3)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
+        .orderBy("doc_id")),
     // per-source crawl audit + the anti-spam per-source cap
     "pipeline_source_stats" -> ((s, d) => Curation.sourceStats(docs(s, d)).orderBy("source")),
     "pipeline_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d)).orderBy("source", "rank")),
@@ -296,6 +303,36 @@ object PipelineQueries extends QueryPack {
        |         round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
        |  FROM dots
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
+  }
+
+  /** The sequence-pack core over a `cnt(doc_id, n_tokens)` CTE:
+    * derived bucket count, 48-bit md5 bucket hash, per-bucket running
+    * offsets, floor-division chunk spans — semantics of
+    * [[Curation.packSequencesBy]]. */
+  private def packCoreSql(cntCtes: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    // Horner-free 48-bit value: sum of nibble * 16^(11-i) — exact in
+    // BIGINT, identical to Spark's conv(substring(md5, 1, 12), 16, 10)
+    val hash48 = (0 until 12)
+      .map(i => s"${nib(i + 1)} * ${1L << (4 * (11 - i))}")
+      .mkString("(", " + ", ")")
+    s"""WITH $cntCtes,
+       |nb AS (SELECT greatest(16, CAST(sum(n_tokens) AS BIGINT)
+       |                           // ${Curation.TargetTokensPerBucket}) AS n
+       |       FROM cnt),
+       |t AS (SELECT doc_id, n_tokens,
+       |             $hash48 % (SELECT n FROM nb) AS bucket
+       |      FROM cnt),
+       |o AS (
+       |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(off AS BIGINT) AS offset_in_bucket,
+       |       CAST(off // 256 AS BIGINT) AS first_pack,
+       |       CAST((off + n_tokens - 1) // 256 AS BIGINT) AS last_pack
+       |FROM o ORDER BY doc_id""".stripMargin
   }
 
   /** Per-doc quality CTE `q(doc_id, source, n_tokens, quality)` —
@@ -760,35 +797,24 @@ object PipelineQueries extends QueryPack {
     // bucket = first 48 md5 bits mod the DERIVED bucket count
     // (max(16, tokens/target)), running offset windowed PER BUCKET,
     // integer floor division for chunk spans — keep in sync with
-    // Curation.packSequences/autoBuckets (SUM over a window is HUGEINT
-    // in DuckDB, hence the outer BIGINT casts).
-    "pipeline_pack" -> {
-      def nib(i: Int) =
-        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-      // Horner-free 48-bit value: sum of nibble * 16^(11-i) — exact in
-      // BIGINT, identical to Spark's conv(substring(md5, 1, 12), 16, 10)
-      val hash48 = (0 until 12)
-        .map(i => s"${nib(i + 1)} * ${1L << (4 * (11 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH nb AS (
-         |  SELECT greatest(16, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-         |                      // ${Curation.TargetTokensPerBucket}) AS n
-         |  FROM documents),
-         |t AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         $hash48 % (SELECT n FROM nb) AS bucket
-         |  FROM documents),
-         |o AS (
-         |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-         |  FROM t)
-         |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-         |       CAST(off AS BIGINT) AS offset_in_bucket,
-         |       CAST(off // 256 AS BIGINT) AS first_pack,
-         |       CAST((off + n_tokens - 1) // 256 AS BIGINT) AS last_pack
-         |FROM o ORDER BY doc_id""".stripMargin
-    },
+    // Curation.packSequencesBy/autoBuckets (SUM over a window is
+    // HUGEINT in DuckDB, hence the outer BIGINT casts).
+    "pipeline_pack" -> packCoreSql(
+      """cnt AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)""".stripMargin),
+    // the same pack core over bpeApply's subword counts — keep in sync
+    // with Curation.packSequencesBy + TextAnalysis.bpeApply
+    "pipeline_pack_bpe" -> packCoreSql(
+      s"""${bpeLoopCtes(3)},
+         |wl AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+         |       FROM s3 GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |cnt AS (SELECT d.doc_id, CAST(sum(wl.n_sub) AS BIGINT) AS n_tokens
+         |        FROM (SELECT doc_id, word FROM dw WHERE length(word) > 0) d
+         |        JOIN wl USING (word)
+         |        GROUP BY d.doc_id)""".stripMargin),
     "text_stats" ->
       s"""SELECT doc_id,
          |       CAST(len(toks) AS BIGINT) AS n_tokens,
