@@ -179,6 +179,22 @@ object Curation {
       .withColumn("last_pack", expr(s"(offset_in_bucket + n_tokens - 1) DIV $packLen"))
   }
 
+  /** Deterministic train/validation/test assignment — the split every
+    * training corpus needs, as a pure function of doc_id (the
+    * [[stratifiedSample]] reproducibility contract: re-runs, retries
+    * and engines all agree; rand() agrees with nothing). The doc's
+    * md5 byte (0-255) thresholds into the three fractions; map-only,
+    * no shuffle. `trainN`/`valN` are counts of 256ths (defaults
+    * 232/12/12 ≈ 90.6/4.7/4.7%). */
+  def holdoutSplit(docs: DataFrame, trainN: Int = 232, valN: Int = 12): DataFrame = {
+    require(trainN + valN < 256, "train + val fractions must leave room for test")
+    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    docs.select(
+      col("doc_id"),
+      when(b < trainN, "train").when(b < trainN + valN, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-source corpus profile — the crawl-audit rollup (which feeds
     * are big, which are junk): doc and token counts plus mean quality
     * per source. ONE partial-aggregating shuffle on source; the mean

@@ -83,6 +83,16 @@ object PipelineQueries extends QueryPack {
         TextAnalysis.bpeApply(docs(s, d), 3)
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
         .orderBy("doc_id")),
+    // deterministic train/val/test assignment (pure function of
+    // doc_id — reproducible across runs, retries, engines)
+    "pipeline_split" -> ((s, d) => Curation.holdoutSplit(docs(s, d)).orderBy("doc_id")),
+    // semantic near-dup CLUSTERS: connected components over the
+    // embedding-cosine pair graph (the clustering tier of the
+    // semantic dedup plane, like dedup_components for the text plane)
+    "dedup_embedding_components" -> ((s, d) =>
+      Dedup.components(
+        Dedup.embeddingNearDups(docs(s, d), emb(s, d)).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
     // per-source crawl audit + the anti-spam per-source cap
     "pipeline_source_stats" -> ((s, d) => Curation.sourceStats(docs(s, d)).orderBy("source")),
     "pipeline_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d)).orderBy("source", "rank")),
@@ -980,6 +990,40 @@ object PipelineQueries extends QueryPack {
          |WHERE id_a IN (SELECT doc_id FROM documents)
          |  AND id_b IN (SELECT doc_id FROM documents)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure over the embedding-cosine pair graph — the
+    // dedup_components oracle pattern on dedup_embedding's pairs
+    "dedup_embedding_components" -> {
+      val ann = annPairsCtes(Similarity.AnnThreshold).stripPrefix("WITH ")
+      s"""WITH RECURSIVE $ann,
+         |epairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM pairs
+         |           WHERE id_a IN (SELECT doc_id FROM documents)
+         |             AND id_b IN (SELECT doc_id FROM documents)),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM epairs
+         |      UNION SELECT doc_b, doc_a FROM epairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_doc
+         |        FROM reach GROUP BY src)
+         |SELECT l.doc_id, l.rep_doc, CAST(c.n AS BIGINT) AS n_docs
+         |FROM lab l
+         |JOIN (SELECT rep_doc, count(*) AS n FROM lab GROUP BY rep_doc) c
+         |  USING (rep_doc)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // md5-byte thresholds into 256ths — keep in sync with
+    // Curation.holdoutSplit (train/val/test = 232/12/12)
+    "pipeline_split" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""SELECT doc_id,
+         |       CASE WHEN b < 232 THEN 'train'
+         |            WHEN b < 244 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${nib(1)} * 16 + ${nib(2)} AS b FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     // Product quantization unrolled: Lloyd-refined codebook
     // (pqCbCtes), exact-long L2 argmin codes (score = cn2 - 2*dot; n2x
     // constant within the argmin), per-probe LUT, ADC scores — keep in

@@ -789,6 +789,19 @@ class PipelineSpec extends SparkSpec {
       s"unigram scores should be identical for a permuted multiset: $lp1")
   }
 
+  test("holdoutSplit: pure function of doc_id (partitioning-invariant), covers all docs, near target fractions") {
+    val a = Curation.holdoutSplit(docs).as[(Long, String)].collect().toMap
+    val b = Curation.holdoutSplit(docs.repartition(13)).as[(Long, String)].collect().toMap
+    assert(a == b, "split changed under repartitioning")
+    assert(a.size == docs.count())
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    // md5 bytes are uniform: expect ~232/256, ~12/256, ~12/256 with
+    // generous tolerance on a 500-doc fixture
+    assert(math.abs(frac("train") - 232.0 / 256) < 0.05, s"train frac ${frac("train")}")
+    assert(frac("val") > 0 && frac("test") > 0)
+  }
+
   test("sourceCap keeps the N best-quality docs per source, ties to min doc_id") {
     val mk = (id: Long, src: String, text: String) => (id, text, "en", src, text.length.toLong)
     // srcA: 3 docs, quality order: 2 (long, stopword-rich) > 1 > 3;
