@@ -313,13 +313,58 @@ object Dedup {
     * PLANNING stalls per round on a graph of a few hundred edges,
     * even with every byte of data served from cache. After the
     * checkpoint, a round's plan is a flat scan of materialized label
-    * rows. (On a multi-executor cluster, localCheckpoint trades
+    * rows. Truncating lineage is NOT enough, though: the checkpoint
+    * carries the origin plan's ESTIMATED statistics, which compound
+    * across rounds exactly like the lineage would — see
+    * [[loopCheckpoint]] for why every round's checkpoint also resets
+    * stats. (On a multi-executor cluster, localCheckpoint trades
     * lineage-based recovery for speed — an executor loss mid-job
     * fails the job and the component run restarts; the standard
     * iterative-graph tradeoff, cf. GraphX Pregel's checkpointing.)
     *
     * Output: (doc_id, rep_doc = component min, n_docs = component
     * size), one row per doc that appears in at least one pair. */
+  /** Eager localCheckpoint that DROPS the origin plan's estimated
+    * statistics. `Dataset.localCheckpoint` truncates lineage but
+    * carries the optimized plan's `Statistics` into the new
+    * `LogicalRDD` (so one-shot checkpoints keep their broadcast
+    * eligibility). In a FIXPOINT loop that carryover is fatal at
+    * scale: Catalyst's size-only estimator multiplies join children's
+    * `sizeInBytes` (BigInts), so round N's estimate is a product of
+    * ~k copies of round N-1's — the estimate's DIGIT COUNT grows k^N
+    * and planner time (BigInteger Toom-Cook inside every stats
+    * consumer, e.g. InjectRuntimeFilter's canBroadcastBySize) explodes
+    * geometrically: measured 0.5s -> 141s per round by iteration 13
+    * of [[components]] on a 1.5k-vertex graph, all of it driver CPU in
+    * BigInteger.multiply on ~10^7-digit estimates. Rebuilding the
+    * LogicalRDD with originStats/originConstraints cleared resets the
+    * estimate to `spark.sql.defaultSizeInBytes` every round — the
+    * planner stops static-broadcasting these (AQE still converts to
+    * broadcast from RUNTIME sizes, which is the decision that matters
+    * on a cluster) and per-round planning cost becomes flat. Same
+    * problem and same fix shape as GraphFrames'
+    * `AggregateMessages.getCachedDataFrame` (graphframes#159).
+    *
+    * The reset is a rebuilt VIEW over the SAME checkpointed RDD — no
+    * second materialization, and [[freeCheckpoint]] on the view still
+    * unpersists the shared blocks. */
+  private[pipeline] def resetStats(ck: DataFrame): DataFrame =
+    ck.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark = ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(spark, None, None)
+        new org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row](
+          spark, fresh, org.apache.spark.sql.Encoders.row(ck.schema))
+      case _ => ck
+    }
+
+  /** Eager localCheckpoint + [[resetStats]] — the per-round
+    * materialization a fixpoint loop should use. */
+  private[pipeline] def loopCheckpoint(df: DataFrame): DataFrame =
+    resetStats(df.localCheckpoint(true))
+
   /** Dataset.unpersist() manages the PLAN cache; a localCheckpoint's
     * blocks live at the RDD level, so freeing a retired iteration
     * table means unpersisting the RDD behind its LogicalRDD plan
@@ -396,14 +441,18 @@ object Dedup {
       .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
       .localCheckpoint(true)
     var prevCp: DataFrame = null
-    var cp = e.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-      .localCheckpoint(true)
+    var cp = loopCheckpoint(e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")))
+    // stats reset on everything the loop reads: e's carried estimate
+    // (a product over the whole candidate-generation join tree) would
+    // otherwise re-enter every round's join-size product as a huge
+    // constant factor even when the per-round checkpoints are clean
+    val ec = resetStats(e)
     var labels = cp
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = e
+      val nbrMin = ec
         .join(labels.select(col("v").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src").as("v"))
         .agg(min("nbr_label").as("nbr_min"))
@@ -415,19 +464,34 @@ object Dedup {
       // composing one adjacency hop with two label hops still doubles
       // resolved path lengths per round). p is always a vertex id
       // present in labels.v (see scaladoc), so the left join only
-      // misses rows where p == v already.
+      // misses rows where p == v already. A SECOND shortcut hop was
+      // tried and measured: it does NOT reduce rounds on real pair
+      // graphs (19 rounds with either variant on the sf0.1
+      // embedding-similarity graph — convergence there is bounded by
+      // min-label travel through ADJACENCY, which extra label hops
+      // cannot shortcut), so it would be one more join per round for
+      // nothing. On sequential-id paths one hop already closes a
+      // 1000-node chain in ~10 rounds.
       val shortcut = labels.select(col("v").as("p"), col("label").as("pp"))
       val t0 = System.nanoTime()
-      val next = prop
+      val lbl = least(col("p"), coalesce(col("pp"), col("p")))
+      // loopCheckpoint materializes: the round's ONE action
+      val next = loopCheckpoint(prop
         .join(shortcut, Seq("p"), "left")
         .select(col("v"),
-          least(col("p"), coalesce(col("pp"), col("p"))).as("label"),
-          (least(col("p"), coalesce(col("pp"), col("p"))) < col("old")).as("chg"))
-        .localCheckpoint(true) // materializes: the round's ONE action
+          lbl.as("label"),
+          (lbl < col("old")).as("chg")))
       val changed = next.filter(col("chg")).count() // served from the checkpoint
       trace += ((iter, changed, (System.nanoTime() - t0) / 1e9))
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
+        val sc = next.sparkSession.sparkContext
+        val nparts = next.queryExecution.toRdd.getNumPartitions
+        val nPersist = sc.getPersistentRDDs.size
+        val planNodes = next.queryExecution.executedPlan.collect { case p => p }.size
+        val logicalCls = next.queryExecution.logical.getClass.getSimpleName
+        System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          s"parts=$nparts persisted=$nPersist planNodes=$planNodes logical=$logicalCls")
+      }
       // round N-1's checkpoint blocks are dead once round N's are
       // materialized — free them now instead of waiting for GC
       if (prevCp != null) freeCheckpoint(prevCp)
