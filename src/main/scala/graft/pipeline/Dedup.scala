@@ -288,22 +288,37 @@ object Dedup {
   /** Connected components over near-dup PAIRS — the clustering step
     * between pairwise candidate generation and keep-one-per-cluster
     * curation (pairs alone under-count: {A~B, B~C} is ONE cluster of
-    * three even when A~C was never emitted by any band). Min-label
-    * propagation WITH pointer doubling: every doc starts as its own
-    * label; each round a doc adopts the smallest label among itself
-    * and its neighbors, then shortcuts through its label's label
-    * (label(v) <- min(label(v), label(label(v)))). The shortcut halves
-    * remaining path lengths, so rounds needed are O(log diameter)
-    * instead of O(diameter) — a 1000-link near-dup chain closes in
-    * ~10 rounds, not 1000. Every label is always the id of some vertex
-    * in the same component (init: itself; propagate/shortcut: mins
-    * over such ids), so the shortcut lookup is a self-join on the
-    * label table and the fixpoint is the component min (the min vertex
-    * never decreases, and at fixpoint labels are constant across every
-    * edge). Per round: one partial-aggregating shuffle (neighbor min),
-    * one equi-join (shortcut), ONE action — the changed count rides a
-    * flag column on the label table instead of a re-join with the
-    * previous labels.
+    * three even when A~C was never emitted by any band). Min-star
+    * CONTRACTION: each round every active vertex points at
+    * min(itself, min neighbor) (m1), one pointer hop shortens chains
+    * (m2 = m1∘m1), then BOTH the label table and the EDGE LIST are
+    * relabeled through m2 (self-loops dropped, duplicates merged).
+    * Contracting the edges is what plain label propagation lacks:
+    * there, a min label crosses one ADJACENCY hop per round, so
+    * convergence is diffusion-bounded (measured 19 rounds on the
+    * sf0.1 embedding-similarity graph with pointer doubling — extra
+    * label hops cannot shortcut adjacency). Here resolved regions
+    * collapse to their representative between rounds, so the min
+    * label jumps between supernodes and the active edge list SHRINKS
+    * geometrically — the same graph closes in ~6 rounds, and a
+    * 100k-node path in ~17 (vs 100k diffusion rounds).
+    *
+    * Correctness of the incremental label update (labels advance
+    * through each round's m2 even though m2 is only a one-hop
+    * shortening, not a closure): if any label still points at a
+    * vertex t that m2 relabeled away (m2(t) < t), then some edge
+    * incident to t's pre-image relabels to (t, m2(t)) — not a
+    * self-loop — so t stays in the contracted edge list and a LATER
+    * round's m2 carries that label onward; when the edge list
+    * empties, no dead targets remain. Contraction always merges by
+    * least, so a component's surviving representative is its min
+    * vertex. Per round: one partial-aggregating shuffle (m1), one
+    * rep-map self-join (m2, active-vertex-sized and shrinking — AQE
+    * broadcasts it as soon as it fits), one label-table join, two
+    * edge-relabel joins + a distinct on the SHRINKING edge list, ONE
+    * action — the changed count rides a flag column. Convergence ⟺
+    * the contracted edge list is empty (an edge (a,b), b>a forces
+    * b's label down, and every active vertex is some doc's label).
     *
     * Lineage is truncated EVERY round with an eager localCheckpoint:
     * each round's logical plan otherwise embeds ~3 copies of the
@@ -447,41 +462,62 @@ object Dedup {
     // (a product over the whole candidate-generation join tree) would
     // otherwise re-enter every round's join-size product as a huge
     // constant factor even when the per-round checkpoints are clean
-    val ec = resetStats(e)
+    var edges = resetStats(e)
+    var prevEdges: DataFrame = e
     var labels = cp
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = ec
-        .join(labels.select(col("v").as("dst"), col("label").as("nbr_label")), Seq("dst"))
-        .groupBy(col("src").as("v"))
-        .agg(min("nbr_label").as("nbr_min"))
-      val prop = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("p"))
-      // pointer doubling: shortcut through the PREVIOUS round's label
-      // of the propagated label (the lookup costs one equi-join, and
-      // composing one adjacency hop with two label hops still doubles
-      // resolved path lengths per round). p is always a vertex id
-      // present in labels.v (see scaladoc), so the left join only
-      // misses rows where p == v already. A SECOND shortcut hop was
-      // tried and measured: it does NOT reduce rounds on real pair
-      // graphs (19 rounds with either variant on the sf0.1
-      // embedding-similarity graph — convergence there is bounded by
-      // min-label travel through ADJACENCY, which extra label hops
-      // cannot shortcut), so it would be one more join per round for
-      // nothing. On sequential-id paths one hop already closes a
-      // 1000-node chain in ~10 rounds.
-      val shortcut = labels.select(col("v").as("p"), col("label").as("pp"))
       val t0 = System.nanoTime()
-      val lbl = least(col("p"), coalesce(col("pp"), col("p")))
-      // loopCheckpoint materializes: the round's ONE action
-      val next = loopCheckpoint(prop
-        .join(shortcut, Seq("p"), "left")
-        .select(col("v"),
-          lbl.as("label"),
-          (lbl < col("old")).as("chg")))
-      val changed = next.filter(col("chg")).count() // served from the checkpoint
+      // m1: every active vertex -> min(itself, min neighbor). The
+      // bidirectional edge list covers each active vertex on the src
+      // side, so one partial-aggregating shuffle reaches them all.
+      val m1 = edges.groupBy("src").agg(min("dst").as("m"))
+        .select(col("src").as("r"), least(col("src"), col("m")).as("t"))
+      // one pointer hop (m2 = m1∘m1) shortens pointer chains; targets
+      // that m2 itself relabels are carried onward by LATER rounds
+      // (see scaladoc correctness note)
+      val m2 = m1.join(m1.select(col("r").as("t"), col("t").as("t2")), Seq("t"), "left")
+        .select(col("r"), coalesce(col("t2"), col("t")).as("t"))
+      // compose with the CUMULATIVE label map: rm(t) = labels(m2(t)).
+      // Without this, a monotone path (edge (i,i+1) for sorted ids)
+      // degenerates: m2 maps i -> i-2 UNIFORMLY, so contraction just
+      // SHIFTS the chain two ids per round — linear rounds. Looking
+      // the target up in the label table compounds all previous
+      // rounds' resolution (resolved distance d -> 2d+2 per round), so
+      // sorted paths close in O(log n) rounds like everything else.
+      // rm stays keyed by VALUE, so labels and edges contract through
+      // the same map and the dead-target argument is unchanged.
+      val rm = m2.join(labels.select(col("v").as("t"), col("label").as("lt")), Seq("t"), "left")
+        .select(col("r"), coalesce(col("lt"), col("t")).as("t"))
+      // labels advance through the round's rep map; labels at inactive
+      // (already-final) reps miss the join and keep their value
+      val lbl = coalesce(col("t"), col("label"))
+      // LAZY checkpoints: the changed-count below is the round's ONE
+      // action and materializes `next` in the same job; the contracted
+      // edge list materializes inside the NEXT round's first job (its
+      // plan is one flat layer over this round's tables, so the
+      // lineage/stats blowup loopCheckpoint guards against cannot
+      // restart). A converged final round leaves eNext unmaterialized
+      // — freeCheckpoint on it is a no-op.
+      val next = resetStats(labels
+        .join(rm.select(col("r").as("label"), col("t")), Seq("label"), "left")
+        .select(col("v"), lbl.as("label"), (lbl < col("label")).as("chg"))
+        .localCheckpoint(false))
+      // contract: relabel both endpoints through m2 (every active
+      // vertex has an m2 row, so the coalesce only covers the
+      // empty-map final round), drop self-loops, merge parallel edges.
+      // Relabeling preserves the src/dst symmetry, so the edge list
+      // stays bidirectional without re-exploding.
+      val eNext = resetStats(edges
+        .join(rm.select(col("r").as("src"), col("t").as("s2")), Seq("src"), "left")
+        .join(rm.select(col("r").as("dst"), col("t").as("d2")), Seq("dst"), "left")
+        .select(coalesce(col("s2"), col("src")).as("src"),
+          coalesce(col("d2"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(false))
+      val changed = next.filter(col("chg")).count() // materializes the checkpoint
       trace += ((iter, changed, (System.nanoTime() - t0) / 1e9))
       if (sys.env.contains("GRAFT_CC_DEBUG")) {
         val sc = next.sparkSession.sparkContext
@@ -495,13 +531,18 @@ object Dedup {
       // round N-1's checkpoint blocks are dead once round N's are
       // materialized — free them now instead of waiting for GC
       if (prevCp != null) freeCheckpoint(prevCp)
+      if (prevEdges ne e) freeCheckpoint(prevEdges)
       prevCp = cp
+      prevEdges = edges
       cp = next
+      edges = eNext
       labels = next.select(col("v"), col("label"))
       converged = changed == 0
       iter += 1
     }
     if (prevCp != null) freeCheckpoint(prevCp)
+    if (prevEdges ne e) freeCheckpoint(prevEdges)
+    freeCheckpoint(edges)
     freeCheckpoint(e)
     lastComponentsTrace = trace.toSeq
     require(converged, s"components did not converge in $maxIters rounds — " +
