@@ -179,6 +179,37 @@ object Curation {
       .withColumn("last_pack", expr(s"(offset_in_bucket + n_tokens - 1) DIV $packLen"))
   }
 
+  /** Sliding-window context chunking — the OTHER standard
+    * training-batch layout besides [[packSequences]]: each document is
+    * cut into windows of `maxLen` tokens starting every `stride`
+    * tokens (stride < maxLen ⇒ overlapping windows, the BERT/RAG
+    * convention that avoids splitting salient spans at hard
+    * boundaries; stride == maxLen ⇒ disjoint chunks). The final
+    * window of a doc is shorter when the length is not aligned; every
+    * token of every doc lands in at least one chunk.
+    *
+    * Shape: ROW-LOCAL — window starts are a sequence(1, n, stride)
+    * exploded per doc, the chunk text is a slice of the doc's own
+    * token array; no shuffle at all (map-only), so it composes with
+    * any downstream partitioning at any corpus size. All arithmetic
+    * is integer. Output: (doc_id, chunk_id 0-based, start 1-based
+    * token offset, chunk_len, text). */
+  def contextChunks(docs: DataFrame, maxLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && maxLen >= stride,
+      s"need 1 <= stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1L), col("n"), lit(stride.toLong))).as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(maxLen.toLong), col("n") - col("start") + 1).as("chunk_len"),
+        array_join(slice(col("toks"), col("start"), lit(maxLen)), " ").as("text"))
+  }
+
   /** Deterministic train/validation/test assignment — the split every
     * training corpus needs, as a pure function of doc_id (the
     * [[stratifiedSample]] reproducibility contract: re-runs, retries
@@ -230,6 +261,51 @@ object Curation {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= maxPerSource)
       .select(col("doc_id"), col("source"), col("quality"), col("rank"))
+  }
+
+  /** Domain-targeted importance weighting (DSIR-style — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): each doc scores the mean over its tokens of
+    * ln(p_target(tok) / p_corpus(tok)), where p_target is a unigram
+    * model of the docs matching `targetLang` and p_corpus of the whole
+    * corpus. Docs distributionally close to the target domain get
+    * high weights; sampling by weight tilts a generic crawl toward the
+    * domain without hard filtering. Both models use add-one smoothing
+    * over the SHARED corpus vocabulary, so out-of-target tokens are
+    * defined (and penalized) rather than -inf.
+    *
+    * Shape: the [[TextAnalysis.logProb]] family — two vocabulary-sized
+    * unigram tables (one partial-aggregating shuffle each; the target
+    * table is a filtered aggregate of the same token stream, not a
+    * second corpus scan), an equi-join on token (AQE broadcasts the
+    * vocab tables iff they fit), one per-doc hash aggregate. The
+    * 4-decimal rounding of a length-normalized mean absorbs ln ulps
+    * ([[TextAnalysis.logProb]]'s oracle contract). Output: (doc_id,
+    * n_tokens, dsir_weight). */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val uni = toks.groupBy("word").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("lang") === targetLang, 1)).as("tcnt"))
+    val totals = uni.agg(
+      sum("cnt").as("total"),
+      sum("tcnt").as("ttotal"),
+      count(lit(1)).as("vocab"))
+    toks
+      .join(uni, Seq("word"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("tcnt") + 1).cast("double") / (col("ttotal") + col("vocab")).cast("double"))
+          - log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        // + 0.0 normalizes IEEE -0.0 (a mean of ~-1e-17 rounds to
+        // NEGATIVE zero, whose sign survives into parquet and hashes
+        // differently across engines)
+        (round(sum("lr") / count(lit(1)), 4) + lit(0.0)).as("dsir_weight"))
   }
 
   /** Tokens per pack bucket the default derivation targets (~4M: a

@@ -20,6 +20,10 @@ object PipelineQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Fixed query terms for text_bm25 — mid-frequency corpus words so
+    * tf, df and doc-length normalization all do real work. */
+  val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactSummary(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
@@ -86,6 +90,15 @@ object PipelineQueries extends QueryPack {
     // deterministic train/val/test assignment (pure function of
     // doc_id — reproducible across runs, retries, engines)
     "pipeline_split" -> ((s, d) => Curation.holdoutSplit(docs(s, d)).orderBy("doc_id")),
+    // sliding-window context chunks (map-only, overlapping windows)
+    "pipeline_chunks" -> ((s, d) =>
+      Curation.contextChunks(docs(s, d)).orderBy("doc_id", "chunk_id")),
+    // DSIR-style domain importance weights (target domain = lang 'en')
+    "pipeline_dsir" -> ((s, d) => Curation.importanceWeights(docs(s, d)).orderBy("doc_id")),
+    // BM25 keyword retrieval over the corpus (fixed query terms so the
+    // oracle is a VALUES table)
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Search(docs(s, d), Bm25Query).orderBy("doc_id")),
     // semantic near-dup CLUSTERS: connected components over the
     // embedding-cosine pair graph (the clustering tier of the
     // semantic dedup plane, like dedup_components for the text plane)
@@ -834,6 +847,58 @@ object PipelineQueries extends QueryPack {
          |       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_tok_len
          |FROM ($TOKS)
          |ORDER BY doc_id""".stripMargin,
+    // sliding windows: starts every 48 tokens, 64-token slices (range
+    // end-exclusive, list slicing 1-based inclusive = Spark slice) —
+    // keep in sync with Curation.contextChunks
+    "pipeline_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |             unnest(range(1, len(toks) + 1, 48)) AS start FROM t)
+        |SELECT doc_id,
+        |       CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |       CAST(start AS BIGINT) AS start,
+        |       CAST(least(64, n - start + 1) AS BIGINT) AS chunk_len,
+        |       array_to_string(toks[start : start + 63], ' ') AS text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // add-one-smoothed target/corpus unigram log-ratio, mean per doc —
+    // keep in sync with Curation.importanceWeights (target lang 'en')
+    "pipeline_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tk AS (SELECT doc_id, lang, word FROM t WHERE length(word) > 0),
+        |u AS (SELECT word, count(*) AS cnt,
+        |             count(CASE WHEN lang = 'en' THEN 1 END) AS tcnt
+        |      FROM tk GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |               CAST(sum(tcnt) AS BIGINT) AS ttotal,
+        |               count(*) AS vocab FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(sum(ln(CAST(u.tcnt + 1 AS DOUBLE) / (ttotal + vocab))
+        |                 - ln(CAST(u.cnt + 1 AS DOUBLE) / (total + vocab)))
+        |             / count(*), 4) + 0.0 AS dsir_weight
+        |FROM tk JOIN u USING (word), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Okapi BM25, Lucene idf, contributions summed as 1e4-scaled longs
+    // — keep in sync with TextAnalysis.bm25Search (k1=1.2, b=0.75)
+    "text_bm25" -> {
+      val terms = Bm25Query.map(w => s"('$w')").mkString(", ")
+      s"""WITH q(word) AS (VALUES $terms),
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT word, doc_id, count(*) AS tf FROM tk JOIN q USING (word) GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |n AS (SELECT count(*) AS n,
+         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toktotal
+         |      FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CAST(round(
+         |           ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+         |           * tf.tf * (1.2 + 1.0)
+         |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+         |                             / (CAST(n.toktotal AS DOUBLE) / n.n)))
+         |         * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS score
+         |FROM tf JOIN df USING (word) JOIN dl USING (doc_id), n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // unigram self-scoring: mean ln(freq/total) per doc — keep in
     // sync with TextAnalysis.logProb
     "text_logprob" ->

@@ -326,6 +326,51 @@ object TextAnalysis {
         4).as("quality"))
   }
 
+  /** BM25 keyword search over the corpus — the retrieval half of a
+    * data pipeline (nearest-neighbor search covers embeddings;
+    * curation and inspection tooling still greps by KEYWORD: "find
+    * the docs about X", contamination spot-checks, eval-set mining).
+    * Okapi BM25 with the Lucene non-negative idf:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Shape: query terms are a tiny broadcast table; the corpus token
+    * stream semi-joins it FIRST, so tf/df aggregates touch only
+    * matching postings (never the full vocabulary); doc lengths ride
+    * the docs table (one map-only pass); per-doc score is a hash
+    * aggregate. Per-term contributions are summed as 1e4-scaled longs
+    * — a double sum's value depends on accumulation order
+    * ([[Curation.sourceStats]]' contract), an integer sum does not.
+    * Output (only docs with ≥ 1 hit): (doc_id, n_hits, score). */
+  def bm25Search(docs: DataFrame, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = broadcast(query.distinct.toDF("word"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val n = docs.select(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).as("toktotal"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(q, Seq("word"))
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val avgdl = col("toktotal").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
+    tf
+      .join(df, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", idf * col("tf") * (lit(k1) + 1.0) / denom)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        round(sum(round(col("contrib") * 10000).cast("long")).cast("double") / 10000.0, 4)
+          .as("score"))
+  }
+
   /** Positional k-gram shingles: (doc_id, pos, shingle) for pos in
     * 1..n-k+1 (1-based, matching DuckDB list slicing). Needs only
     * (doc_id, text) — no lang contract, so probe/stream schemas fit. */

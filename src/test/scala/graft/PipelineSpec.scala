@@ -862,6 +862,57 @@ class PipelineSpec extends SparkSpec {
       "pack window lost its bucket partition spec")
   }
 
+  test("contextChunks: overlapping windows at exact offsets, full token coverage, short tail") {
+    val d = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.contextChunks(d, maxLen = 3, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 3L, "a b c"),
+      (1L, 1L, 3L, 3L, "c d e"),
+      (1L, 2L, 5L, 1L, "e"),
+      (2L, 0L, 1L, 1L, "x")))
+    // stride == maxLen: disjoint chunks, still full coverage
+    val disjoint = Curation.contextChunks(d, maxLen = 2, stride = 2)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(disjoint == Set(
+      (1L, 0L, 1L, 2L, "a b"), (1L, 1L, 3L, 2L, "c d"), (1L, 2L, 5L, 1L, "e")))
+  }
+
+  test("importanceWeights: target-domain vocabulary scores high regardless of the doc's own tag") {
+    val d = Seq(
+      (1L, "alpha alpha beta", "en", "s", 1L), // the target-domain doc
+      (2L, "alpha alpha beta", "zh", "s", 1L), // same content, other tag
+      (3L, "gamma gamma delta", "zh", "s", 1L)) // disjoint vocabulary
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Curation.importanceWeights(d, "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // the weight is a function of CONTENT (distributional closeness),
+    // not of the doc's own lang column
+    assert(w(1L) == w(2L))
+    assert(w(1L) > w(3L))
+    assert(w(3L) < 0.0) // out-of-domain docs score negative log-ratios
+  }
+
+  test("bm25Search: tf raises the score, rarity outweighs common terms, misses are absent") {
+    val d = Seq(
+      (1L, "spark spark spark pad pad pad", "en", "s", 1L), // tf=3
+      (2L, "spark pad pad pad pad pad", "en", "s", 1L), // tf=1, df(spark)=2
+      (3L, "merge pad pad pad pad pad", "en", "s", 1L), // tf=1, df(merge)=1
+      (4L, "pad pad pad pad pad pad", "en", "s", 1L)) // no hits
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.bm25Search(d, Seq("spark", "merge"))
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(!r.contains(4L)) // hit-free docs never materialize
+    assert(r(1L)._3 > r(2L)._3) // higher tf at equal dl/df
+    assert(r(3L)._3 > r(2L)._3) // rarer term contributes more at equal tf/dl
+    assert(r.values.forall(_._3 > 0.0)) // Lucene idf is non-negative
+    assert(r(1L)._2 == 1L && r(2L)._2 == 1L)
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

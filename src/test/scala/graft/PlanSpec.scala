@@ -259,6 +259,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), "sim_ivfpq_topk produced a cartesian join")
   }
 
+  test("contextChunks is map-only: no exchange of any kind (composes with any downstream partitioning)") {
+    val p = graft.pipeline.Curation.contextChunks(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan
+    val exchanges = collectAll(p) {
+      case e: ShuffleExchangeExec => e
+      case e: BroadcastExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"contextChunks grew ${exchanges.size} exchange(s)")
+  }
+
+  test("text_bm25 / pipeline_dsir: postings semi-join keyed by broadcast terms, no windows, no cartesian") {
+    val bm = plan("text_bm25")
+    // the tiny query-term table must broadcast (the token stream is
+    // pruned BEFORE any aggregate sees the full vocabulary)
+    assert(collectAll(bm) { case e: BroadcastExchangeExec => e }.nonEmpty,
+      "text_bm25: query terms were not broadcast")
+    for (q <- Seq("text_bm25", "pipeline_dsir")) {
+      val p = plan(q)
+      val ws = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(ws.isEmpty, s"$q grew a window")
+      assert(!p.toString.contains("CartesianProduct"), s"$q produced a cartesian join")
+    }
+  }
+
   test("pipeline_source_cap: rank <= N plans as WindowGroupLimit (map-side cap, mega-source safe)") {
     val p = plan("pipeline_source_cap")
     val limits = collectAll(p) {
