@@ -226,6 +226,36 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic epoch shuffle — the global training-order
+    * permutation every epoch needs, WITHOUT `rand()` (which is
+    * non-reproducible across runs, retries and engines — the
+    * [[holdoutSplit]] contract). Each doc keys on
+    * md5(doc_id # epoch): different epochs give independent
+    * permutations, the same epoch always gives the same one, and a
+    * re-run after an executor loss shuffles identically.
+    *
+    * Scale shape: the standard "hash-bucket, then sort within bucket"
+    * global shuffle — docs route to one of `nShards` shards by 48
+    * hash bits (mod a power of two: unbiased), and the position
+    * window partitions BY SHARD, so no single task ever sees the
+    * whole corpus (a global `orderBy` would). A training loader reads
+    * shards in order, positions within a shard in order — that is a
+    * full permutation, with each shard an independently-seekable
+    * chunk of it. Output: (doc_id, shard, pos 1-based within shard). */
+  def epochShuffle(docs: DataFrame, epoch: Int = 0, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two for unbiased hex-hash mod, got $nShards")
+    val key = md5(concat(col("doc_id").cast("string"), lit("#" + epoch)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(asc("key"), asc("doc_id"))
+    docs
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        conv(substring(col("key"), 1, 12), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Per-source corpus profile — the crawl-audit rollup (which feeds
     * are big, which are junk): doc and token counts plus mean quality
     * per source. ONE partial-aggregating shuffle on source; the mean

@@ -99,6 +99,18 @@ object PipelineQueries extends QueryPack {
     // oracle is a VALUES table)
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25Search(docs(s, d), Bm25Query).orderBy("doc_id")),
+    // deterministic sharded epoch shuffle (training order, epoch 0)
+    "pipeline_shuffle" -> ((s, d) =>
+      Curation.epochShuffle(docs(s, d)).orderBy("doc_id")),
+    // PII redaction counts + scrubbed text (corpus is PII-free by
+    // construction; planted fixtures live in PipelineSpec)
+    "text_pii" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d)).orderBy("doc_id")),
+    // reciprocal-rank fusion of BM25 and embedding-cosine top-k
+    "text_hybrid" -> ((s, d) =>
+      TextAnalysis.hybridTopK(docs(s, d), emb(s, d), Bm25Query).orderBy("doc_id")),
+    // integer-exact PageRank over the symmetrized ANN pair graph
+    "graph_pagerank" -> ((s, d) =>
+      Graph.similarityCentrality(emb(s, d)).orderBy("vec_id")),
     // semantic near-dup CLUSTERS: connected components over the
     // embedding-cosine pair graph (the clustering tier of the
     // semantic dedup plane, like dedup_components for the text plane)
@@ -291,6 +303,40 @@ object PipelineQueries extends QueryPack {
     * independent hyperplane families OR'd, buckets over MaxBandBucket
     * docs leave candidate generation); shared by sim_ann_pairs and
     * dedup_embedding. Keep in sync with Similarity.annPairs. */
+  /** BM25 scoring CTE chain ending in `bm(doc_id, n_hits, score)` —
+    * semantics of [[TextAnalysis.bm25Search]] (k1=1.2, b=0.75, Lucene
+    * idf, per-term contributions summed as 1e4-scaled longs); shared
+    * by text_bm25 and text_hybrid. */
+  private def bm25Ctes: String = {
+    val terms = Bm25Query.map(w => s"('$w')").mkString(", ")
+    s"""q(word) AS (VALUES $terms),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT word, doc_id, count(*) AS tf FROM tk JOIN q USING (word) GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |n AS (SELECT count(*) AS n,
+       |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toktotal
+       |      FROM documents),
+       |bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |              round(CAST(sum(CAST(round(
+       |                  ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+       |                  * tf.tf * (1.2 + 1.0)
+       |                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+       |                                    / (CAST(n.toktotal AS DOUBLE) / n.n)))
+       |                * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS score
+       |       FROM tf JOIN df USING (word) JOIN dl USING (doc_id), n
+       |       GROUP BY doc_id)""".stripMargin
+  }
+
+  /** 48-bit value of the first 12 hex chars of `hexCol` — exact in
+    * BIGINT, identical to Spark's conv(substring(hexCol, 1, 12), 16,
+    * 10); the [[packCoreSql]] nibble sum over an arbitrary column. */
+  private def hex48Sql(hexCol: String): String =
+    (0 until 12)
+      .map(i => s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)"
+        + s" * ${1L << (4 * (11 - i))}")
+      .mkString("(", " + ", ")")
+
   private def annPairsCtes(threshold: Double): String = {
     val totalPlanes = Similarity.NumFamilies * Similarity.NumPlanes
     val dSums = (0 until totalPlanes)
@@ -879,25 +925,84 @@ object PipelineQueries extends QueryPack {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Okapi BM25, Lucene idf, contributions summed as 1e4-scaled longs
     // — keep in sync with TextAnalysis.bm25Search (k1=1.2, b=0.75)
-    "text_bm25" -> {
-      val terms = Bm25Query.map(w => s"('$w')").mkString(", ")
-      s"""WITH q(word) AS (VALUES $terms),
-         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |tf AS (SELECT word, doc_id, count(*) AS tf FROM tk JOIN q USING (word) GROUP BY 1, 2),
-         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |n AS (SELECT count(*) AS n,
-         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toktotal
-         |      FROM documents)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-         |       round(CAST(sum(CAST(round(
-         |           ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
-         |           * tf.tf * (1.2 + 1.0)
-         |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
-         |                             / (CAST(n.toktotal AS DOUBLE) / n.n)))
-         |         * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS score
-         |FROM tf JOIN df USING (word) JOIN dl USING (doc_id), n
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    "text_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_hits, score FROM bm ORDER BY doc_id""".stripMargin,
+    // sharded deterministic epoch shuffle — keep in sync with
+    // Curation.epochShuffle (epoch 0, 8 shards)
+    "pipeline_shuffle" ->
+      s"""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS key
+         |           FROM documents),
+         |s AS (SELECT doc_id, key, ${hex48Sql("key")} % 8 AS shard FROM k)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |                               ORDER BY key, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // PII regex redaction — keep in sync with TextAnalysis.scrubPii
+    // (same three patterns, same replace order; DuckDB needs the 'g'
+    // flag where Spark replaces all matches by default)
+    "text_pii" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |           '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS text_clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // RRF fusion of the BM25 top-20 and probe-0 cosine top-20 — keep
+    // in sync with TextAnalysis.hybridTopK (rrfK=60; rank 0 = absent)
+    "text_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |qv AS ($QV2),
+         |qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS q, n2 FROM qv),
+         |probe AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM qd WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT v.vec_id,
+         |         list_dot_product(p.pq, v.q)
+         |           / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) AS cos
+         |  FROM probe p JOIN qd v ON v.vec_id <> p.probe_id),
+         |sem AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS sem_rank
+         |        FROM (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |              FROM scored)
+         |        WHERE rn <= 20),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |        FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20))
+         |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |       coalesce(l.lex_rank, 0) AS lex_rank,
+         |       coalesce(s.sem_rank, 0) AS sem_rank,
+         |       round(CASE WHEN l.lex_rank IS NOT NULL THEN 1.0 / (l.lex_rank + 60) ELSE 0.0 END
+         |           + CASE WHEN s.sem_rank IS NOT NULL THEN 1.0 / (s.sem_rank + 60) ELSE 0.0 END,
+         |         6) AS rrf
+         |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // integer-exact PageRank, 5 unrolled iterations over the
+    // symmetrized ANN pair graph — keep in sync with Graph.pageRank
+    // (damping 0.85, teleport 15%/N, floor division everywhere)
+    "graph_pagerank" -> {
+      val iters = 5
+      val teleportNum = 15L * Graph.PrBase / 100L
+      val body = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(p.pr // d.deg) AS s
+           |        FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           |                     JOIN deg d ON d.src = e.src
+           |        GROUP BY 1),
+           |p$i AS (SELECT nodes.id,
+           |               $teleportNum // n + (85 * coalesce(c$i.s, 0)) // 100 AS pr
+           |        FROM nodes CROSS JOIN cnt LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+      }.mkString(",\n")
+      s"""${annPairsCtes(Similarity.AnnThreshold)},
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, ${Graph.PrBase} // n AS pr FROM nodes, cnt),
+         |$body
+         |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_scaled,
+         |       round(CAST(pr AS DOUBLE) / ${Graph.PrBase}.0, 9) AS pr
+         |FROM p$iters ORDER BY vec_id""".stripMargin
     },
     // unigram self-scoring: mean ln(freq/total) per doc — keep in
     // sync with TextAnalysis.logProb

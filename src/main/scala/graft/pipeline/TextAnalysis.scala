@@ -371,6 +371,83 @@ object TextAnalysis {
           .as("score"))
   }
 
+  /** PII patterns shared by [[scrubPii]] and its DuckDB oracle — kept
+    * to the regex subset Java and RE2 agree on (char classes, bounded
+    * repetition, `\b`, `\d`; no lookaround, no backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub — the redaction pass a crawl corpus takes before
+    * training: emails, phone numbers and IPv4 addresses are counted
+    * and replaced with typed placeholders. Order matters and is fixed
+    * (email, phone, ip): an email's host can contain digit runs, so
+    * it must leave the text before the numeric patterns look.
+    *
+    * Shape: map-only — three codegen'd `regexp_replace`/
+    * `regexp_count` column expressions, no shuffle, composes with any
+    * partitioning (the [[Curation.contextChunks]] stance). The
+    * driver-visible query runs this over the synthetic corpus (which
+    * is deliberately PII-free — every count 0, text unchanged — so
+    * the oracle proves the plumbing and regex parity); the planted
+    * redaction fixtures live in the ScalaTest spec.
+    * Output: (doc_id, n_emails, n_phones, n_ips, text_clean). */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      clean.as("text_clean"))
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the two retrieval planes this library already serves:
+    * [[bm25Search]] (lexical) and [[Similarity.bruteTopK]] (semantic,
+    * probe vector = the embedding row whose vec_id equals `probeId`).
+    * Each doc's fused score is Σ_lists 1/(rrfK + rank), the standard
+    * k=60 formulation; a doc missing from a list contributes 0 for
+    * that list (rank 0 in the output marks absence).
+    *
+    * Shape: both candidate lists are top-`k` BOUNDED before any rank
+    * is assigned — BM25 candidates come off a distributed
+    * TakeOrdered (orderBy+limit, no global window over the corpus),
+    * the semantic list is bruteTopK's per-probe window. Ranking and
+    * fusion then touch ≤ 2k rows, so the single-partition rank
+    * window is over a constant-size list, never the corpus — the
+    * fusion cost does not grow with data size. 1/(rrfK+rank) is a
+    * double division by an exact small int, identical in any engine
+    * (the k-means quantization contract); the two-term sum is written
+    * in fixed order and rounded to 6 decimals.
+    * Output: (doc_id, lex_rank, sem_rank, rrf 6-dec). */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, query: Seq[String],
+      probeId: Long = 0L, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lexTop = bm25Search(docs, query)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    val wl = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val lex = lexTop
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = Similarity.bruteTopK(emb, Seq(probeId), k)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    lex
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        round(
+          when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + rrfK)).otherwise(0.0)
+            + when(col("sem_rank").isNotNull, lit(1.0) / (col("sem_rank") + rrfK)).otherwise(0.0),
+          6).as("rrf"))
+  }
+
   /** Positional k-gram shingles: (doc_id, pos, shingle) for pos in
     * 1..n-k+1 (1-based, matching DuckDB list slicing). Needs only
     * (doc_id, text) — no lang contract, so probe/stream schemas fit. */

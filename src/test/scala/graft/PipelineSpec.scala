@@ -913,6 +913,89 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L)._2 == 1L && r(2L)._2 == 1L)
   }
 
+  test("epochShuffle: within-shard positions are 1..count, epochs permute independently, re-runs agree") {
+    val d = (0L until 40L).map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e0 = Curation.epochShuffle(d, epoch = 0, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    // a permutation: every doc exactly once, shard positions dense from 1
+    assert(e0.map(_._1).sorted.toSeq == (0L until 40L))
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // deterministic: a second run is bit-identical
+    val again = Curation.epochShuffle(d, epoch = 0, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(e0.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different epoch is a different permutation (shards or orders move)
+    val e1 = Curation.epochShuffle(d, epoch = 1, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(e0.sortBy(_._1).toSeq != e1.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { Curation.epochShuffle(d, nShards = 6) }
+  }
+
+  test("scrubPii: planted emails/phones/IPs are counted and redacted, order email-first") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.com then call 555-123-4567 ok", "en", "s", 1L),
+      (2L, "server at 10.0.255.7 and 192.168.1.1 up", "en", "s", 1L),
+      (3L, "plain text no pii at all", "en", "s", 1L),
+      // the email host contains digit runs: must NOT double-count as IP
+      (4L, "from a@b123.456.example.org sent", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.scrubPii(d)
+      .as[(Long, Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 1L && r(1L)._3 == 1L && r(1L)._4 == 0L)
+    assert(r(1L)._5 == "mail <EMAIL> then call <PHONE> ok")
+    assert(r(2L)._4 == 2L && r(2L)._5 == "server at <IP> and <IP> up")
+    assert(r(3L) == ((3L, 0L, 0L, 0L, "plain text no pii at all")))
+    assert(r(4L)._2 == 1L && r(4L)._4 == 0L, "email host digits leaked into the IP pass")
+    assert(r(4L)._5 == "from <EMAIL> sent")
+  }
+
+  test("hybridTopK: both-list docs outscore single-list docs at equal rank; rank 0 marks absence") {
+    // docs 0..3; embeddings vec_id aligned; probe = 0
+    val d = Seq(
+      (1L, "spark spark spark pad", "en", "s", 1L), // lex rank 1
+      (2L, "spark pad pad pad pad", "en", "s", 1L), // lex rank 2
+      (3L, "pad pad pad pad pad", "en", "s", 1L)) // lex absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // probe
+      (1L, Array(0.9f, 0.1f), 0), // sem rank 1
+      (2L, Array(-1.0f, 0.2f), 0), // sem far
+      (3L, Array(0.8f, 0.3f), 0)) // sem rank 2
+      .toDF("vec_id", "embedding", "label")
+    val r = TextAnalysis.hybridTopK(d, vecs, Seq("spark"), probeId = 0L, k = 2)
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 1L && r(1L)._3 == 1L) // both lists, rank 1 each
+    assert(r(1L)._4 == BigDecimal(2.0 / 61.0).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    assert(r(2L)._3 == 0L, "sem-absent doc must carry sem_rank 0")
+    assert(r(3L)._2 == 0L, "lex-absent doc must carry lex_rank 0")
+    assert(r(1L)._4 > r(2L)._4 && r(1L)._4 > r(3L)._4)
+  }
+
+  test("pageRank: star-graph masses are exact in integer units; isolated node holds the teleport floor") {
+    import graft.pipeline.Graph
+    // hub 0 <-> leaves 1..3, node 4 isolated; N=5 so p0 = 2e8 each
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val r1 = Graph.pageRank(edges, nodes, iters = 1)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._2).toMap
+    // teleport = (15% of 1e9) div 5 = 3e7; hub inflow = 3 * (2e8 div 1);
+    // leaf inflow = 2e8 div 3 = 66666666 (floor) -> 85% floored again
+    assert(r1(0L) == 30000000L + 85L * 600000000L / 100L) // 540000000
+    assert(r1(1L) == 30000000L + 85L * 66666666L / 100L) // 86666666
+    assert(r1(1L) == r1(2L) && r1(2L) == r1(3L))
+    assert(r1(4L) == 30000000L, "isolated node must sit at the teleport floor")
+    // more iterations keep the ordering and never mint mass
+    val r5 = Graph.pageRank(edges, nodes, iters = 5)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._2).toMap
+    assert(r5(0L) > r5(1L) && r5(1L) > r5(4L))
+    assert(r5.values.sum <= Graph.PrBase, "floor-division PageRank must never mint mass")
+    assert(r5.values.forall(_ > 0L))
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -283,6 +283,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_shuffle: position window stays shard-partitioned; text_pii is map-only") {
+    val p = plan("pipeline_shuffle")
+    val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"pipeline_shuffle lost its position window:\n$p")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"epoch-shuffle window lost its shard partitioning (global sort):\n$p")
+    }
+    // the scrub pass is pure column expressions: nothing may shuffle
+    val pii = graft.pipeline.TextAnalysis.scrubPii(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan
+    val ex = collectAll(pii) {
+      case e: ShuffleExchangeExec => e
+      case e: BroadcastExchangeExec => e
+    }
+    assert(ex.isEmpty, s"text_pii grew ${ex.size} exchange(s)")
+  }
+
+  test("text_hybrid / graph_pagerank: no cartesian joins; fusion windows rank only bounded lists") {
+    for (q <- Seq("text_hybrid", "graph_pagerank")) {
+      val p = plan(q)
+      assert(!p.toString.contains("CartesianProduct"), s"$q produced a cartesian join")
+    }
+    // every unpartitioned window in the fusion ranks a post-limit
+    // (constant-size) list, never the corpus: a GlobalLimit must sit
+    // below it on the lexical side, and the semantic side's window is
+    // probe-partitioned (bruteTopK) — so at most ONE unpartitioned
+    // window exists and the plan also carries a global limit
+    val p = plan("text_hybrid")
+    val unpart = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size <= 1, s"text_hybrid grew ${unpart.size} corpus-wide windows:\n$p")
+    assert(p.toString.contains("GlobalLimit") || p.toString.contains("TakeOrdered"),
+      s"text_hybrid's lexical candidates are not top-k bounded before ranking:\n$p")
+  }
+
   test("pipeline_source_cap: rank <= N plans as WindowGroupLimit (map-side cap, mega-source safe)") {
     val p = plan("pipeline_source_cap")
     val limits = collectAll(p) {
