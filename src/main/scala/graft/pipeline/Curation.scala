@@ -226,6 +226,35 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe holdout split — [[holdoutSplit]]'s fix for the
+    * classic eval-contamination bug: thresholding md5(doc_id) puts
+    * near-duplicate docs on BOTH sides of the train/test fence, so
+    * the model is scored on paraphrases of its own training data.
+    * Here the split keys on the doc's near-dup CLUSTER representative
+    * ([[Dedup.components]] over the minhash-LSH candidate graph), so
+    * an entire near-dup cluster lands in one split; singletons (docs
+    * off the pair graph) fall back to their own doc_id — identical to
+    * [[holdoutSplit]] for them.
+    *
+    * Scale shape: the components fixpoint is the only non-map work
+    * (already the dedup plane's scale path: contracted edge list,
+    * per-round checkpoints); the cluster table joins back on doc_id
+    * (AQE broadcasts iff it fits — near-dup clusters are a small
+    * fraction of the corpus) and the threshold stays map-side.
+    * Output: (doc_id, group_id, split). */
+  def leakFreeSplit(docs: DataFrame, trainN: Int = 232, valN: Int = 12): DataFrame = {
+    require(trainN + valN < 256, "train + val fractions must leave room for test")
+    val comp = Dedup.components(Dedup.minhashCandidates(docs))
+      .select(col("doc_id"), col("rep_doc"))
+    val b = conv(substring(md5(col("group_id").cast("string")), 1, 2), 16, 10).cast("int")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_doc"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        when(b < trainN, "train").when(b < trainN + valN, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Deterministic epoch shuffle — the global training-order
     * permutation every epoch needs, WITHOUT `rand()` (which is
     * non-reproducible across runs, retries and engines — the

@@ -102,6 +102,10 @@ object PipelineQueries extends QueryPack {
     // deterministic sharded epoch shuffle (training order, epoch 0)
     "pipeline_shuffle" -> ((s, d) =>
       Curation.epochShuffle(docs(s, d)).orderBy("doc_id")),
+    // leakage-safe split: whole near-dup clusters land on one side of
+    // the train/test fence (split keys on the cluster representative)
+    "pipeline_split_leakfree" -> ((s, d) =>
+      Curation.leakFreeSplit(docs(s, d)).orderBy("doc_id")),
     // PII redaction counts + scrubbed text (corpus is PII-free by
     // construction; planted fixtures live in PipelineSpec)
     "text_pii" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d)).orderBy("doc_id")),
@@ -111,6 +115,11 @@ object PipelineQueries extends QueryPack {
     // integer-exact PageRank over the symmetrized ANN pair graph
     "graph_pagerank" -> ((s, d) =>
       Graph.similarityCentrality(emb(s, d)).orderBy("vec_id")),
+    // per-doc top-5 keywords by quantized tf-idf
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+    // per-source KMV distinct-vocabulary sketch (deterministic, k=64)
+    "text_kmv" -> ((s, d) => TextAnalysis.kmvDistinct(docs(s, d)).orderBy("source")),
     // semantic near-dup CLUSTERS: connected components over the
     // embedding-cosine pair graph (the clustering tier of the
     // semantic dedup plane, like dedup_components for the text plane)
@@ -938,6 +947,30 @@ object PipelineQueries extends QueryPack {
          |       CAST(row_number() OVER (PARTITION BY shard
          |                               ORDER BY key, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+    // cluster-representative split — the dedup_components closure with
+    // holdoutSplit's byte thresholds keyed on the representative; keep
+    // in sync with Curation.leakFreeSplit (232/12/12 of 256ths)
+    "pipeline_split_leakfree" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(CAST(group_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_doc
+         |        FROM reach GROUP BY src),
+         |grp AS (SELECT d.doc_id, coalesce(l.rep_doc, d.doc_id) AS group_id
+         |        FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, group_id,
+         |       CASE WHEN b < 232 THEN 'train'
+         |            WHEN b < 244 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, group_id, ${nib(1)} * 16 + ${nib(2)} AS b FROM grp)
+         |ORDER BY doc_id""".stripMargin
+    },
     // PII regex redaction — keep in sync with TextAnalysis.scrubPii
     // (same three patterns, same replace order; DuckDB needs the 'g'
     // flag where Spark replaces all matches by default)
@@ -977,6 +1010,39 @@ object PipelineQueries extends QueryPack {
          |         6) AS rrf
          |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // per-doc top-5 keywords: rank key is the 1e4-quantized tf·ln(N/df)
+    // — keep in sync with TextAnalysis.tfidfKeywords
+    "text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk WHERE length(word) > 0 GROUP BY 1, 2),
+        |dfw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, word,
+        |              CAST(round(tf * ln(CAST(n.n AS DOUBLE) / df) * 10000) AS BIGINT) AS score_q
+        |       FROM tf JOIN dfw USING (word), n)
+        |SELECT doc_id, word, round(CAST(score_q AS DOUBLE) / 10000.0, 4) AS tfidf,
+        |       CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score_q DESC, word) AS rn
+        |      FROM sc)
+        |WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // per-source KMV sketch: k smallest md5 values of the distinct
+    // token set; est = (kept-1)/frac(kth) over the 48-bit prefix —
+    // keep in sync with TextAnalysis.kmvDistinct (k=64)
+    "text_kmv" ->
+      s"""WITH tk AS (SELECT DISTINCT source, md5(word) AS h
+         |            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+         |                  FROM documents)
+         |            WHERE length(word) > 0),
+         |mk AS (SELECT source, h,
+         |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM tk),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+         |        FROM mk WHERE rn <= 64 GROUP BY 1)
+         |SELECT source, n_kept, kth_hash,
+         |       round((n_kept - 1) / (${hex48Sql("kth_hash")} / ${(1L << 48).toDouble}), 4)
+         |         AS est_distinct
+         |FROM agg ORDER BY source""".stripMargin,
     // integer-exact PageRank, 5 unrolled iterations over the
     // symmetrized ANN pair graph — keep in sync with Graph.pageRank
     // (damping 0.85, teleport 15%/N, floor division everywhere)

@@ -448,6 +448,76 @@ object TextAnalysis {
           6).as("rrf"))
   }
 
+  /** Tf-idf keyword extraction — the per-doc "what is this about"
+    * summary a curation UI and topic-mixture audits read: the topK
+    * terms of each doc by tf · ln(N/df), ties broken alphabetically.
+    * The ranking key is the 1e4-quantized score (a long), so rank
+    * order is engine-stable even though ln() differs in ulps
+    * ([[logProb]]'s rounding contract, applied to the SORT key).
+    *
+    * Shape: tf is one partial-aggregating shuffle on (doc_id, word),
+    * df one more on word; N broadcasts; the per-doc rank window
+    * partitions by doc_id and the rank <= K predicate plans as a
+    * WindowGroupLimit ([[Curation.sourceCap]]'s map-side cap), so a
+    * mega-doc never floods one task. Output: (doc_id, word, tfidf
+    * 4-dec, rank). */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_q"), asc("word"))
+    tf
+      .join(dfw, Seq("word"))
+      .crossJoin(n)
+      .withColumn("score_q",
+        round(col("tf") * log(col("n").cast("double") / col("df")) * 10000).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("word"),
+        round(col("score_q").cast("double") / 10000.0, 4).as("tfidf"), col("rank"))
+  }
+
+  /** KMV (k-minimum-values) distinct-cardinality sketch, per source —
+    * the crawl-audit "how big is each feed's vocabulary" answer
+    * WITHOUT a full distinct count (Bar-Yossef et al. 2002): keep the
+    * k smallest md5 values of the source's distinct tokens; the kth
+    * smallest covers a measurable fraction of hash space, so
+    * est = (kept − 1) / frac(kth). Deterministic — md5 order is the
+    * same everywhere, so unlike HLL registers this sketch is exactly
+    * oracle-replayable. Sources with fewer than k distinct tokens
+    * degrade gracefully (kept − 1 over the observed max's fraction).
+    *
+    * Shape: one distinct on (source, md5) — partial-aggregating — and
+    * a min-k window partitioned by source whose rank <= k plans as a
+    * WindowGroupLimit: each map task forwards at most k hashes per
+    * source, so the sketch costs O(sources · k) past the scan no
+    * matter the corpus size. The 48-bit hash fraction is a double
+    * division of exact ints. Output: (source, n_kept, kth_hash,
+    * est_distinct 4-dec). */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    val hashes = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("source"), md5(col("word")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(asc("h"))
+    hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .withColumn("frac",
+        conv(substring(col("kth_hash"), 1, 12), 16, 10).cast("double")
+          / lit((1L << 48).toDouble))
+      .select(col("source"), col("n_kept"), col("kth_hash"),
+        round((col("n_kept") - 1).cast("double") / col("frac"), 4).as("est_distinct"))
+  }
+
   /** Positional k-gram shingles: (doc_id, pos, shingle) for pos in
     * 1..n-k+1 (1-based, matching DuckDB list slicing). Needs only
     * (doc_id, text) — no lang contract, so probe/stream schemas fit. */

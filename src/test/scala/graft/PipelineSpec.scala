@@ -996,6 +996,64 @@ class PipelineSpec extends SparkSpec {
     assert(r5.values.forall(_ > 0L))
   }
 
+  test("tfidfKeywords: distinctive terms outrank ubiquitous ones; corpus-wide terms score zero") {
+    val d = Seq(
+      (1L, "rare rare common", "en", "s", 1L),
+      (2L, "common common niche", "en", "s", 1L),
+      (3L, "common filler filler", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tfidfKeywords(d, topK = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toList).toMap
+    // doc 1: 'rare' (tf=2, df=1) far above 'common' (df=3 -> idf 0)
+    assert(r(1L).head._1 == "rare")
+    assert(r(1L)(1) == (("common", 0.0)), "corpus-wide term must score exactly 0")
+    assert(r(2L).head._1 == "niche" && r(3L).head._1 == "filler")
+    // ranks are dense 1..k and the quantized tie-break is alphabetical
+    assert(r.values.forall(_.size == 2))
+  }
+
+  test("kmvDistinct: estimate tracks true cardinality at k=64; tiny sources degrade gracefully") {
+    // source 'big': 1000 distinct words spread over docs; 'tiny': 3 words
+    val big = (0 until 50).map { i =>
+      val words = (0 until 20).map(j => s"w${i * 20 + j}").mkString(" ")
+      (i.toLong, words, "en", "big", 1L)
+    }
+    val tiny = Seq((99L, "a b c a", "en", "tiny", 1L))
+    val d = (big ++ tiny).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.kmvDistinct(d, k = 64)
+      .as[(String, Long, String, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("big")._2 == 64L)
+    val est = r("big")._4
+    assert(est > 600 && est < 1600, s"KMV estimate $est too far from true 1000")
+    // under-k source: kept = full distinct set, estimate still positive
+    assert(r("tiny")._2 == 3L && r("tiny")._4 > 0.0)
+    // deterministic: same input, same sketch
+    val again = TextAnalysis.kmvDistinct(d, k = 64)
+      .as[(String, Long, String, Double)].collect().map(x => x._1 -> x).toMap
+    assert(again == r)
+  }
+
+  test("leakFreeSplit: a near-dup cluster never straddles the train/test fence; singletons match holdoutSplit") {
+    // two near-identical long docs (minhash candidates) + two singletons
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (10L, base, "en", "s", 1L),
+      (11L, base + " extra", "en", "s", 1L), // near-dup of 10
+      (20L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "s", 1L),
+      (21L, (1 to 40).map(i => s"more$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.leakFreeSplit(d)
+      .as[(Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    // the cluster shares a group and therefore a split
+    assert(r(10L)._2 == 10L && r(11L)._2 == 10L, "near-dups must share the representative")
+    assert(r(10L)._3 == r(11L)._3, "a near-dup cluster straddled the split fence")
+    // singletons group as themselves and match the doc-keyed split
+    val plain = Curation.holdoutSplit(d).as[(Long, String)].collect().toMap
+    assert(r(20L)._2 == 20L && r(20L)._3 == plain(20L))
+    assert(r(21L)._2 == 21L && r(21L)._3 == plain(21L))
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

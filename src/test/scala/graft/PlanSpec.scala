@@ -320,6 +320,17 @@ class PlanSpec extends SparkSpec {
       s"text_hybrid's lexical candidates are not top-k bounded before ranking:\n$p")
   }
 
+  test("text_tfidf / text_kmv: rank <= k plans as WindowGroupLimit (map-side cap before the shuffle)") {
+    for (q <- Seq("text_tfidf", "text_kmv")) {
+      val p = plan(q)
+      val limits = collectAll(p) {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(limits.nonEmpty, s"$q's rank predicate did not plan as WindowGroupLimit:\n$p")
+      assert(!p.toString.contains("CartesianProduct"), s"$q produced a cartesian join")
+    }
+  }
+
   test("pipeline_source_cap: rank <= N plans as WindowGroupLimit (map-side cap, mega-source safe)") {
     val p = plan("pipeline_source_cap")
     val limits = collectAll(p) {
