@@ -79,4 +79,80 @@ object Graph {
     pageRank(edges, emb.select(col("vec_id").as("id")), iters)
       .select(col("id").as("vec_id"), col("pr_scaled"), col("pr"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list — the graph-density audit of a similarity
+    * graph: a near-dup CLIQUE (every pair similar) is redundant
+    * content to collapse, a near-dup STAR (hub similar to many
+    * mutually-dissimilar docs) is a template with distinct fillings;
+    * triangle density is exactly what separates them.
+    *
+    * Degree-ordered orientation (the standard distributed-triangle
+    * trick, cf. Suri & Vassilvitskii WWW'11 "Counting triangles and
+    * the curse of the last reducer"): orient each undirected edge
+    * from the lower (degree, id) endpoint to the higher, then wedges
+    * u→v, u→w with v<w are enumerated only at their LOWEST-degree
+    * corner — a hub of degree d contributes O(d) oriented edges but
+    * almost no wedge fan-out, so the curse-of-the-last-reducer hot
+    * task never forms. Each triangle is found exactly once and
+    * closed by one equi-join back to the oriented edge list.
+    *
+    * Clustering coefficient is exact integers: (2·tri·1e4) div
+    * (deg·(deg−1)), 0 for degree < 2. `edges` is DIRECTED input —
+    * callers pass the symmetrized list (both (a,b) and (b,a));
+    * self-loops are dropped. Output: (id, degree, n_triangles,
+    * cc_q). */
+  def triangles(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // rank = (deg, id) lexicographic; orient src -> dst iff rank(src) < rank(dst)
+    val withRank = e
+      .join(deg.select(col("id").as("src"), col("deg").as("deg_s")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("deg_d")), Seq("dst"))
+    val oriented = withRank
+      .filter(col("deg_s") < col("deg_d") ||
+        (col("deg_s") === col("deg_d") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("deg_d"))
+    // wedges at the low corner: u->v, u->w with v BEFORE w in the SAME
+    // (deg, id) rank order used to orient — the closing edge, if it
+    // exists, is then oriented exactly v->w (ordering by raw id would
+    // look for half the closers in the direction that was filtered out)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.deg_d") < col("e2.deg_d") ||
+        (col("e1.deg_d") === col("e2.deg_d") && col("e1.dst") < col("e2.dst")))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    // credit all three corners
+    val perNode = tris.select(col("u").as("id"))
+      .union(tris.select(col("v").as("id")))
+      .union(tris.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    nodes
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_q",
+        when(col("degree") >= 2L,
+          expr("2 * n_triangles * 10000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** [[triangles]] over the symmetrized minhash-LSH candidate graph on
+    * documents, every doc a node — the text-plane near-dup graph is
+    * where cliques actually form (template families collide into
+    * multi-doc clusters; the embedding ANN graph on this corpus is a
+    * matching of planted pairs, triangle-free by construction).
+    * Output: (doc_id, degree, n_triangles, cc_q). */
+  def nearDupTriangles(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    triangles(edges, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("degree"), col("n_triangles"), col("cc_q"))
+  }
 }

@@ -118,6 +118,12 @@ object PipelineQueries extends QueryPack {
     // per-doc top-5 keywords by quantized tf-idf
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+    // Gopher-style rule battery: per-rule 0/1 flags + conjunctive keep
+    "text_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
+    // per-doc triangle count + clustering coefficient over the
+    // near-dup candidate graph (degree-ordered orientation)
+    "graph_triangles" -> ((s, d) =>
+      Graph.nearDupTriangles(docs(s, d)).orderBy("doc_id")),
     // per-source KMV distinct-vocabulary sketch (deterministic, k=64)
     "text_kmv" -> ((s, d) => TextAnalysis.kmvDistinct(docs(s, d)).orderBy("source")),
     // semantic near-dup CLUSTERS: connected components over the
@@ -1070,6 +1076,66 @@ object PipelineQueries extends QueryPack {
          |       round(CAST(pr AS DOUBLE) / ${Graph.PrBase}.0, 9) AS pr
          |FROM p$iters ORDER BY vec_id""".stripMargin
     },
+    // Gopher rule battery — keep in sync with TextAnalysis.gopherRules
+    // (same thresholds: words 20-80, mean len 4.0-10.0 as 1e4 ints,
+    // >=2 stop hits, top word <=20%; all fractions floor division)
+    "text_gopher" -> {
+      val enStop = TextAnalysis.stopwords.filter(_._1 == "en")
+        .map(w => s"'${w._2}'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+         |        CAST(len(list_filter(string_split(text, ' '),
+         |                             w -> w IN ($enStop))) AS BIGINT) AS stop_hits
+         |     FROM documents),
+         |m AS (SELECT doc_id, max(c) AS top_c FROM (
+         |        SELECT doc_id, word, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |        GROUP BY 1, 2) GROUP BY 1),
+         |j AS (SELECT b.doc_id, b.n_words, b.stop_hits,
+         |             b.n_letters * 10000 // b.n_words AS mean_len_q,
+         |             m.top_c * 10000 // b.n_words AS top_frac_q
+         |      FROM b JOIN m USING (doc_id)),
+         |f AS (SELECT doc_id, n_words, mean_len_q, stop_hits, top_frac_q,
+         |             CAST(n_words BETWEEN 20 AND 80 AS INTEGER) AS wc_ok,
+         |             CAST(mean_len_q BETWEEN 40000 AND 100000 AS INTEGER) AS len_ok,
+         |             CAST(stop_hits >= 2 AS INTEGER) AS stop_ok,
+         |             CAST(top_frac_q <= 2000 AS INTEGER) AS dom_ok
+         |      FROM j)
+         |SELECT doc_id, n_words, mean_len_q, stop_hits, top_frac_q,
+         |       wc_ok, len_ok, stop_ok, dom_ok,
+         |       wc_ok * len_ok * stop_ok * dom_ok AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // degree-ordered triangle counting over the minhash candidate
+    // graph — keep in sync with Graph.triangles (orientation by
+    // (deg, id), wedges at the low corner, cc as exact floor division)
+    "graph_triangles" ->
+      s"""WITH $minhashCandCtes,
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |o AS (SELECT e.src, e.dst, dd.deg AS degd
+         |      FROM e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+         |      WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+         |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+         |       FROM o e1 JOIN o e2 ON e1.src = e2.src
+         |        AND (e1.degd < e2.degd OR (e1.degd = e2.degd AND e1.dst < e2.dst))),
+         |t AS (SELECT u, v, w2 FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.w2),
+         |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT u AS id FROM t
+         |             UNION ALL SELECT v FROM t
+         |             UNION ALL SELECT w2 FROM t) GROUP BY 1)
+         |SELECT n.id AS doc_id,
+         |       coalesce(deg.deg, 0) AS degree,
+         |       coalesce(pn.n_triangles, 0) AS n_triangles,
+         |       CAST(CASE WHEN coalesce(deg.deg, 0) >= 2
+         |                 THEN (2 * coalesce(pn.n_triangles, 0) * 10000)
+         |                      // (deg.deg * (deg.deg - 1))
+         |                 ELSE 0 END AS BIGINT) AS cc_q
+         |FROM nodes n LEFT JOIN deg ON deg.id = n.id LEFT JOIN pn ON pn.id = n.id
+         |ORDER BY doc_id""".stripMargin,
     // unigram self-scoring: mean ln(freq/total) per doc — keep in
     // sync with TextAnalysis.logProb
     "text_logprob" ->

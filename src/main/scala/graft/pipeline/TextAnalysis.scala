@@ -553,4 +553,51 @@ object TextAnalysis {
         countDistinct(col("shingle")).as("n_distinct"))
       .withColumn("rep_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, the public
+    * heuristic battery every big text pipeline starts from): per-doc
+    * boolean flags for each rule plus the conjunctive keep decision,
+    * so audits can ask "WHICH rule killed this source" instead of
+    * staring at a shrinking row count. Rules, re-based on this
+    * corpus's measured ranges so each one actually discriminates:
+    *
+    *  - `wc_ok`: word count in [20, 80]
+    *  - `len_ok`: mean word length in [4.0, 10.0] — compared as the
+    *    exact integer (total_letters·1e4) div n_words, no float mean
+    *  - `stop_ok`: ≥ 2 hits on the tiny English glue-word list
+    *    (Gopher's "must contain 2 stop words" rule)
+    *  - `dom_ok`: top single word ≤ 20% of the doc — the one-word
+    *    spam/boilerplate catch; exact via (top_count·1e4) div n_words
+    *
+    * Shape: one token explode → one (doc_id, word) partial-agg for
+    * counts → one max_by per doc; every fraction is integer floor
+    * division so the oracle replays exactly. Flags are 0/1 INTs, not
+    * booleans (the driver's value-hash policy on booleans is
+    * unspecified; ints are safe on every engine). Output: (doc_id,
+    * n_words, mean_len_q, stop_hits, top_frac_q, wc_ok, len_ok,
+    * stop_ok, dom_ok, keep). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val enStop = stopwords.filter(_._1 == "en").map(_._2)
+    val wc = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(filter(split(col("text"), " "), t => t.isin(enStop: _*)))
+        .cast("long").as("stop_hits"))
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    wc.join(top, Seq("doc_id"))
+      .withColumn("mean_len_q", expr("n_letters * 10000 div n_words"))
+      .withColumn("top_frac_q", expr("top_c * 10000 div n_words"))
+      .withColumn("wc_ok", col("n_words").between(20L, 80L).cast("int"))
+      .withColumn("len_ok", col("mean_len_q").between(40000L, 100000L).cast("int"))
+      .withColumn("stop_ok", (col("stop_hits") >= 2L).cast("int"))
+      .withColumn("dom_ok", (col("top_frac_q") <= 2000L).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_len_q"),
+        col("stop_hits"), col("top_frac_q"),
+        col("wc_ok"), col("len_ok"), col("stop_ok"), col("dom_ok"),
+        (col("wc_ok") * col("len_ok") * col("stop_ok") * col("dom_ok")).as("keep"))
+  }
 }

@@ -1054,6 +1054,48 @@ class PipelineSpec extends SparkSpec {
     assert(r(21L)._2 == 21L && r(21L)._3 == plain(21L))
   }
 
+  test("gopherRules: each rule fails independently and keep is their conjunction") {
+    val good = ((1 to 30).map(_ => "table") ++ Seq("the", "of", "query", "windowing",
+      "partition", "shuffling", "broadcast", "executor", "parquet", "catalyst")).mkString(" ")
+    val d = Seq(
+      // 40 words, mean len > 4, 2 stop hits, but 'table' is 30/40 = 75% > 20%
+      (1L, good, "en", "s", 1L),
+      // too short (10 words) but otherwise fine
+      (2L, "the of partition shuffling broadcast executor parquet catalyst windowing query", "en", "s", 1L),
+      // mean word length < 4.0 (all 1-2 char words), no stop hits
+      (3L, (1 to 25).map(i => if (i % 2 == 0) "ab" else "cd").mkString(" "), "en", "s", 1L),
+      // passes everything: 24 distinct-ish long words + stops
+      (4L, ((1 to 22).map(i => s"different$i") ++ Seq("the", "of")).mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.gopherRules(d)
+      .select("doc_id", "wc_ok", "len_ok", "stop_ok", "dom_ok", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 1, 1, 1, 0, 0)), s"dominance rule should fail doc 1: ${r(1L)}")
+    assert(r(2L) == ((2L, 0, 1, 1, 1, 0)), s"word-count rule should fail doc 2: ${r(2L)}")
+    assert(r(3L)._3 == 0 && r(3L)._4 == 0 && r(3L)._6 == 0, s"len+stop rules should fail doc 3: ${r(3L)}")
+    assert(r(4L) == ((4L, 1, 1, 1, 1, 1)), s"doc 4 should pass all rules: ${r(4L)}")
+  }
+
+  test("triangles: exact counts and clustering coefficients on a hand graph") {
+    // triangle 1-2-3; pendant 4 on 1; isolated 5
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val r = graft.pipeline.Graph.triangles(edges, nodes)
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 3L, 1L, 3333L))) // cc = 2*1/(3*2) = 0.3333
+    assert(r(2L) == ((2L, 2L, 1L, 10000L)))
+    assert(r(3L) == ((3L, 2L, 1L, 10000L)))
+    assert(r(4L) == ((4L, 1L, 0L, 0L)))
+    assert(r(5L) == ((5L, 0L, 0L, 0L)))
+    // K4: every node in 3 triangles, cc exactly 1
+    val k4und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4 = (k4und ++ k4und.map(_.swap)).toDF("src", "dst")
+    val rk = graft.pipeline.Graph.triangles(k4, Seq(1L, 2L, 3L, 4L).toDF("id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rk.forall(x => x._3 == 3L && x._4 == 10000L), rk.mkString(","))
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
