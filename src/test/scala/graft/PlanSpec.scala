@@ -259,6 +259,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), "sim_ivfpq_topk produced a cartesian join")
   }
 
+  test("text_gopher / graph_triangles: aggregates and equi-joins only — no windows, no cartesian") {
+    // text_gopher: the top-word dominance rule must be an aggregate
+    // (max over the per-word counts), never a rank window on the
+    // zipfian (doc, word) stream
+    val g = plan("text_gopher")
+    assert(collectAll(g) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "text_gopher grew a window")
+    assert(!g.toString.contains("CartesianProduct"), "text_gopher produced a cartesian join")
+    // graph_triangles: wedge enumeration and closure are EQUI-joins on
+    // the oriented edge list (the degree-ordered trick); a cartesian or
+    // theta-join here is the O(d^2) hub blowup the orientation exists
+    // to prevent, and ranking plays no part in triangle counting
+    val t = plan("graph_triangles")
+    assert(collectAll(t) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "graph_triangles grew a window")
+    assert(!t.toString.contains("CartesianProduct"), "graph_triangles produced a cartesian join")
+    assert(!t.toString.contains("BroadcastNestedLoopJoin"),
+      "graph_triangles fell back to a nested-loop join")
+  }
+
   test("contextChunks is map-only: no exchange of any kind (composes with any downstream partitioning)") {
     val p = graft.pipeline.Curation.contextChunks(Tables.documents(spark, sf0001))
       .queryExecution.executedPlan
