@@ -160,6 +160,72 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash accuracy audit over the LSH candidate pairs: per pair,
+    * the signature-agreement Jaccard ESTIMATE (matching minhashes /
+    * NumHashes) against the TRUE distinct-shingle Jaccard, both
+    * 1e4-quantized by floor division, plus the absolute error. This is
+    * the sketch-quality dial a 100 TB dedup run needs before trusting
+    * its thresholds: if err_q runs hot, NumHashes is too small for the
+    * corpus's similarity profile (at 8 hashes the estimate's
+    * granularity is 10000/8 = 1250, documented here, visible in the
+    * output).
+    *
+    * Scale shape: everything is keyed by doc or pair — signatures join
+    * the candidate list twice by doc id (row-local equality count,
+    * no explode), and the true-Jaccard intersection joins each
+    * candidate's distinct shingle set through the pair (cost
+    * O(candidates · shingles/doc), the same order as candidate
+    * verification in any LSH pipeline; never corpus-quadratic).
+    * Output: (doc_a, doc_b, est_q, true_q, err_q). */
+  def minhashError(docs: DataFrame, k: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, k)
+    val sig = minhashSignatures(docs, k)
+    def side(s: String) =
+      sig.toDF(sig.columns.map(c => if (c == "doc_id") s"doc_$s" else s"${c}_$s"): _*)
+    val nEq = (0 until NumHashes)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nEq.as("n_eq"))
+      .withColumn("est_q", expr(s"n_eq * 10000 div $NumHashes"))
+    val ds = TextAnalysis.shingles(docs, k)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(ds.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(ds.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .withColumn("true_q", expr("i * 10000 div (sz_a + sz_b - i)"))
+      .select(col("doc_a"), col("doc_b"), col("est_q"), col("true_q"),
+        abs(col("est_q") - col("true_q")).as("err_q"))
+  }
+
+  /** Cross-source near-dup overlap matrix: for each unordered source
+    * pair, how many LSH candidate near-dup pairs straddle it (diagonal
+    * = within-source). THE crawl-curation audit — "which of my sources
+    * duplicate each other" decides what to drop before paying for
+    * full dedup, and a source that mostly duplicates ANOTHER source is
+    * a mirror, not new data. Two equi-joins route each candidate pair
+    * through the doc→source map (no hints: the map is O(corpus) and
+    * stats/AQE decide), then one partial-aggregating groupBy collapses
+    * to at most |sources|² rows. Output: (source_a, source_b,
+    * n_pairs). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val cand = minhashCandidates(docs)
+    val src = docs.select(col("doc_id"), col("source"))
+    cand
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Incremental dedup: screen a NEW crawl batch against an existing
     * base corpus — the dedup job a production pipeline runs on every
     * ingest, where re-deduplicating the full corpus (O(base^2) band

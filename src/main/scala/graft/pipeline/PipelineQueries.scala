@@ -27,6 +27,12 @@ object PipelineQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactSummary(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // sketch-quality audit: minhash Jaccard estimate vs true shingle
+    // Jaccard per candidate pair, 1e4-quantized
+    "dedup_minhash_err" -> ((s, d) => Dedup.minhashError(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // cross-source near-dup overlap matrix (mirror detection)
+    "dedup_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(docs(s, d)).orderBy("source_a", "source_b")),
     // near-dup clusters from the candidate pairs: min-label fixpoint
     "dedup_components" -> ((s, d) =>
       Dedup.components(Dedup.minhashCandidates(docs(s, d))).orderBy("doc_id")),
@@ -620,6 +626,45 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash" ->
       s"""WITH $minhashCandCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    // minhash estimate vs true distinct-shingle Jaccard per candidate
+    // pair — keep in sync with Dedup.minhashError (floor division on
+    // both quantizations; NumHashes-granular estimate)
+    "dedup_minhash_err" -> {
+      val eqSum = (0 until Dedup.NumHashes)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCandCtes,
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |               (($eqSum) * 10000) // ${Dedup.NumHashes} AS est_q
+         |        FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+         |                    JOIN sig b ON b.doc_id = c.doc_b),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ds GROUP BY 1),
+         |io AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+         |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a
+         |                   JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |       GROUP BY 1, 2)
+         |SELECT e.doc_a, e.doc_b, e.est_q,
+         |       (coalesce(io.i, 0) * 10000)
+         |         // (sa.sz + sb.sz - coalesce(io.i, 0)) AS true_q,
+         |       abs(e.est_q - (coalesce(io.i, 0) * 10000)
+         |         // (sa.sz + sb.sz - coalesce(io.i, 0))) AS err_q
+         |FROM est e
+         |LEFT JOIN io ON io.doc_a = e.doc_a AND io.doc_b = e.doc_b
+         |JOIN sz sa ON sa.doc_id = e.doc_a
+         |JOIN sz sb ON sb.doc_id = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin
+    },
+    // cross-source near-dup matrix — keep in sync with
+    // Dedup.sourceOverlap (unordered pair via least/greatest)
+    "dedup_source_overlap" ->
+      s"""WITH $minhashCandCtes,
+         |m AS (SELECT least(sa.source, sb.source) AS source_a,
+         |             greatest(sa.source, sb.source) AS source_b
+         |      FROM cand c JOIN documents sa ON sa.doc_id = c.doc_a
+         |                  JOIN documents sb ON sb.doc_id = c.doc_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact tier beats near tier; near matches go through the
     // base-side bucket blacklist — keep in sync with
     // Dedup.incrementalDedup

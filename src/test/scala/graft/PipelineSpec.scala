@@ -50,6 +50,41 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L, 0.6)))
   }
 
+  test("minhashError: identical docs score est=true=10000; near-dups carry the exact true jaccard") {
+    val r = Dedup.minhashError(planted)
+      .as[(Long, Long, Long, Long, Long)].collect().map(x => (x._1, x._2) -> x).toMap
+    // 9001 is a 12-token phrase repeated 5x -> exactly 12 DISTINCT
+    // 3-shingles (start position mod 12); the tail-extended 9002 adds
+    // 4 new shingles at the seam -> 16. true = 12/(12+16-12) =
+    // 12*10000 div 16 = 7500
+    assert(r.contains((9001L, 9002L)), s"planted pair missing: ${r.keys}")
+    val (_, _, est, tru, err) = r((9001L, 9002L))
+    assert(tru == 7500L, s"true jaccard should be 7500, got $tru")
+    assert(err == (est - tru).abs, "err_q must be |est_q - true_q|")
+    assert(est % (10000L / Dedup.NumHashes) == 0L, "estimate must be NumHashes-granular")
+    // an exact duplicate pair: signatures identical by construction
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Dedup.minhashError(twins).as[(Long, Long, Long, Long, Long)].collect()
+    assert(t.toSeq == Seq((1L, 2L, 10000L, 10000L, 0L)), t.mkString(","))
+  }
+
+  test("sourceOverlap counts straddling candidate pairs under the unordered source key") {
+    // one text duplicated across srcB/srcA (unordered key -> (A,B)),
+    // another duplicated within srcC, a singleton in srcD
+    val txt1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val txt2 = (11 to 20).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, txt1, "en", "srcB", 1L), (2L, txt1, "en", "srcA", 1L),
+      (3L, txt2, "en", "srcC", 1L), (4L, txt2, "en", "srcC", 1L),
+      (5L, "unrelated totally distinct words nothing shared at all here", "en", "srcD", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Dedup.sourceOverlap(docs).as[(String, String, Long)].collect().toSet
+    assert(m == Set(("srcA", "srcB", 1L), ("srcC", "srcC", 1L)), m.toString)
+  }
+
   test("spanPairs finds the planted shared paragraph at exact offsets and excludes the unrelated doc") {
     // doc A carries the paragraph at token 6, doc B at token 4; the
     // only shingles they share are fully inside it (prefixes/suffixes
