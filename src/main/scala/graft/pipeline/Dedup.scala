@@ -205,6 +205,25 @@ object Dedup {
         abs(col("est_q") - col("true_q")).as("err_q"))
   }
 
+  /** Near-dup cluster-size histogram: how many clusters of each size
+    * the minhash candidate graph's connected components form, with the
+    * singleton count (docs in no candidate pair) restored as size 1.
+    * THE dedup planning number — expected token savings is
+    * Σ (size−1)·avg_doc_tokens over this histogram, and a fat tail
+    * says raise [[MaxBandBucket]] scrutiny before running removal.
+    * Two tiny aggregates over [[components]]' output (cluster list is
+    * ≤ |pairs-covered docs|); the singleton row is total−covered, two
+    * count(*)s. Output: (cluster_size, n_clusters). */
+  def clusterSizes(docs: DataFrame): DataFrame = {
+    val comp = components(minhashCandidates(docs))
+    val sized = comp.groupBy("rep_doc").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("t"))
+      .crossJoin(comp.agg(count(lit(1)).as("covered")))
+      .select(lit(1L).as("cluster_size"), (col("t") - col("covered")).as("n_clusters"))
+    sized.unionByName(singles)
+  }
+
   /** Cross-source near-dup overlap matrix: for each unordered source
     * pair, how many LSH candidate near-dup pairs straddle it (diagonal
     * = within-source). THE crawl-curation audit — "which of my sources

@@ -36,6 +36,13 @@ object PipelineQueries extends QueryPack {
     // near-dup clusters from the candidate pairs: min-label fixpoint
     "dedup_components" -> ((s, d) =>
       Dedup.components(Dedup.minhashCandidates(docs(s, d))).orderBy("doc_id")),
+    // cluster-size histogram incl. restored singletons (dedup planning)
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(docs(s, d)).orderBy("cluster_size")),
+    // per-doc unigram Shannon entropy (frequency-profile health)
+    "text_entropy" -> ((s, d) => TextAnalysis.entropy(docs(s, d)).orderBy("doc_id")),
+    // per-dimension integer stats of the quantized embeddings
+    "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
@@ -763,6 +770,49 @@ object PipelineQueries extends QueryPack {
          |JOIN (SELECT rep_doc, count(*) AS n FROM lab GROUP BY rep_doc) c
          |  USING (rep_doc)
          |ORDER BY doc_id""".stripMargin,
+    // component-size histogram + restored singleton row — keep in
+    // sync with Dedup.clusterSizes
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_doc
+         |        FROM reach GROUP BY src),
+         |cs AS (SELECT rep_doc, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1
+         |UNION ALL
+         |SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM lab)
+         |ORDER BY cluster_size""".stripMargin,
+    // unigram entropy: ln(n) - sum(c*ln c)/n, rounded like text_logprob
+    // — keep in sync with TextAnalysis.entropy
+    "text_entropy" ->
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM (SELECT doc_id, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |            FROM documents)
+        |      WHERE length(word) > 0 GROUP BY doc_id, word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact integer per-dimension stats of 1e3-quantized embeddings —
+    // keep in sync with Similarity.dimStats (floor-div mean)
+    "emb_dimstats" ->
+      """WITH x AS (SELECT unnest(range(1, len(embedding) + 1)) AS p, embedding
+        |           FROM embeddings),
+        |qs AS (SELECT CAST(p - 1 AS BIGINT) AS dim,
+        |              CAST(round(CAST(embedding[p] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |       FROM x)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |       min(q) AS min_q, max(q) AS max_q,
+        |       CAST(sum(q) AS BIGINT) AS sum_q,
+        |       CAST(sum(q * q) AS BIGINT) AS sum_q2,
+        |       CAST(sum(q) * 1000 // count(*) AS BIGINT) AS mean_mq
+        |FROM qs GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard" ->
       // sizes AND intersections over the same df-capped universe —
       // keep in sync with Dedup.jaccardPairs

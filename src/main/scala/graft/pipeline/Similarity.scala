@@ -43,6 +43,31 @@ object Similarity {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Similarity")
 
+  /** Per-dimension corpus statistics over the quantized embeddings:
+    * count, min, max, sum and sum-of-squares of q plus the floor-div
+    * mean in milli-q units — the embedding-hygiene audit run before
+    * any ANN index build (a dead dimension, an off-center mean, or a
+    * wild range says re-normalize before paying for the index).
+    * Everything is an exact integer aggregate of 1e3-quantized values
+    * (sum_q2 ≤ n·1e6 holds to trillions of rows in a long); variance
+    * is left to the consumer as (n·sum_q2 − sum_q²)/n² so this
+    * operator never divides by n² itself. One posexplode → one
+    * partial-aggregating groupBy(dim); output is |dims| rows.
+    * Output: (dim, n, min_q, max_q, sum_q, sum_q2, mean_mq). */
+  def dimStats(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min("x").as("min_q"),
+        max("x").as("max_q"),
+        sum("x").as("sum_q"),
+        sum(col("x") * col("x")).as("sum_q2"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        col("min_q"), col("max_q"), col("sum_q"), col("sum_q2"))
+      .withColumn("mean_mq", expr("sum_q * 1000 div n"))
+
   /** (vec_id, label, q: array<long>, n2: long) — quantized vectors. */
   def quantized(emb: DataFrame): DataFrame =
     emb.select(

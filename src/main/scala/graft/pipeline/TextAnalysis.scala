@@ -186,6 +186,28 @@ object TextAnalysis {
           / count(lit(1)), 4).as("mean_logprob"))
   }
 
+  /** Per-doc unigram Shannon entropy (nats): H = ln(n) − Σ c·ln(c)/n
+    * over the doc's word counts — the complement of [[repetition]]'s
+    * distinct-ratio: low entropy flags keyword-stuffed or
+    * template-generated docs whose FREQUENCY profile collapsed even
+    * when the distinct set looks healthy. One (doc, word) partial
+    * aggregate then one per-doc fold; the final mean is rounded to 4
+    * decimals, which absorbs cross-engine ln() ulps exactly as
+    * [[logProb]] does (summation stays within one doc's word rows —
+    * hundreds of terms — so accumulated error is far below 1e-4).
+    * Output: (doc_id, n_words, entropy). */
+  def entropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_words"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_words"),
+        round(log(col("n_words").cast("double")) - col("slc") / col("n_words"), 4)
+          .as("entropy"))
+
   /** Bigram-tier language-model quality scoring — the gibberish
     * detector [[logProb]] cannot be: a token-SHUFFLED document keeps
     * its unigram distribution exactly (same multiset) but destroys its

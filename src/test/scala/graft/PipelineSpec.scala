@@ -71,6 +71,40 @@ class PipelineSpec extends SparkSpec {
     assert(t.toSeq == Seq((1L, 2L, 10000L, 10000L, 0L)), t.mkString(","))
   }
 
+  test("clusterSizes: histogram restores singletons and sizes a planted 3-cluster") {
+    val txt = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, txt, "en", "s", 1L), (2L, txt, "en", "s", 1L), (3L, txt, "en", "s", 1L),
+      (4L, "lonely words that match nothing else in this corpus at all", "en", "s", 1L),
+      (5L, "another solitary document with its own private vocabulary entirely", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = Dedup.clusterSizes(docs).as[(Long, Long)].collect().toSet
+    assert(h == Set((3L, 1L), (1L, 2L)), h.toString)
+  }
+
+  test("entropy: uniform doc scores ln(n); constant doc scores 0") {
+    val d = Seq(
+      (1L, (1 to 8).map(i => s"u$i").mkString(" "), "en", "s", 1L), // 8 distinct
+      (2L, Seq.fill(16)("same").mkString(" "), "en", "s", 1L)) // 1 word
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.entropy(d).as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 8L, BigDecimal(math.log(8.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r(2L) == ((2L, 16L, 0.0)))
+  }
+
+  test("dimStats: exact integer stats on a hand-built embedding pair") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f), 0),
+      (2L, Array(0.25f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.dimStats(e)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // dim 0: q = 500, 250 -> sum 750, sum2 312500, mean_mq 750*1000 div 2
+    assert(r(0L) == ((0L, 2L, 250L, 500L, 750L, 312500L, 375000L)), r(0L).toString)
+    // dim 1: q = -1000, 1000 -> sum 0, sum2 2000000, mean 0
+    assert(r(1L) == ((1L, 2L, -1000L, 1000L, 0L, 2000000L, 0L)), r(1L).toString)
+  }
+
   test("sourceOverlap counts straddling candidate pairs under the unordered source key") {
     // one text duplicated across srcB/srcA (unordered key -> (A,B)),
     // another duplicated within srcC, a singleton in srcD
