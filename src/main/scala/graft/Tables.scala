@@ -15,17 +15,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read it as a long (ns since epoch) and convert with
-    // eventTime(). Set here, not only in session builders, because the
-    // driver may hand us its own session.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Legacy lakes may carry events.ts as TIMESTAMP(NANOS), which Spark 4
+    // rejects by default; nanosAsLong reads it as a long (ns since epoch)
+    // that eventTime()/eventMicros() convert. Harmless no-op for the
+    // current testdata (timestamp[us] -> TIMESTAMP_NTZ). Guarded so a
+    // driver-owned session isn't mutated on every table load.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (ns-since-epoch long under nanosAsLong) -> TimestampType
-    * at microsecond precision, truncating like DuckDB's CAST(ts AS
-    * TIMESTAMP). Oracle SQL counterpart: epoch_us(ts) for the long form.
+  /** Legacy form: events.ts as ns-since-epoch long (TIMESTAMP(NANOS)
+    * under nanosAsLong) -> TimestampType at microsecond precision,
+    * truncating like DuckDB's CAST(ts AS TIMESTAMP).
     *
     * ns/1000 must be EXACT integer division: `floor(ts / 1000)` runs in
     * doubles and ns-since-epoch (~1.7e18) exceeds 2^53, so values
@@ -36,6 +38,34 @@ object Tables {
   def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(
       (tsNanos.cast("decimal(25,0)") / 1000).cast("long"))
+
+  /** Schema-adaptive event time: a 100 TB lake mixes timestamp
+    * encodings, so the time plane branches on the LOADED dtype rather
+    * than assuming one. `ts` as LongType (legacy nanosAsLong) goes
+    * through the exact ns->us truncation above; native TimestampType /
+    * TIMESTAMP_NTZ (current testdata: parquet timestamp[us]) is used
+    * directly — the NTZ->TZ cast is wall-clock identity under the
+    * UTC session timezone every entrypoint pins.
+    */
+  def eventTime(df: DataFrame, tsCol: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(tsCol).dataType match {
+      case LongType         => eventTime(df(tsCol))
+      case TimestampNTZType => df(tsCol).cast("timestamp")
+      case _                => df(tsCol)
+    }
+  }
+
+  /** Schema-adaptive us-since-epoch long for gap/interval arithmetic
+    * (sessionization): integer math, exact under either encoding.
+    */
+  def eventMicros(df: DataFrame, tsCol: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.LongType
+    df.schema(tsCol).dataType match {
+      case LongType => (df(tsCol).cast("decimal(25,0)") / 1000).cast("long")
+      case _        => org.apache.spark.sql.functions.unix_micros(df(tsCol).cast("timestamp"))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

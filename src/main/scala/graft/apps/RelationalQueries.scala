@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   *    IEEE summation order differs between engines);
   *  - every query ends in a deterministic ORDER BY.
   *
-  * events.ts arrives as ns-since-epoch long (see Tables.load); the
-  * oracle uses epoch_ns()/date_trunc on its TIMESTAMP_NS reading.
+  * events.ts is read schema-adaptively (Tables.eventTime/eventMicros):
+  * the current testdata carries parquet timestamp[us] (TIMESTAMP_NTZ in
+  * Spark), legacy lakes ns-since-epoch longs; the oracle's
+  * epoch_ns()/date_trunc works on DuckDB's TIMESTAMP reading either way.
   */
 object RelationalQueries extends QueryPack {
 
-  private val SESSION_GAP_NS = 1800000000000L // 30 min
+  private val SESSION_GAP_US = 1800000000L // 30 min in microseconds
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: full-scan aggregate, 4 groups.
@@ -106,22 +108,26 @@ object RelationalQueries extends QueryPack {
     },
     // Event-time daily rollup.
     "ev_daily" -> { (s, dir) =>
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
+      ev
         .select(
-          to_date(Tables.eventTime(col("ts"))).as("day"),
+          to_date(Tables.eventTime(ev)).as("day"),
           col("event_type"), col("value"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("day", "event_type")
     },
     // Sessionization: 30-min-gap sessions per user via lag window.
+    // Gap arithmetic on us-since-epoch longs (schema-adaptive) — integer
+    // compare, no interval types, exact under either ts encoding.
     "ev_sessions" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("ts")
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts"))
-        .withColumn("prev", lag("ts", 1).over(w))
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+      ev
+        .select(col("user_id"), Tables.eventMicros(ev).as("tsu"))
+        .withColumn("prev", lag("tsu", 1).over(w))
         .withColumn("new_s",
-          when(col("prev").isNull || col("ts") - col("prev") > SESSION_GAP_NS, 1).otherwise(0))
+          when(col("prev").isNull || col("tsu") - col("prev") > SESSION_GAP_US, 1).otherwise(0))
         .groupBy("user_id")
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
@@ -181,8 +187,9 @@ object RelationalQueries extends QueryPack {
     // o_orderkey wins — because a deterministic as-of needs a unique
     // right-side time per key.
     "ev_asof" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), Tables.eventTime(col("ts")).as("ts_utc"))
+      val evRaw = Tables.events(s, dir)
+      val ev = evRaw
+        .select(col("event_id"), col("user_id"), Tables.eventTime(evRaw).as("ts_utc"))
       val ord = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
         .agg(
@@ -197,8 +204,9 @@ object RelationalQueries extends QueryPack {
     // Tumbling window() rollup — the batch form of the streaming
     // windowed aggregation (hourly).
     "ev_hourly" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .select(Tables.eventTime(col("ts")).as("ts_utc"), col("event_type"), col("value"))
+      val ev = Tables.events(s, dir)
+      ev
+        .select(Tables.eventTime(ev).as("ts_utc"), col("event_type"), col("value"))
         .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
