@@ -72,9 +72,14 @@ object Curation {
     * a max_by hash aggregate on rep_doc (partial-aggregating, no
     * window), and the corpus-wide assembly is two equi-joins on
     * doc_id/rep_doc. */
-  def keepBest(docs: DataFrame, k: Int = 3): DataFrame = {
-    val comp = Dedup.components(Dedup.minhashCandidates(docs, k))
-      .select(col("doc_id"), col("rep_doc"))
+  def keepBest(docs: DataFrame, k: Int = 3): DataFrame =
+    keepBestFromIndex(docs, Dedup.components(Dedup.minhashCandidates(docs, k)))
+
+  /** [[keepBest]] served from a prebuilt cluster map
+    * ([[Dedup.nearDupIndex]].clusters) — read-path cost only: the
+    * argmax and assembly joins, no LSH or fixpoint. */
+  def keepBestFromIndex(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val comp = clusters.select(col("doc_id"), col("rep_doc"))
     val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
     // (quality ASC, -doc_id ASC) max == quality DESC, doc_id ASC argmax
     val best = comp.join(q, Seq("doc_id"))
@@ -242,10 +247,16 @@ object Curation {
     * (AQE broadcasts iff it fits — near-dup clusters are a small
     * fraction of the corpus) and the threshold stays map-side.
     * Output: (doc_id, group_id, split). */
-  def leakFreeSplit(docs: DataFrame, trainN: Int = 232, valN: Int = 12): DataFrame = {
+  def leakFreeSplit(docs: DataFrame, trainN: Int = 232, valN: Int = 12): DataFrame =
+    leakFreeSplitFromIndex(docs, Dedup.components(Dedup.minhashCandidates(docs)),
+      trainN, valN)
+
+  /** [[leakFreeSplit]] served from a prebuilt cluster map
+    * ([[Dedup.nearDupIndex]].clusters) — read-path cost only. */
+  def leakFreeSplitFromIndex(docs: DataFrame, clusters: DataFrame,
+      trainN: Int = 232, valN: Int = 12): DataFrame = {
     require(trainN + valN < 256, "train + val fractions must leave room for test")
-    val comp = Dedup.components(Dedup.minhashCandidates(docs))
-      .select(col("doc_id"), col("rep_doc"))
+    val comp = clusters.select(col("doc_id"), col("rep_doc"))
     val b = conv(substring(md5(col("group_id").cast("string")), 1, 2), 16, 10).cast("int")
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -267,22 +278,47 @@ object Curation {
     * global shuffle — docs route to one of `nShards` shards by 48
     * hash bits (mod a power of two: unbiased), and the position
     * window partitions BY SHARD, so no single task ever sees the
-    * whole corpus (a global `orderBy` would). A training loader reads
-    * shards in order, positions within a shard in order — that is a
-    * full permutation, with each shard an independently-seekable
+    * whole corpus (a global `orderBy` would). By default the shard
+    * count is DERIVED from the corpus ([[autoShards]]: the same one
+    * cheap token count [[autoBuckets]] uses, rounded up to a power of
+    * two), so each shard's position window stays ~constant-sized as
+    * the corpus grows — at 100 TB that is tens of thousands of
+    * shards, never 8 giant single-task windows. A training loader
+    * reads shards in order, positions within a shard in order — that
+    * is a full permutation, with each shard an independently-seekable
     * chunk of it. Output: (doc_id, shard, pos 1-based within shard). */
-  def epochShuffle(docs: DataFrame, epoch: Int = 0, nShards: Int = 8): DataFrame = {
-    require(nShards >= 1 && (nShards & (nShards - 1)) == 0,
-      s"nShards must be a power of two for unbiased hex-hash mod, got $nShards")
+  def epochShuffle(docs: DataFrame, epoch: Int = 0, nShards: Int = 0): DataFrame = {
+    val shards = if (nShards > 0) nShards else autoShards(docs)
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"nShards must be a power of two for unbiased hex-hash mod, got $shards")
     val key = md5(concat(col("doc_id").cast("string"), lit("#" + epoch)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(asc("key"), asc("doc_id"))
     docs
       .select(col("doc_id"), key.as("key"))
       .withColumn("shard",
-        conv(substring(col("key"), 1, 12), 16, 10).cast("long") % nShards)
+        conv(substring(col("key"), 1, 12), 16, 10).cast("long") % shards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** [[epochShuffle]]'s derived shard count: the smallest power of two
+    * >= max(8, corpusTokens / [[TargetTokensPerBucket]]), from the
+    * same one partial-aggregating token count as [[autoBuckets]]. The
+    * power-of-two rounding keeps the 48-bit-hash mod unbiased; the
+    * ratio keeps every shard's position window ~constant-sized at any
+    * corpus scale. */
+  def autoShards(docs: DataFrame): Int =
+    autoShardsFor(docs
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0))
+
+  /** Pure rounding half of [[autoShards]]: smallest power of two >=
+    * max(8, totalTokens / [[TargetTokensPerBucket]]). */
+  private[graft] def autoShardsFor(totalTokens: Long): Int = {
+    val raw = math.max(8L, totalTokens / TargetTokensPerBucket)
+    val h = java.lang.Long.highestOneBit(raw)
+    (if (h == raw) raw else h << 1).toInt
   }
 
   /** Per-source corpus profile — the crawl-audit rollup (which feeds

@@ -205,6 +205,36 @@ object Dedup {
         abs(col("est_q") - col("true_q")).as("err_q"))
   }
 
+  /** Build-once near-dup index — the build/serve split the similarity
+    * plane already has ([[Similarity.pqIndex]]/[[Similarity.ivfPqIndex]]):
+    * the LSH candidate PAIRS plus the connected-components CLUSTER map
+    * (doc_id → rep_doc, n_docs), both checkpoint-backed artifacts. At
+    * corpus scale both are written once (`pairs/clusters.write
+    * .parquet(...)`) and every curation read — cluster sizes,
+    * keep-best, leak-free splits, overlap audits, triangle counts —
+    * serves from them: the band joins and the components fixpoint
+    * (hours at 100 TB) amortize over all consumers instead of
+    * re-running per query. Retained-checkpoint lifecycle:
+    * [[freeRetained]]. */
+  case class NearDupIndex(pairs: DataFrame, clusters: DataFrame)
+
+  def nearDupIndex(docs: DataFrame, k: Int = 3): NearDupIndex = {
+    val pairs = retain(minhashCandidates(docs, k).localCheckpoint(true))
+    NearDupIndex(pairs, components(pairs))
+  }
+
+  /** Session-scoped cache of [[nearDupIndex]] builds keyed by
+    * (session, corpus tag, k) — the "build once, query many" serve
+    * path for a long-lived driver running many curation reads over one
+    * corpus. Cleared by [[freeRetained]]: the cached tables are
+    * retained checkpoints, so freeing their blocks MUST invalidate the
+    * entries (a cleared checkpoint cannot be recomputed). */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), NearDupIndex]
+
+  def nearDupIndexCached(docs: DataFrame, tag: String, k: Int = 3): NearDupIndex =
+    indexCache.getOrElseUpdate((docs.sparkSession, tag, k), nearDupIndex(docs, k))
+
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the minhash candidate graph's connected components form, with the
     * singleton count (docs in no candidate pair) restored as size 1.
@@ -214,12 +244,16 @@ object Dedup {
     * Two tiny aggregates over [[components]]' output (cluster list is
     * ≤ |pairs-covered docs|); the singleton row is total−covered, two
     * count(*)s. Output: (cluster_size, n_clusters). */
-  def clusterSizes(docs: DataFrame): DataFrame = {
-    val comp = components(minhashCandidates(docs))
-    val sized = comp.groupBy("rep_doc").agg(count(lit(1)).as("cluster_size"))
+  def clusterSizes(docs: DataFrame): DataFrame =
+    clusterSizesFromIndex(docs, components(minhashCandidates(docs)))
+
+  /** [[clusterSizes]] served from a prebuilt cluster map
+    * ([[nearDupIndex]].clusters) — read-path cost only. */
+  def clusterSizesFromIndex(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sized = clusters.groupBy("rep_doc").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     val singles = docs.agg(count(lit(1)).as("t"))
-      .crossJoin(comp.agg(count(lit(1)).as("covered")))
+      .crossJoin(clusters.agg(count(lit(1)).as("covered")))
       .select(lit(1L).as("cluster_size"), (col("t") - col("covered")).as("n_clusters"))
     sized.unionByName(singles)
   }
@@ -234,8 +268,12 @@ object Dedup {
     * stats/AQE decide), then one partial-aggregating groupBy collapses
     * to at most |sources|² rows. Output: (source_a, source_b,
     * n_pairs). */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
-    val cand = minhashCandidates(docs)
+  def sourceOverlap(docs: DataFrame): DataFrame =
+    sourceOverlapFromIndex(docs, minhashCandidates(docs))
+
+  /** [[sourceOverlap]] served from a prebuilt candidate-pair table
+    * ([[nearDupIndex]].pairs) — read-path cost only. */
+  def sourceOverlapFromIndex(docs: DataFrame, cand: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     cand
       .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
@@ -518,6 +556,11 @@ object Dedup {
     * [[retainedCps]]); collected entries were (or will be) reclaimed
     * by ContextCleaner. */
   def freeRetained(): Unit = synchronized {
+    // serve-path caches hold retained checkpoints whose blocks are
+    // about to be freed — a cleared eager checkpoint cannot be read or
+    // recomputed, so the cache entries must go with the blocks
+    indexCache.clear()
+    Similarity.clearIndexCaches()
     retainedCps.foreach(_.get.foreach(_.unpersist(false)))
     retainedCps.clear()
   }

@@ -148,8 +148,13 @@ object Graph {
     * multi-doc clusters; the embedding ANN graph on this corpus is a
     * matching of planted pairs, triangle-free by construction).
     * Output: (doc_id, degree, n_triangles, cc_q). */
-  def nearDupTriangles(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashCandidates(docs)
+  def nearDupTriangles(docs: DataFrame): DataFrame =
+    nearDupTrianglesFromPairs(docs, Dedup.minhashCandidates(docs))
+
+  /** [[nearDupTriangles]] served from a prebuilt candidate-pair table
+    * ([[Dedup.nearDupIndex]].pairs) — read-path cost only: the
+    * orientation + wedge joins, no LSH band build. */
+  def nearDupTrianglesFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     triangles(edges, docs.select(col("doc_id").as("id")))

@@ -20,6 +20,15 @@ object PipelineQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Session-cached build-once near-dup index ([[Dedup.nearDupIndex]]):
+    * the cluster map and candidate pairs are built once per (session,
+    * corpus) and every dependent query below serves from the artifact —
+    * the production stance (at 100 TB the fixpoint is hours; cluster
+    * sizes, keep-best, splits and audits are READS of its output).
+    * Results are identical to the train-inline forms (the build is
+    * deterministic); PipelineSpec pins that identity. */
+  private def ndIdx(s: SparkSession, d: String) = Dedup.nearDupIndexCached(docs(s, d), d)
+
   /** Fixed query terms for text_bm25 — mid-frequency corpus words so
     * tf, df and doc-length normalization all do real work. */
   val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
@@ -30,15 +39,19 @@ object PipelineQueries extends QueryPack {
     // sketch-quality audit: minhash Jaccard estimate vs true shingle
     // Jaccard per candidate pair, 1e4-quantized
     "dedup_minhash_err" -> ((s, d) => Dedup.minhashError(docs(s, d)).orderBy("doc_a", "doc_b")),
-    // cross-source near-dup overlap matrix (mirror detection)
+    // cross-source near-dup overlap matrix (mirror detection), served
+    // from the build-once pair table
     "dedup_source_overlap" -> ((s, d) =>
-      Dedup.sourceOverlap(docs(s, d)).orderBy("source_a", "source_b")),
-    // near-dup clusters from the candidate pairs: min-label fixpoint
-    "dedup_components" -> ((s, d) =>
-      Dedup.components(Dedup.minhashCandidates(docs(s, d))).orderBy("doc_id")),
-    // cluster-size histogram incl. restored singletons (dedup planning)
+      Dedup.sourceOverlapFromIndex(docs(s, d), ndIdx(s, d).pairs)
+        .orderBy("source_a", "source_b")),
+    // near-dup clusters: the build-once cluster map itself (min-label
+    // fixpoint over the candidate pairs; first touch builds, rest read)
+    "dedup_components" -> ((s, d) => ndIdx(s, d).clusters.orderBy("doc_id")),
+    // cluster-size histogram incl. restored singletons (dedup
+    // planning), served from the build-once cluster map
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizes(docs(s, d)).orderBy("cluster_size")),
+      Dedup.clusterSizesFromIndex(docs(s, d), ndIdx(s, d).clusters)
+        .orderBy("cluster_size")),
     // per-doc unigram Shannon entropy (frequency-profile health)
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(docs(s, d)).orderBy("doc_id")),
     // per-dimension integer stats of the quantized embeddings
@@ -70,9 +83,10 @@ object PipelineQueries extends QueryPack {
     "pipeline_mixture" -> ((s, d) =>
       Curation.temperatureMixture(docs(s, d)).orderBy("lang")),
     // keep-best-of-cluster: near-dup clusters keep their highest-
-    // quality member, solitary docs keep themselves
+    // quality member, solitary docs keep themselves — served from the
+    // build-once cluster map
     "pipeline_keep_best" -> ((s, d) =>
-      Curation.keepBest(docs(s, d)).orderBy("doc_id")),
+      Curation.keepBestFromIndex(docs(s, d), ndIdx(s, d).clusters).orderBy("doc_id")),
     "pipeline_training_set" -> ((s, d) => Curation.trainingSet(docs(s, d)).orderBy("doc_id")),
     // decontamination: docs 0-49 stand in for the benchmark probe set,
     // re-shaped to the probe schema (probe_id, text) — contamination
@@ -116,9 +130,11 @@ object PipelineQueries extends QueryPack {
     "pipeline_shuffle" -> ((s, d) =>
       Curation.epochShuffle(docs(s, d)).orderBy("doc_id")),
     // leakage-safe split: whole near-dup clusters land on one side of
-    // the train/test fence (split keys on the cluster representative)
+    // the train/test fence (split keys on the cluster representative),
+    // served from the build-once cluster map
     "pipeline_split_leakfree" -> ((s, d) =>
-      Curation.leakFreeSplit(docs(s, d)).orderBy("doc_id")),
+      Curation.leakFreeSplitFromIndex(docs(s, d), ndIdx(s, d).clusters)
+        .orderBy("doc_id")),
     // PII redaction counts + scrubbed text (corpus is PII-free by
     // construction; planted fixtures live in PipelineSpec)
     "text_pii" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d)).orderBy("doc_id")),
@@ -134,9 +150,11 @@ object PipelineQueries extends QueryPack {
     // Gopher-style rule battery: per-rule 0/1 flags + conjunctive keep
     "text_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
     // per-doc triangle count + clustering coefficient over the
-    // near-dup candidate graph (degree-ordered orientation)
+    // near-dup candidate graph (degree-ordered orientation), served
+    // from the build-once pair table
     "graph_triangles" -> ((s, d) =>
-      Graph.nearDupTriangles(docs(s, d)).orderBy("doc_id")),
+      Graph.nearDupTrianglesFromPairs(docs(s, d), ndIdx(s, d).pairs)
+        .orderBy("doc_id")),
     // per-source KMV distinct-vocabulary sketch (deterministic, k=64)
     "text_kmv" -> ((s, d) => TextAnalysis.kmvDistinct(docs(s, d)).orderBy("source")),
     // semantic near-dup CLUSTERS: connected components over the
@@ -182,6 +200,21 @@ object PipelineQueries extends QueryPack {
     // IVF x PQ composition: kmeans cells route probes, PQ codes score
     // candidates — the scan touches only probed cells and no raw vector
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    // serve-path variants: same top-k against the SESSION-CACHED index
+    // (build once per corpus, query many) — the production query shape;
+    // sim_pq_topk/sim_ivfpq_topk above keep the train-inline build that
+    // the unrolled SQL oracle replays bit-for-bit. Results are
+    // identical (deterministic build), so they share that oracle.
+    "sim_pq_serve" -> ((s, d) => {
+      val (cb, codes) = Similarity.pqIndexCached(emb(s, d), d)
+      Similarity.pqTopKFromIndex(emb(s, d), cb, codes, 0L to 9L, 5)
+        .orderBy("probe_id", "rank")
+    }),
+    "sim_ivfpq_serve" -> ((s, d) => {
+      val (cent, cb, ccodes) = Similarity.ivfPqIndexCached(emb(s, d), d)
+      Similarity.ivfPqTopKFromIndex(emb(s, d), cent, cb, ccodes, 0L to 9L, 5)
+        .orderBy("probe_id", "rank")
+    }),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // Decode path: kind=image tries the REAL javax.imageio codec; the
@@ -625,6 +658,74 @@ object PipelineQueries extends QueryPack {
       |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** PQ ADC top-k oracle: Lloyd-trained codebook (pqCbCtes), exact-long
+    * L2 argmin codes, per-probe LUT, ADC scores — keep in sync with
+    * Similarity.pqCodebook/pqCodes/pqTopK. Shared verbatim by
+    * sim_pq_topk (train-inline) and sim_pq_serve (cached index): the
+    * build is deterministic, so both produce identical rows. */
+  private lazy val pqTopKOracleSql: String =
+    s"""WITH qv AS ($QV2),
+       |${pqCbCtes(Similarity.PqIters)},
+       |${pqServeCtes(Similarity.PqIters)},
+       |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
+       |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
+       |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
+       |        FROM pqcodes d JOIN pqlut l ON l.m = d.m AND l.code = d.code
+       |        WHERE d.vec_id <> l.probe_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT probe_id, vec_id,
+       |                  CAST(adot AS DOUBLE)
+       |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
+       |           FROM adc)
+       |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
+       |       CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                                   ORDER BY adc DESC, vec_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** IVF x PQ oracle: kmeans coarse cells (kmeansCtes) route probes to
+    * their KmeansNprobe nearest cells; candidates in those cells are
+    * ADC-scored over the Lloyd-trained codebook — keep in sync with
+    * Similarity.ivfPqTopK (no-residual IVFPQ: codes quantize the raw
+    * vector, so the codebook CTEs are exactly sim_pq_topk's). Shared
+    * verbatim by sim_ivfpq_topk and sim_ivfpq_serve. */
+  private lazy val ivfPqTopKOracleSql: String =
+    s"""WITH qv AS ($QV2),
+       |$kmeansCtes,
+       |${pqCbCtes(Similarity.PqIters)},
+       |${pqServeCtes(Similarity.PqIters)},
+       |ccodes AS (SELECT d.*, a.cell FROM pqcodes d JOIN asg a USING (vec_id)),
+       |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
+       |            FROM asg WHERE vec_id < 10),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT p.probe_id, c.cell,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+       |                      c.cell) AS crank
+       |    FROM probes0 p CROSS JOIN cent2 c)
+       |  WHERE crank <= ${Similarity.KmeansNprobe}),
+       |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
+       |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
+       |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
+       |        FROM ccodes d
+       |        JOIN pcells pc ON pc.cell = d.cell
+       |        JOIN pqlut l ON l.probe_id = pc.probe_id
+       |                    AND l.m = d.m AND l.code = d.code
+       |        WHERE d.vec_id <> l.probe_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT probe_id, vec_id,
+       |                  CAST(adot AS DOUBLE)
+       |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
+       |           FROM adc)
+       |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
+       |       CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                                   ORDER BY adc DESC, vec_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
@@ -1039,11 +1140,22 @@ object PipelineQueries extends QueryPack {
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_hits, score FROM bm ORDER BY doc_id""".stripMargin,
     // sharded deterministic epoch shuffle — keep in sync with
-    // Curation.epochShuffle (epoch 0, 8 shards)
+    // Curation.epochShuffle/autoShards (epoch 0; shard count derived
+    // from the corpus token count, rounded UP to a power of two;
+    // power(2, g) and its BIGINT cast are IEEE-exact for g <= 50, so
+    // the min-over-powers spelling avoids log2's rounding hazard)
     "pipeline_shuffle" ->
-      s"""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS key
-         |           FROM documents),
-         |s AS (SELECT doc_id, key, ${hex48Sql("key")} % 8 AS shard FROM k)
+      s"""WITH tot AS (SELECT greatest(8,
+         |               CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+         |                 // ${Curation.TargetTokensPerBucket}) AS r
+         |             FROM documents),
+         |shn AS (SELECT min(CAST(power(2, g) AS BIGINT)) AS s
+         |        FROM generate_series(3, 50) AS t(g), tot
+         |        WHERE CAST(power(2, g) AS BIGINT) >= r),
+         |k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS key
+         |      FROM documents),
+         |s AS (SELECT doc_id, key,
+         |             ${hex48Sql("key")} % (SELECT s FROM shn) AS shard FROM k)
          |SELECT doc_id, shard,
          |       CAST(row_number() OVER (PARTITION BY shard
          |                               ORDER BY key, doc_id) AS BIGINT) AS pos
@@ -1427,66 +1539,19 @@ object PipelineQueries extends QueryPack {
     // sync with Similarity.pqCodebook/pqCodes/pqTopK. list_dot_product
     // over quantized values < 2^53 is exact, so the BIGINT casts are
     // lossless.
-    "sim_pq_topk" ->
-      s"""WITH qv AS ($QV2),
-         |${pqCbCtes(Similarity.PqIters)},
-         |${pqServeCtes(Similarity.PqIters)},
-         |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
-         |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
-         |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
-         |        FROM pqcodes d JOIN pqlut l ON l.m = d.m AND l.code = d.code
-         |        WHERE d.vec_id <> l.probe_id
-         |        GROUP BY 1, 2, 3),
-         |scored AS (SELECT probe_id, vec_id,
-         |                  CAST(adot AS DOUBLE)
-         |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
-         |           FROM adc)
-         |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
-         |       CAST(rn AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |                                   ORDER BY adc DESC, vec_id) AS rn
-         |      FROM scored)
-         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_pq_topk" -> pqTopKOracleSql,
+    // serve-path variant: identical rows (deterministic build), same
+    // unrolled-training oracle
+    "sim_pq_serve" -> pqTopKOracleSql,
     // IVF x PQ: kmeans coarse cells (kmeansCtes) route probes to their
     // KmeansNprobe nearest cells; candidates in those cells are
     // ADC-scored over the Lloyd-trained codebook — keep in sync with
     // Similarity.ivfPqTopK (no-residual IVFPQ: codes quantize the raw
     // vector, so the codebook CTEs are exactly sim_pq_topk's).
-    "sim_ivfpq_topk" ->
-      s"""WITH qv AS ($QV2),
-         |$kmeansCtes,
-         |${pqCbCtes(Similarity.PqIters)},
-         |${pqServeCtes(Similarity.PqIters)},
-         |ccodes AS (SELECT d.*, a.cell FROM pqcodes d JOIN asg a USING (vec_id)),
-         |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
-         |            FROM asg WHERE vec_id < 10),
-         |pcells AS (
-         |  SELECT probe_id, cell FROM (
-         |    SELECT p.probe_id, c.cell,
-         |           row_number() OVER (PARTITION BY p.probe_id
-         |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
-         |                      c.cell) AS crank
-         |    FROM probes0 p CROSS JOIN cent2 c)
-         |  WHERE crank <= ${Similarity.KmeansNprobe}),
-         |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
-         |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
-         |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
-         |        FROM ccodes d
-         |        JOIN pcells pc ON pc.cell = d.cell
-         |        JOIN pqlut l ON l.probe_id = pc.probe_id
-         |                    AND l.m = d.m AND l.code = d.code
-         |        WHERE d.vec_id <> l.probe_id
-         |        GROUP BY 1, 2, 3),
-         |scored AS (SELECT probe_id, vec_id,
-         |                  CAST(adot AS DOUBLE)
-         |                    / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
-         |           FROM adc)
-         |SELECT probe_id, vec_id AS neighbor_id, round(adc, 6) AS adc_cos,
-         |       CAST(rn AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |                                   ORDER BY adc DESC, vec_id) AS rn
-         |      FROM scored)
-         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "sim_ivfpq_topk" -> ivfPqTopKOracleSql,
+    // serve-path variant: identical rows (deterministic build), same
+    // unrolled-training oracle
+    "sim_ivfpq_serve" -> ivfPqTopKOracleSql,
     "sim_ivf_topk" ->
       s"""WITH qv AS ($QV2),
          |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),

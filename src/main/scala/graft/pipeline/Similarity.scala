@@ -554,6 +554,30 @@ object Similarity {
     } finally qv.unpersist(false)
   }
 
+  /** Session-scoped serve-path caches of the [[pqIndex]] /
+    * [[ivfPqIndex]] builds keyed by (session, corpus tag) — the
+    * "build once, query many" production shape: Lloyd training and
+    * encoding run once per corpus, every top-k after that is pure ADC
+    * serving against the cached artifact. Codebooks/centroids are
+    * driver-localized tables; the code tables are retained
+    * checkpoints, so the caches are cleared by [[Dedup.freeRetained]]
+    * together with the blocks they point at. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  def pqIndexCached(emb: DataFrame, tag: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((emb.sparkSession, tag), pqIndex(emb))
+
+  def ivfPqIndexCached(emb: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) =
+    ivfPqCache.getOrElseUpdate((emb.sparkSession, tag), ivfPqIndex(emb))
+
+  private[pipeline] def clearIndexCaches(): Unit = {
+    pqCache.clear()
+    ivfPqCache.clear()
+  }
+
   /** ADC top-k served from a prebuilt [[pqIndex]]: probes re-quantize
     * from `emb` at full precision (asymmetric distance), the per-probe
     * LUT is probes x PqM x PqK rows against the broadcast codebook,

@@ -297,6 +297,63 @@ class PipelineSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("nearDupIndex is build-once: cached instance, consumers serve rows identical to train-inline") {
+    import graft.pipeline.Graph
+    Dedup.freeRetained() // start from a clean cache
+    val d = planted
+    val i1 = Dedup.nearDupIndexCached(d, "specTag")
+    assert(Dedup.nearDupIndexCached(d, "specTag") eq i1,
+      "second call must hit the session cache, not rebuild")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(Dedup.clusterSizesFromIndex(d, i1.clusters)) == rows(Dedup.clusterSizes(d)))
+    assert(rows(Curation.keepBestFromIndex(d, i1.clusters)) == rows(Curation.keepBest(d)))
+    assert(rows(Curation.leakFreeSplitFromIndex(d, i1.clusters)) == rows(Curation.leakFreeSplit(d)))
+    assert(rows(Dedup.sourceOverlapFromIndex(d, i1.pairs)) == rows(Dedup.sourceOverlap(d)))
+    assert(rows(Graph.nearDupTrianglesFromPairs(d, i1.pairs)) == rows(Graph.nearDupTriangles(d)))
+    // freeRetained kills the cached checkpoints AND the cache entries
+    // (a cleared eager checkpoint cannot be recomputed): next call
+    // builds fresh
+    Dedup.freeRetained()
+    val i3 = Dedup.nearDupIndexCached(d, "specTag")
+    assert(!(i3 eq i1))
+    assert(rows(i3.clusters) == rows(Dedup.components(Dedup.minhashCandidates(d))))
+    Dedup.freeRetained()
+  }
+
+  test("pq/ivfpq index cache: serve rows identical to train-inline; freeRetained invalidates") {
+    val e = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().toSeq
+    val (cb1, codes1) = Similarity.pqIndexCached(e, "specTag")
+    assert(Similarity.pqIndexCached(e, "specTag")._2 eq codes1)
+    assert(rows(Similarity.pqTopKFromIndex(e, cb1, codes1, 0L to 9L, 5)) ==
+      rows(Similarity.pqTopK(e, 0L to 9L, 5)))
+    val (cent, cb2, cc) = Similarity.ivfPqIndexCached(e, "specTag")
+    assert(Similarity.ivfPqIndexCached(e, "specTag")._3 eq cc)
+    assert(rows(Similarity.ivfPqTopKFromIndex(e, cent, cb2, cc, 0L to 9L, 5)) ==
+      rows(Similarity.ivfPqTopK(e, 0L to 9L, 5)))
+    Dedup.freeRetained()
+    assert(!(Similarity.pqIndexCached(e, "specTag")._2 eq codes1),
+      "freeRetained must invalidate the pq cache entry")
+    Dedup.freeRetained()
+  }
+
+  test("epochShuffle shard count derives from corpus tokens, power-of-two rounded") {
+    val T = Curation.TargetTokensPerBucket
+    assert(Curation.autoShardsFor(0L) == 8)
+    assert(Curation.autoShardsFor(8 * T) == 8)
+    assert(Curation.autoShardsFor(9 * T) == 16)
+    assert(Curation.autoShardsFor(16 * T) == 16)
+    assert(Curation.autoShardsFor(16 * T + 1) == 16) // floor division
+    assert(Curation.autoShardsFor(17 * T) == 32)
+    assert(Curation.autoShardsFor(1000 * T) == 1024)
+    // small corpus: the derived count is the 8-shard floor — identical
+    // rows to an explicit nShards=8
+    val derived = Curation.epochShuffle(planted).collect().toSeq.sortBy(_.getLong(0))
+    val fixed = Curation.epochShuffle(planted, nShards = 8).collect().toSeq.sortBy(_.getLong(0))
+    assert(derived == fixed && derived.nonEmpty)
+  }
+
   test("band-bucket cap: mega-clusters leave pairwise candidates but stay in group dedup") {
     // 8 identical docs (one band bucket of 8) + one genuine near-dup
     // pair; cap=3 must drop the cluster's pairs from BOTH banding

@@ -371,6 +371,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_serve / sim_ivfpq_serve: serve from the cached code table, corpus scanned only for probes") {
+    // the serve plan must read the checkpointed code artifact (an
+    // ExistingRDD scan), never rebuild it, and its only parquet scans
+    // are the probe-side lookups with the probe-id filter pushed down
+    Seq("sim_pq_serve" -> 1, "sim_ivfpq_serve" -> 2).foreach { case (q, maxScans) =>
+      val p = plan(q)
+      val rddScans = collectAll(p) {
+        case r: org.apache.spark.sql.execution.RDDScanExec => r
+      }
+      assert(rddScans.nonEmpty, s"$q must read the checkpointed code table, not rebuild it")
+      val scans = collectAll(p) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size <= maxScans, s"$q: ${scans.size} parquet scans, expected <= $maxScans")
+      scans.foreach { f =>
+        val pushed = f.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("In(vec_id"), s"$q probe scan must push the probe-id filter: $pushed")
+      }
+    }
+  }
+
   test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
     val p = plan("sim_ivf_topk")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
