@@ -321,6 +321,81 @@ object Curation {
     (if (h == raw) raw else h << 1).toInt
   }
 
+  /** CCNet-style language-model bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per language, docs split into head/middle/tail by exact
+    * TERCILES of a language-model score — here
+    * [[TextAnalysis.logProb]]'s mean unigram log-prob, 1e4-quantized
+    * (higher = more probable = head; CCNet's perplexity ordering,
+    * inverted sign). The standard curation move this enables: keep
+    * head+middle, drop or down-sample tail.
+    *
+    * Scale shape: the cutoffs are nearest-rank picks over a per-(lang,
+    * score) HISTOGRAM ([[TextAnalysis.lengthQuantiles]]' pattern — one
+    * partial-aggregating shuffle, window over the bounded histogram,
+    * never a corpus sort); the cutoff table is 2 longs per language,
+    * broadcast back. Ties at a cutoff land in the LOWER bucket
+    * (nearest-rank convention), integer arithmetic throughout — any
+    * engine agrees bit-for-bit. Output: (doc_id, lang, lp_q, bucket).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = TextAnalysis.logProb(docs)
+      .select(col("doc_id"), round(col("mean_logprob") * 10000).cast("long").as("lp_q"))
+    val scored = docs.select(col("doc_id"), col("lang")).join(lp, Seq("doc_id"))
+    val hist = scored.groupBy("lang", "lp_q").agg(count(lit(1)).as("cnt"))
+    val cdf = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("lang").orderBy("lp_q")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+    val cuts = cdf.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("lp_q"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("lp_q"))).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lp_q"),
+        when(col("lp_q") <= col("t1"), "tail")
+          .when(col("lp_q") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
+  /** One-glance corpus card — the summary block a dataset datasheet
+    * leads with: doc/token/vocabulary totals, language and source
+    * spread, exact-duplicate mass, near-dup pair count, integer-exact
+    * mean quality. Every value is a deterministic LONG (mean quality
+    * rides 1e4-scaled). `nearDupPairs` is the build-once artifact
+    * ([[Dedup.nearDupIndex]].pairs) — the card READS the index, it
+    * never re-runs LSH. Shape: four one-row aggregates cross-joined
+    * and unpivoted; nothing here exceeds one partial-aggregating pass
+    * per input. Output: (metric, value), 9 rows. */
+  def corpusCard(docs: DataFrame, nearDupPairs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_distinct_content"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(countDistinct(col("word")).as("n_vocab"))
+    val qual = TextAnalysis.quality(docs)
+      .agg(sum(round(col("quality") * 10000).cast("long")).as("sq"),
+        count(lit(1)).as("nq"))
+      .select(expr("sq div nq").as("mean_quality_q"))
+    val pairs = nearDupPairs.agg(count(lit(1)).as("n_neardup_pairs"))
+    base.crossJoin(vocab).crossJoin(qual).crossJoin(pairs)
+      .selectExpr(
+        """stack(9,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_vocab', n_vocab,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'n_distinct_content', n_distinct_content,
+          |  'n_exact_dup_docs', n_docs - n_distinct_content,
+          |  'n_neardup_pairs', n_neardup_pairs,
+          |  'mean_quality_q', mean_quality_q) AS (metric, value)""".stripMargin)
+  }
+
   /** Per-source corpus profile — the crawl-audit rollup (which feeds
     * are big, which are junk): doc and token counts plus mean quality
     * per source. ONE partial-aggregating shuffle on source; the mean

@@ -728,9 +728,15 @@ object Dedup {
     * (the embedding table may cover more ids than the doc corpus).
     * Both join planes shuffle on ids — no O(corpus) broadcast. */
   def embeddingNearDups(docs: DataFrame, emb: DataFrame,
-      threshold: Double = Similarity.AnnThreshold): DataFrame = {
+      threshold: Double = Similarity.AnnThreshold): DataFrame =
+    embeddingNearDupsFromPairs(docs, Similarity.annPairs(emb, threshold))
+
+  /** [[embeddingNearDups]] served from a prebuilt ANN pair table
+    * ([[Similarity.annPairsCached]]) — read-path cost only: the
+    * id-restriction semi-joins, no hyperplane banding or self-join. */
+  def embeddingNearDupsFromPairs(docs: DataFrame, annPairs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id"))
-    Similarity.annPairs(emb, threshold)
+    annPairs
       .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos_sim"))

@@ -72,8 +72,14 @@ object Graph {
     * node: similarity centrality. High-rank vectors anchor dense
     * near-dup neighborhoods; teleport-floor vectors are singletons.
     * Output: (vec_id, pr_scaled, pr). */
-  def similarityCentrality(emb: DataFrame, iters: Int = 5): DataFrame = {
-    val pairs = Similarity.annPairs(emb)
+  def similarityCentrality(emb: DataFrame, iters: Int = 5): DataFrame =
+    similarityCentralityFromPairs(emb, Similarity.annPairs(emb), iters)
+
+  /** [[similarityCentrality]] served from a prebuilt ANN pair table
+    * ([[Similarity.annPairsCached]]) — the PageRank iterations price
+    * as reads of the build-once candidate graph. */
+  def similarityCentralityFromPairs(emb: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     pageRank(edges, emb.select(col("vec_id").as("id")), iters)

@@ -59,8 +59,11 @@ object PipelineQueries extends QueryPack {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // embedding near-dup pairs, served from the build-once ANN pair
+    // table (sim_ann_pairs keeps the train-inline build)
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDups(docs(s, d), emb(s, d)).orderBy("doc_a", "doc_b")),
+      Dedup.embeddingNearDupsFromPairs(docs(s, d), Similarity.annPairsCached(emb(s, d), d))
+        .orderBy("doc_a", "doc_b")),
     // substring-level dedup: maximal shared token runs between doc
     // pairs (diagonal gaps-and-islands over the positional shingle
     // self-join)
@@ -138,12 +141,21 @@ object PipelineQueries extends QueryPack {
     // PII redaction counts + scrubbed text (corpus is PII-free by
     // construction; planted fixtures live in PipelineSpec)
     "text_pii" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d)).orderBy("doc_id")),
+    // CCNet-style per-language head/middle/tail terciles of the
+    // unigram LM score (exact nearest-rank cutoffs over a histogram)
+    "pipeline_ccnet" -> ((s, d) => Curation.ccnetBuckets(docs(s, d)).orderBy("doc_id")),
+    // one-glance corpus datasheet card; the near-dup count reads the
+    // build-once pair index
+    "pipeline_corpus_card" -> ((s, d) =>
+      Curation.corpusCard(docs(s, d), ndIdx(s, d).pairs).orderBy("metric")),
     // reciprocal-rank fusion of BM25 and embedding-cosine top-k
     "text_hybrid" -> ((s, d) =>
       TextAnalysis.hybridTopK(docs(s, d), emb(s, d), Bm25Query).orderBy("doc_id")),
-    // integer-exact PageRank over the symmetrized ANN pair graph
+    // integer-exact PageRank over the symmetrized ANN pair graph,
+    // served from the build-once pair table
     "graph_pagerank" -> ((s, d) =>
-      Graph.similarityCentrality(emb(s, d)).orderBy("vec_id")),
+      Graph.similarityCentralityFromPairs(emb(s, d), Similarity.annPairsCached(emb(s, d), d))
+        .orderBy("vec_id")),
     // per-doc top-5 keywords by quantized tf-idf
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
@@ -162,7 +174,8 @@ object PipelineQueries extends QueryPack {
     // semantic dedup plane, like dedup_components for the text plane)
     "dedup_embedding_components" -> ((s, d) =>
       Dedup.components(
-        Dedup.embeddingNearDups(docs(s, d), emb(s, d)).select("doc_a", "doc_b"))
+        Dedup.embeddingNearDupsFromPairs(docs(s, d), Similarity.annPairsCached(emb(s, d), d))
+          .select("doc_a", "doc_b"))
         .orderBy("doc_id")),
     // per-source crawl audit + the anti-spam per-source cap
     "pipeline_source_stats" -> ((s, d) => Curation.sourceStats(docs(s, d)).orderBy("source")),
@@ -197,6 +210,15 @@ object PipelineQueries extends QueryPack {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    // k-means IVF serve path: multi-probe top-k against the session-
+    // cached assignment + centroid artifact (Lloyd runs once per
+    // corpus); sim_ivf_kmeans keeps the train-inline build its
+    // unrolled oracle replays
+    "sim_ivf_serve" -> ((s, d) => {
+      val (assign, cent) = Similarity.ivfKmeansIndexCached(emb(s, d), d)
+      Similarity.ivfTopKNprobe(assign, cent, 0L to 9L, 5, Similarity.KmeansNprobe)
+        .orderBy("probe_id", "rank")
+    }),
     // IVF x PQ composition: kmeans cells route probes, PQ codes score
     // candidates — the scan touches only probed cells and no raw vector
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
@@ -657,6 +679,36 @@ object PipelineQueries extends QueryPack {
       |  GROUP BY doc_id, pos),
       |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
       |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** K-means IVF multi-probe oracle: Lloyd cells (kmeansCtes), probe
+    * routing to KmeansNprobe nearest cells, exact-cosine scoring — keep
+    * in sync with Similarity.ivfTopKKmeans/ivfTopKNprobe. Shared
+    * verbatim by sim_ivf_kmeans (train-inline) and sim_ivf_serve
+    * (cached index). */
+  private lazy val ivfKmeansOracleSql: String =
+    s"""WITH qv AS ($QV2),
+       |$kmeansCtes,
+       |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
+       |            FROM asg WHERE vec_id < 10),
+       |pcells AS (
+       |  SELECT probe_id, cell, pq, pn2 FROM (
+       |    SELECT p.probe_id, c.cell, p.pq, p.pn2,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+       |                      c.cell) AS crank
+       |    FROM probes0 p CROSS JOIN cent2 c)
+       |  WHERE crank <= ${Similarity.KmeansNprobe}),
+       |scored AS (
+       |  SELECT pc.probe_id, a.vec_id,
+       |         list_dot_product(pc.pq, a.qd)
+       |           / (sqrt(CAST(pc.pn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
+       |  FROM pcells pc JOIN asg a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+       |       CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                                   ORDER BY cos DESC, vec_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
 
   /** PQ ADC top-k oracle: Lloyd-trained codebook (pqCbCtes), exact-long
     * L2 argmin codes, per-probe LUT, ADC scores — keep in sync with
@@ -1160,6 +1212,63 @@ object PipelineQueries extends QueryPack {
          |       CAST(row_number() OVER (PARTITION BY shard
          |                               ORDER BY key, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail terciles of the 1e4-quantized unigram LM
+    // score, nearest-rank cutoffs per language — keep in sync with
+    // Curation.ccnetBuckets / TextAnalysis.logProb
+    "pipeline_ccnet" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tk AS (SELECT doc_id, word FROM t WHERE length(word) > 0),
+        |u AS (SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        |tot AS (SELECT sum(cnt) AS total FROM u),
+        |lp AS (SELECT doc_id,
+        |              CAST(round(round(sum(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+        |                               / count(*), 4) * 10000) AS BIGINT) AS lp_q
+        |       FROM tk JOIN u USING (word), tot GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.lang, lp.lp_q FROM documents d JOIN lp USING (doc_id)),
+        |hist AS (SELECT lang, lp_q, count(*) AS cnt FROM sc GROUP BY 1, 2),
+        |cdf AS (SELECT lang, lp_q,
+        |               sum(cnt) OVER (PARTITION BY lang ORDER BY lp_q) AS cum,
+        |               sum(cnt) OVER (PARTITION BY lang) AS n
+        |        FROM hist),
+        |cuts AS (SELECT lang,
+        |                min(CASE WHEN cum * 3 >= n THEN lp_q END) AS t1,
+        |                min(CASE WHEN cum * 3 >= n * 2 THEN lp_q END) AS t2
+        |         FROM cdf GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.lp_q,
+        |       CASE WHEN s.lp_q <= c.t1 THEN 'tail'
+        |            WHEN s.lp_q <= c.t2 THEN 'middle'
+        |            ELSE 'head' END AS bucket
+        |FROM sc s JOIN cuts c USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    // corpus datasheet card — keep in sync with Curation.corpusCard;
+    // the near-dup pair count replays the candidate CTEs the card
+    // reads from the build-once index
+    "pipeline_corpus_card" ->
+      s"""WITH $minhashCandCtes,
+         |$docQualityCte,
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_content
+         |         FROM documents),
+         |voc AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_vocab
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |        WHERE length(word) > 0),
+         |mq AS (SELECT CAST(sum(CAST(round(quality * 10000) AS BIGINT)) // count(*) AS BIGINT)
+         |                AS mean_quality_q FROM q),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs FROM cand)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'n_vocab', n_vocab FROM voc
+         |  UNION ALL SELECT 'n_langs', n_langs FROM base
+         |  UNION ALL SELECT 'n_sources', n_sources FROM base
+         |  UNION ALL SELECT 'n_distinct_content', n_distinct_content FROM base
+         |  UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_content FROM base
+         |  UNION ALL SELECT 'n_neardup_pairs', n_neardup_pairs FROM np
+         |  UNION ALL SELECT 'mean_quality_q', mean_quality_q FROM mq)
+         |ORDER BY metric""".stripMargin,
     // cluster-representative split — the dedup_components closure with
     // holdoutSplit's byte thresholds keyed on the representative; keep
     // in sync with Curation.leakFreeSplit (232/12/12 of 256ths)
@@ -1585,31 +1694,10 @@ object PipelineQueries extends QueryPack {
     // Unrolled fixed-iteration spherical k-means (seeded md5 init,
     // integer centroid sums, assignment argmax with score DESC / cell
     // ASC tie-break) — keep in sync with Similarity.kmeansCentroids.
-    "sim_ivf_kmeans" -> {
-      s"""WITH qv AS ($QV2),
-         |$kmeansCtes,
-         |probes0 AS (SELECT vec_id AS probe_id, qd AS pq, n2 AS pn2
-         |            FROM asg WHERE vec_id < 10),
-         |pcells AS (
-         |  SELECT probe_id, cell, pq, pn2 FROM (
-         |    SELECT p.probe_id, c.cell, p.pq, p.pn2,
-         |           row_number() OVER (PARTITION BY p.probe_id
-         |             ORDER BY list_dot_product(p.pq, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
-         |                      c.cell) AS crank
-         |    FROM probes0 p CROSS JOIN cent2 c)
-         |  WHERE crank <= ${Similarity.KmeansNprobe}),
-         |scored AS (
-         |  SELECT pc.probe_id, a.vec_id,
-         |         list_dot_product(pc.pq, a.qd)
-         |           / (sqrt(CAST(pc.pn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
-         |  FROM pcells pc JOIN asg a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
-         |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
-         |       CAST(rn AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |                                   ORDER BY cos DESC, vec_id) AS rn
-         |      FROM scored)
-         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+    "sim_ivf_kmeans" -> ivfKmeansOracleSql,
+    // serve-path variant: identical rows (deterministic build), same
+    // unrolled-training oracle
+    "sim_ivf_serve" -> ivfKmeansOracleSql,
     "sim_centroids" ->
       s"""WITH qv AS ($QV),
          |pe AS (SELECT label, unnest(q) AS qi,

@@ -566,6 +566,10 @@ object Similarity {
     .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
   private val ivfPqCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private val ivfKmCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private val annPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   def pqIndexCached(emb: DataFrame, tag: String): (DataFrame, DataFrame) =
     pqCache.getOrElseUpdate((emb.sparkSession, tag), pqIndex(emb))
@@ -573,9 +577,36 @@ object Similarity {
   def ivfPqIndexCached(emb: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) =
     ivfPqCache.getOrElseUpdate((emb.sparkSession, tag), ivfPqIndex(emb))
 
+  /** K-means IVF index as a build-once pair (cell assignment table,
+    * localized centroid table) — the serve path behind sim_ivf_serve:
+    * Lloyd training runs once per corpus, every multi-probe top-k
+    * after that reads the checkpointed assignment. */
+  def ivfKmeansIndex(emb: DataFrame): (DataFrame, DataFrame) = {
+    val qv = quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = kmeansCentroidsFrom(qv)
+      (Dedup.retain(assignCells(qv, cent).localCheckpoint(true)), cent)
+    } finally qv.unpersist(false)
+  }
+
+  def ivfKmeansIndexCached(emb: DataFrame, tag: String): (DataFrame, DataFrame) =
+    ivfKmCache.getOrElseUpdate((emb.sparkSession, tag), ivfKmeansIndex(emb))
+
+  /** The ANN candidate-pair table as a build-once artifact (default
+    * threshold/families): consumed by the embedding dedup family and
+    * similarity centrality the way [[Dedup.nearDupIndex]].pairs is by
+    * the text plane — the banded self-join runs once per corpus,
+    * every reader prices as a read. */
+  def annPairsCached(emb: DataFrame, tag: String): DataFrame =
+    annPairsCache.getOrElseUpdate((emb.sparkSession, tag),
+      Dedup.retain(annPairs(emb).localCheckpoint(true)))
+
   private[pipeline] def clearIndexCaches(): Unit = {
     pqCache.clear()
     ivfPqCache.clear()
+    ivfKmCache.clear()
+    annPairsCache.clear()
   }
 
   /** ADC top-k served from a prebuilt [[pqIndex]]: probes re-quantize

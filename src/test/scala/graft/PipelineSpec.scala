@@ -338,6 +338,88 @@ class PipelineSpec extends SparkSpec {
     Dedup.freeRetained()
   }
 
+  test("annPairs/ivfKmeans caches: serve rows identical to train-inline; pagerank and embedding dedup read them") {
+    import graft.pipeline.Graph
+    val e = Tables.embeddings(spark, sf0001)
+    val d = docs
+    Dedup.freeRetained()
+    val pairs = Similarity.annPairsCached(e, "specTag")
+    assert(Similarity.annPairsCached(e, "specTag") eq pairs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(Dedup.embeddingNearDupsFromPairs(d, pairs)) ==
+      rows(Dedup.embeddingNearDups(d, e)))
+    assert(rows(Graph.similarityCentralityFromPairs(e, pairs)) ==
+      rows(Graph.similarityCentrality(e)))
+    val (assign, cent) = Similarity.ivfKmeansIndexCached(e, "specTag")
+    assert(Similarity.ivfKmeansIndexCached(e, "specTag")._1 eq assign)
+    assert(rows(Similarity.ivfTopKNprobe(assign, cent, 0L to 9L, 5, Similarity.KmeansNprobe)) ==
+      rows(Similarity.ivfTopKKmeans(e, 0L to 9L, 5)))
+    Dedup.freeRetained()
+    assert(!(Similarity.annPairsCached(e, "specTag") eq pairs),
+      "freeRetained must invalidate the annPairs cache entry")
+    Dedup.freeRetained()
+  }
+
+  test("nearDupIndex round-trips through parquet: reloaded artifact serves identical consumer rows") {
+    val d = planted
+    val idx = Dedup.nearDupIndex(d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
+    idx.pairs.write.parquet(s"$dir/pairs")
+    idx.clusters.write.parquet(s"$dir/clusters")
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    val clusters = spark.read.parquet(s"$dir/clusters")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(Dedup.clusterSizesFromIndex(d, clusters)) == rows(Dedup.clusterSizes(d)))
+    assert(rows(Curation.keepBestFromIndex(d, clusters)) == rows(Curation.keepBest(d)))
+    assert(rows(Dedup.sourceOverlapFromIndex(d, pairs)) == rows(Dedup.sourceOverlap(d)))
+    Dedup.freeRetained()
+  }
+
+  test("ccnetBuckets: per-language terciles split 6 distinct scores 2/2/2, head outscores tail") {
+    // frequency ladder: 'a' dominates the corpus, so docs with more
+    // 'a' mass have higher mean unigram log-prob
+    val d = (1 to 6).map { i =>
+      val toks = Seq.fill(6 - i)("a") ++ (1 to i).map(j => s"r${i}_$j")
+      (i.toLong, toks.mkString(" "), "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.ccnetBuckets(d)
+      .as[(Long, String, Long, String)].collect().map(x => x._1 -> (x._3, x._4)).toMap
+    assert(r.size == 6)
+    val byBucket = r.values.groupBy(_._2).view.mapValues(_.map(_._1).toSeq.sorted).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket.toString)
+    assert(byBucket.values.forall(_.size == 2), byBucket.toString)
+    assert(byBucket("head").min > byBucket("middle").max, byBucket.toString)
+    assert(byBucket("middle").min > byBucket("tail").max, byBucket.toString)
+    // a single-doc language is all tail (nearest-rank: cum*3 >= n at
+    // its only score)
+    val solo = Curation.ccnetBuckets(
+      Seq((1L, "only doc here", "fr", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, String, Long, String)].collect()
+    assert(solo.map(_._4).toSeq == Seq("tail"))
+  }
+
+  test("corpusCard: hand-checked datasheet metrics, near-dup count reads the passed pair table") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 1L),
+      (2L, "alpha beta gamma", "en", "s2", 1L), // exact dup of 1
+      (3L, "delta epsilon", "de", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val card = Curation.corpusCard(d, pairs).as[(String, Long)].collect().toMap
+    assert(card("n_docs") == 3L)
+    assert(card("n_tokens") == 8L)
+    assert(card("n_vocab") == 5L)
+    assert(card("n_langs") == 2L)
+    assert(card("n_sources") == 2L)
+    assert(card("n_distinct_content") == 2L)
+    assert(card("n_exact_dup_docs") == 1L)
+    assert(card("n_neardup_pairs") == 3L)
+    val expectedQ = TextAnalysis.quality(d)
+      .agg((sum(round(col("quality") * 10000).cast("long")) / count(lit(1))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(card("mean_quality_q") == expectedQ)
+  }
+
   test("epochShuffle shard count derives from corpus tokens, power-of-two rounded") {
     val T = Curation.TargetTokensPerBucket
     assert(Curation.autoShardsFor(0L) == 8)

@@ -220,7 +220,7 @@ class PlanSpec extends SparkSpec {
     // ~N²/2^bits at corpus scale; the cap must be the same two-phase
     // groupBy.count blacklist the text-plane bands use — skew-safe
     // (partial aggregation) and applied BEFORE the self-join shuffle
-    Seq("sim_ann_pairs", "dedup_embedding").foreach { q =>
+    Seq("sim_ann_pairs").foreach { q =>
       val p = plan(q)
       val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
       assert(windows.isEmpty, s"$q counts buckets with a window over the skewed key:\n$p")
@@ -233,6 +233,21 @@ class PlanSpec extends SparkSpec {
       assert(df.queryExecution.optimizedPlan.toString.contains(pipeline.Dedup.MaxBandBucket.toString),
         s"$q: MaxBandBucket cap vanished from the optimized plan")
     }
+    // dedup_embedding now SERVES from the build-once ANN pair table:
+    // its plan must read the checkpointed artifact (ExistingRDD) plus
+    // the two id-restriction semi-joins — the banding blacklist lives
+    // in the sim_ann_pairs build plan pinned above, not here
+    val dfServe = SparkEntry.queries("dedup_embedding")(spark, sf0001)
+    val serveLogical = dfServe.queryExecution.optimizedPlan
+    val rdds = serveLogical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rdds.nonEmpty, s"dedup_embedding must read the cached pair table:\n$serveLogical")
+    val semis = serveLogical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 2, s"dedup_embedding: expected 2 id semi-joins:\n$serveLogical")
   }
 
   test("round-7 query plans: no stray windows, no cartesian blowups, broadcast where bounded") {
