@@ -127,6 +127,29 @@ object Curation {
         round(least(lit(1.0), lit(budgetTokens.toDouble) * w / col("n_tokens")), 6).as("rate"))
   }
 
+  /** EXECUTE the temperature mixture: deterministic per-language
+    * sampling at [[temperatureMixture]]'s computed rate — the step
+    * that turns the mixture TABLE into the mixture CORPUS. Each doc
+    * keys on 48 md5 bits mod 1e6 (micro-rate resolution, the
+    * [[stratifiedSample]] reproducibility contract at finer grain) and
+    * survives iff bucket_q < round(rate·1e6); languages at rate 1 keep
+    * everything. Pure function of (doc_id, corpus stats): re-runs,
+    * retries and engines agree. Shape: the rate table is
+    * languages-sized (broadcast); the filter is map-side; the only
+    * corpus passes are the mixture's one aggregate and this scan.
+    * Output: (doc_id, lang, bucket_q, rate_q). */
+  def mixtureSample(docs: DataFrame, alpha: Double = 0.5,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val rates = temperatureMixture(docs, alpha, budgetTokens)
+      .select(col("lang"), round(col("rate") * 1000000).cast("long").as("rate_q"))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long") % 1000000L).as("bucket_q")
+    docs.select(col("doc_id"), col("lang"), bucket)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket_q") < col("rate_q"))
+      .select(col("doc_id"), col("lang"), col("bucket_q"), col("rate_q"))
+  }
+
   /** Sequence packing for training-batch construction: documents are
     * concatenated in a deterministic order and chunked into fixed
     * `packLen`-token packs (the GPT-style pack-then-chunk layout); a

@@ -561,6 +561,7 @@ object Dedup {
     // recomputed, so the cache entries must go with the blocks
     indexCache.clear()
     Similarity.clearIndexCaches()
+    TextAnalysis.clearCaches()
     retainedCps.foreach(_.get.foreach(_.unpersist(false)))
     retainedCps.clear()
   }

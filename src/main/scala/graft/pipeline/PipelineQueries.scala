@@ -85,6 +85,15 @@ object PipelineQueries extends QueryPack {
     // alpha=0.5 temperature mixture over languages, 100k-token budget
     "pipeline_mixture" -> ((s, d) =>
       Curation.temperatureMixture(docs(s, d)).orderBy("lang")),
+    // the mixture EXECUTED: deterministic micro-rate sampling at the
+    // computed per-language rates
+    "pipeline_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(docs(s, d)).orderBy("doc_id")),
+    // per-source embedding-centroid cosine matrix (semantic source
+    // similarity — the complement of dedup_source_overlap)
+    "emb_source_sim" -> ((s, d) =>
+      Similarity.sourceCentroidSim(docs(s, d), emb(s, d))
+        .orderBy("source_a", "source_b")),
     // keep-best-of-cluster: near-dup clusters keep their highest-
     // quality member, solitary docs keep themselves — served from the
     // build-once cluster map
@@ -111,10 +120,13 @@ object PipelineQueries extends QueryPack {
     // running-offset window is partitioned by bucket (no global sort)
     "pipeline_pack" -> ((s, d) => Curation.packSequences(docs(s, d)).orderBy("doc_id")),
     // tokenizer-true packing: the BPE-trained subword counts drive the
-    // layout (training budgets are model tokens, not whitespace words)
+    // layout (training budgets are model tokens, not whitespace
+    // words); reads the session-cached tokenizer artifact — the merge
+    // loop trains once per corpus, text_bpe_apply keeps the inline
+    // build its unrolled oracle replays
     "pipeline_pack_bpe" -> ((s, d) =>
       Curation.packSequencesBy(
-        TextAnalysis.bpeApply(docs(s, d), 3)
+        TextAnalysis.bpeApplyCached(docs(s, d), d, 3)
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
         .orderBy("doc_id")),
     // deterministic train/val/test assignment (pure function of
@@ -904,6 +916,47 @@ object PipelineQueries extends QueryPack {
         |       CAST(round(100000.0 * sqrt(n_tokens) / z) AS BIGINT) AS target_tokens,
         |       round(least(1.0, 100000.0 * sqrt(n_tokens) / z / n_tokens), 6) AS rate
         |FROM l, z ORDER BY lang""".stripMargin,
+    // the mixture executed — same rate arithmetic as pipeline_mixture
+    // (6-dec round, then micro-rate), 48-bit md5 bucket mod 1e6; keep
+    // in sync with Curation.mixtureSample
+    "pipeline_mixture_sample" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      val hash48 = (0 until 12)
+        .map(i => s"${nib(i + 1)} * ${1L << (4 * (11 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH l AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY lang),
+         |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM l),
+         |r AS (SELECT lang,
+         |             CAST(round(round(least(1.0, 100000.0 * sqrt(n_tokens) / z / n_tokens), 6)
+         |                        * 1000000) AS BIGINT) AS rate_q
+         |      FROM l, z)
+         |SELECT d.doc_id, d.lang, $hash48 % 1000000 AS bucket_q, r.rate_q
+         |FROM documents d JOIN r USING (lang)
+         |WHERE $hash48 % 1000000 < r.rate_q
+         |ORDER BY doc_id""".stripMargin
+    },
+    // per-source centroid cosine — sign-safe integer means (CASE spells
+    // truncation-toward-zero so // matches Spark's div on negatives);
+    // keep in sync with Similarity.sourceCentroidSim
+    "emb_source_sim" ->
+      s"""WITH qv AS ($QV),
+         |src AS (SELECT v.vec_id, d.source, v.q
+         |        FROM qv v JOIN documents d ON d.doc_id = v.vec_id),
+         |pe AS (SELECT source, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM src),
+         |cent AS (SELECT source, pos,
+         |                CAST(CASE WHEN sum(qi) >= 0 THEN sum(qi) // count(*)
+         |                          ELSE -((-sum(qi)) // count(*)) END AS BIGINT) AS c
+         |         FROM pe GROUP BY 1, 2),
+         |cv AS (SELECT source, list(CAST(c AS DOUBLE) ORDER BY pos) AS v,
+         |              CAST(sum(c * c) AS BIGINT) AS n2
+         |       FROM cent GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       round(list_dot_product(a.v, b.v)
+         |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cos_sim
+         |FROM cv a JOIN cv b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin,
     // Transitive closure of the candidate graph via recursive CTE
     // (pairs are few post-LSH; the closure is exact), then
     // component rep = min reachable doc — keep in sync with

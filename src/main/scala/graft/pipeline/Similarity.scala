@@ -731,6 +731,40 @@ object Similarity {
         round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
   }
 
+  /** Per-source embedding centroids + the source-pair cosine matrix —
+    * "which sources are semantically similar": the semantic complement
+    * of [[Dedup.sourceOverlap]]'s near-dup mirror detection (two feeds
+    * can share no near-dup pair yet cover the same topic space).
+    * Centroids are sign-safe integer MEANS of the quantized vectors
+    * (truncation-toward-zero spelled explicitly so Spark's `div` and
+    * DuckDB's `//` agree on negative sums; a mean, not a sum, so
+    * per-component magnitude stays within the quantization range and
+    * the dot product cannot overflow a long no matter how many docs a
+    * source has). The pair matrix is a cross-join of ≤ |sources|
+    * centroid rows — bounded. Output: (source_a, source_b, cos_sim
+    * 6-dec). */
+  def sourceCentroidSim(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = quantized(emb)
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    val cent = qv
+      .select(col("source"), posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy("source", "pos").agg(sum("qi").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        when(col("s") >= 0, expr("s div n")).otherwise(-expr("(-s) div n")))
+      .groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        _.getField("c")).as("cv"))
+      .withColumn("cn2", dot(spark, col("cv"), col("cv")))
+    val a = cent.select(col("source").as("source_a"), col("cv").as("va"), col("cn2").as("n2a"))
+    val b = cent.select(col("source").as("source_b"), col("cv").as("vb"), col("cn2").as("n2b"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(dot(spark, col("va"), col("vb")).cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+          .as("cos_sim"))
+  }
+
   /** Centroid per label class — a k-means-E-step-shaped aggregation
     * (element-wise mean over array column via posexplode). Output is
     * SCALAR rows (label, pos, c): one row per centroid component, so

@@ -398,6 +398,40 @@ class PipelineSpec extends SparkSpec {
     assert(solo.map(_._4).toSeq == Seq("tail"))
   }
 
+  test("mixtureSample: rate-1 languages keep everything; kept docs satisfy bucket < rate; deterministic") {
+    // tiny corpus => budget 100k >> tokens => every language rate 1.0
+    // => rate_q 1e6 => all docs survive
+    val all = Curation.mixtureSample(planted).collect()
+    assert(all.length == planted.count())
+    // tight budget: survivors are exactly the bucket < rate_q set, and
+    // a re-run picks the same docs
+    val d = (1L to 40L).map(i => (i, s"w$i " * 10, if (i % 2 == 0) "en" else "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = Curation.mixtureSample(d, budgetTokens = 100L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val r2 = Curation.mixtureSample(d, budgetTokens = 100L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq, "mixture sampling must be deterministic")
+    assert(r1.nonEmpty && r1.length < 40, s"tight budget must subsample, kept ${r1.length}")
+    assert(r1.forall { case (_, _, b, rq) => b < rq })
+  }
+
+  test("sourceCentroidSim: identical sources score 1, opposite sources score -1") {
+    val e = Seq(
+      (1L, 0L, Array(1.0f, 0.0f)), (2L, 0L, Array(1.0f, 0.0f)),   // srcA ~ +x
+      (3L, 0L, Array(-1.0f, 0.0f)), (4L, 0L, Array(-1.0f, 0.0f)), // srcB ~ -x
+      (5L, 0L, Array(1.0f, 0.0f)))                                 // srcC ~ +x
+      .toDF("vec_id", "label", "embedding")
+    val d = Seq((1L, "srcA"), (2L, "srcA"), (3L, "srcB"), (4L, "srcB"), (5L, "srcC"))
+      .map { case (id, s) => (id, "t", "en", s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Similarity.sourceCentroidSim(d, e)
+      .as[(String, String, Double)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(r(("srcA", "srcC")) == 1.0, r.toString)
+    assert(r(("srcA", "srcB")) == -1.0, r.toString)
+    assert(r(("srcB", "srcC")) == -1.0, r.toString)
+  }
+
   test("corpusCard: hand-checked datasheet metrics, near-dup count reads the passed pair table") {
     val d = Seq(
       (1L, "alpha beta gamma", "en", "s1", 1L),
@@ -418,6 +452,19 @@ class PipelineSpec extends SparkSpec {
       .agg((sum(round(col("quality") * 10000).cast("long")) / count(lit(1))).cast("long"))
       .collect()(0).getLong(0)
     assert(card("mean_quality_q") == expectedQ)
+  }
+
+  test("bpeApplyCached: tokenizer artifact is build-once; rows identical to the inline train") {
+    Dedup.freeRetained()
+    val c1 = TextAnalysis.bpeApplyCached(planted, "specTag", 2)
+    assert(TextAnalysis.bpeApplyCached(planted, "specTag", 2) eq c1,
+      "second call must hit the session cache, not retrain")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(c1) == rows(TextAnalysis.bpeApply(planted, 2)))
+    Dedup.freeRetained()
+    assert(!(TextAnalysis.bpeApplyCached(planted, "specTag", 2) eq c1),
+      "freeRetained must invalidate the tokenizer cache entry")
+    Dedup.freeRetained()
   }
 
   test("epochShuffle shard count derives from corpus tokens, power-of-two rounded") {
@@ -556,6 +603,24 @@ class PipelineSpec extends SparkSpec {
     // docs 1 and 2 have no 3-gram shingles: no signature rows, no crash
     assert(sigs.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
     assert(Dedup.minhashCandidates(short).collect().isEmpty)
+  }
+
+  test("eventTime/eventMicros are schema-adaptive: ns-long and native-timestamp encodings agree") {
+    // one instant, two encodings: ns-since-epoch long (legacy
+    // nanosAsLong lake) vs TIMESTAMP_NTZ (current testdata); the time
+    // plane must produce identical micros and timestamps from both
+    val micros = 1696154096123456L
+    val asLong = Seq(micros * 1000 + 789).toDF("ts") // sub-us residue truncates
+    val asTs = spark.sql(s"SELECT timestamp_micros(${micros}L) AS ts")
+      .select(col("ts").cast("timestamp_ntz").as("ts"))
+    assert(asTs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val mLong = asLong.select(Tables.eventMicros(asLong).as("m")).as[Long].head()
+    val mTs = asTs.select(Tables.eventMicros(asTs).as("m")).as[Long].head()
+    assert(mLong == micros && mTs == micros, s"$mLong / $mTs != $micros")
+    val tLong = asLong.select(Tables.eventTime(asLong).cast("string")).as[String].head()
+    val tTs = asTs.select(Tables.eventTime(asTs).cast("string")).as[String].head()
+    assert(tLong == tTs, s"$tLong != $tTs")
   }
 
   test("eventTime truncates ns->us exactly at double-precision-hostile boundaries") {
