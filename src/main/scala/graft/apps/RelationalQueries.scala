@@ -27,6 +27,45 @@ import org.apache.spark.sql.functions._
 object RelationalQueries extends QueryPack {
 
   private val SESSION_GAP_US = 1800000000L // 30 min in microseconds
+  val FUNNEL_WINDOW_US = 259200000000L // 72 h per-stage conversion window
+
+  /** The ev_funnel core over (user_id, event_type, tsu) rows:
+    * min-forward stage chain (each stage the first qualifying event
+    * strictly after the previous stage, within the 72 h window) —
+    * four chained unbounded windows on ONE user_id partitioning, the
+    * per-user groupBy reuses it, and only the 4-row funnel sees the
+    * constant-partition conversion-rate window. */
+  def funnel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "signup", col("tsu"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" &&
+        col("tsu") > col("t1") && col("tsu") <= col("t1") + FUNNEL_WINDOW_US, col("tsu"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "click" &&
+        col("tsu") > col("t2") && col("tsu") <= col("t2") + FUNNEL_WINDOW_US, col("tsu"))).over(w))
+      .withColumn("t4", min(when(col("event_type") === "purchase" &&
+        col("tsu") > col("t3") && col("tsu") <= col("t3") + FUNNEL_WINDOW_US, col("tsu"))).over(w))
+    val users = staged
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"), max("t4").as("t4"))
+    val stages = users.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+      count(col("t3")).as("n3"), count(col("t4")).as("n4"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("signup").as("event_type"), col("n1").as("n_users")),
+        struct(lit(2).as("stage"), lit("view").as("event_type"), col("n2").as("n_users")),
+        struct(lit(3).as("stage"), lit("click").as("event_type"), col("n3").as("n_users")),
+        struct(lit(4).as("stage"), lit("purchase").as("event_type"), col("n4").as("n_users")))).as("f"))
+      .select(col("f.stage"), col("f.event_type"), col("f.n_users"))
+    val wS = Window.partitionBy(lit(0)).orderBy("stage")
+    stages
+      .withColumn("prev", coalesce(lag("n_users", 1).over(wS), col("n_users")))
+      .withColumn("conv_bp",
+        when(col("prev") === 0, lit(0L))
+          .otherwise(expr("n_users * 10000 div prev")))
+      .select(col("stage"), col("event_type"), col("n_users"), col("conv_bp"))
+      .orderBy("stage")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: full-scan aggregate, 4 groups.
@@ -212,6 +251,39 @@ object RelationalQueries extends QueryPack {
         .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
         .orderBy("w_start", "event_type")
     },
+    // Ordered conversion funnel signup -> view -> click -> purchase:
+    // each stage's timestamp is the user's first qualifying event
+    // STRICTLY AFTER the previous stage and within the 72 h conversion
+    // window (min-forward chain — without the window every long-lived
+    // user trivially completes the funnel). Four
+    // chained unbounded windows share ONE user_id partitioning (a
+    // single shuffle; Catalyst stacks the Window ops), then the
+    // groupBy(user_id) reuses that partitioning. Only the 4-row funnel
+    // itself sees the constant-partition lag window for conversion
+    // rates — intentional, bounded. Integer basis-point conversion so
+    // the oracle replays exactly.
+    "ev_funnel" -> { (s, dir) =>
+      val evRaw = Tables.events(s, dir)
+      funnel(evRaw.select(col("user_id"), col("event_type"),
+        Tables.eventMicros(evRaw).as("tsu")))
+    },
+    // Cohort retention matrix: cohort = first active DAY per user,
+    // n_active = distinct users of that cohort active in week-offset
+    // wk. distinct(user, day) -> min-day cohort -> same-key join ->
+    // two-phase distinct count; every stage partitions on user_id or
+    // the bounded (cohort, wk) grid (<= days x weeks rows).
+    "ev_retention" -> { (s, dir) =>
+      val evRaw = Tables.events(s, dir)
+      val days = evRaw
+        .select(col("user_id"), to_date(Tables.eventTime(evRaw)).as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohorts, "user_id")
+        .withColumn("wk", expr("datediff(day, cohort) div 7").cast("int"))
+        .groupBy("cohort", "wk")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "wk")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -336,6 +408,45 @@ object RelationalQueries extends QueryPack {
         |FROM events
         |GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    // min-forward funnel chain: each CTE carries the previous stage's
+    // time so "strictly after" is a plain filter inside min(CASE...)
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |u1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tsu END) AS t1
+        |       FROM e GROUP BY user_id),
+        |u2 AS (SELECT u1.user_id, u1.t1,
+        |              min(CASE WHEN e.event_type = 'view' AND e.tsu > u1.t1
+        |                        AND e.tsu <= u1.t1 + 259200000000 THEN e.tsu END) AS t2
+        |       FROM u1 JOIN e USING (user_id) GROUP BY u1.user_id, u1.t1),
+        |u3 AS (SELECT u2.user_id, u2.t1, u2.t2,
+        |              min(CASE WHEN e.event_type = 'click' AND e.tsu > u2.t2
+        |                        AND e.tsu <= u2.t2 + 259200000000 THEN e.tsu END) AS t3
+        |       FROM u2 JOIN e USING (user_id) GROUP BY u2.user_id, u2.t1, u2.t2),
+        |u4 AS (SELECT u3.user_id, u3.t1, u3.t2, u3.t3,
+        |              min(CASE WHEN e.event_type = 'purchase' AND e.tsu > u3.t3
+        |                        AND e.tsu <= u3.t3 + 259200000000 THEN e.tsu END) AS t4
+        |       FROM u3 JOIN e USING (user_id) GROUP BY u3.user_id, u3.t1, u3.t2, u3.t3),
+        |f AS (
+        |  SELECT 1 AS stage, 'signup' AS event_type, count(t1) AS n_users FROM u4
+        |  UNION ALL SELECT 2, 'view', count(t2) FROM u4
+        |  UNION ALL SELECT 3, 'click', count(t3) FROM u4
+        |  UNION ALL SELECT 4, 'purchase', count(t4) FROM u4),
+        |g AS (SELECT stage, event_type, n_users,
+        |             coalesce(lag(n_users) OVER (ORDER BY stage), n_users) AS prev
+        |      FROM f)
+        |SELECT CAST(stage AS INTEGER) AS stage, event_type,
+        |       CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(CASE WHEN prev = 0 THEN 0 ELSE n_users * 10000 // prev END AS BIGINT) AS conv_bp
+        |FROM g ORDER BY stage""".stripMargin,
+    "ev_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT c.cohort, CAST(date_diff('day', c.cohort, d.day) // 7 AS INTEGER) AS wk,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY c.cohort, wk
+        |ORDER BY c.cohort, wk""".stripMargin,
     "ev_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,

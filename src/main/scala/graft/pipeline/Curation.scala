@@ -36,6 +36,39 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }
 
+  /** Weighted PRIORITY SAMPLE (Duffield, Lund & Thorup, JACM 2007):
+    * doc i gets priority q_i = w_i / u_i for weight w_i = n_chars and
+    * uniform u_i; the sample is the k highest priorities and the
+    * subset-sum estimator weight is max(w_i, tau) with tau the
+    * (k+1)-th priority — unbiased for any subset-sum query over the
+    * corpus, the sketch a 100 TB lake answers "how many bytes does
+    * source X hold" from without a full scan. All arithmetic exact:
+    * u_i = (h48+1)/2^48 for 48 md5 bits, so q_i = w_i * 2^48 div
+    * (h48+1) is a pure long (w * 2^48 < 2^63 for any doc under 32k
+    * chars) and every engine replays the same sample. Top-(k+1) is a
+    * distributed TakeOrdered (never a global sort); only the k+1
+    * survivors see the constant-partition rank window; tau rides a
+    * 1-row broadcast. */
+  def prioritySample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"))
+      .withColumn("h48",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("priority", expr(s"weight * ${1L << 48} div (h48 + 1)"))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(k + 1)
+    val tau = top.agg(min("priority").as("tau"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(desc("priority"), asc("doc_id"))
+    top
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_w", greatest(col("weight"), col("tau")))
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("priority"), col("rank"), col("est_w"))
+  }
+
   /** Deterministic stratified sampling for training-mix construction:
     * each doc lands in one of 64 hash buckets (first byte of
     * md5(doc_id), mod a power of two — unbiased over the 256 byte

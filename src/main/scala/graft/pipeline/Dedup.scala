@@ -408,6 +408,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowing-based near-dup pairs (MOSS similarity — Schleimer et
+    * al. SIGMOD 2003 §4): docs sharing >= `minShared` WINNOWED
+    * fingerprints ([[TextAnalysis.winnowFingerprints]]). Differs from
+    * minhash-LSH and jaccardPairs in what it detects: winnowing
+    * samples the POSITION space, so a shared fingerprint certifies a
+    * verbatim run of >= w + k - 1 tokens — partial plagiarism /
+    * quotation, not whole-doc set similarity. The candidate join is
+    * bounded the standard two ways: fingerprints held by more than
+    * `maxDf` docs leave via the partial-aggregating over-cap blacklist
+    * + broadcast anti-join (boilerplate runs are reported by span
+    * dedup, not pairwise), and the per-pair shared count is an
+    * aggregate of the (capped) fp-equality join. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 3, maxDf: Long = MaxShingleDf): DataFrame = {
+    log.info(s"winnowPairs: fingerprints held by > $maxDf docs are removed from " +
+      "the candidate join (bounded d^2 blowup); ultra-common verbatim runs are " +
+      "boilerplate — span dedup's territory, not pairwise")
+    val fps = TextAnalysis.winnowFingerprints(docs, k, w)
+    val overCap = fps
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val kept = fps.join(broadcast(overCap), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over near-dup PAIRS — the clustering step
     * between pairwise candidate generation and keep-one-per-cluster
     * curation (pairs alone under-count: {A~B, B~C} is ONE cluster of

@@ -111,6 +111,15 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id", "probe_id")
     }),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    // per-doc winnowing fingerprint selection (Schleimer 2003) —
+    // density should track the 2/(w+1) bound
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowSummary(docs(s, d)).orderBy("doc_id")),
+    // MOSS-style near-dup pairs by shared winnowed fingerprints —
+    // position-space sampling, catches partial verbatim overlap
+    "dedup_winnow" -> ((s, d) => Dedup.winnowPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // weighted priority sample (Duffield-Lund-Thorup) with the
+    // subset-sum estimator threshold
+    "pipeline_reservoir" -> ((s, d) => Curation.prioritySample(docs(s, d)).orderBy("rank")),
     // training-mix rates in 64ths: heavy en, medium de/fr/es, light zh
     "pipeline_sample" -> ((s, d) =>
       Curation.stratifiedSample(docs(s, d),
@@ -221,6 +230,8 @@ object PipelineQueries extends QueryPack {
     // scan touches no raw vector (the 100 TB in-RAM index shape)
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
+    // recall@5 of the cell-routed IVF path vs exact brute force
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(emb(s, d), 0L to 9L, 5).orderBy("probe_id")),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     // k-means IVF serve path: multi-probe top-k against the session-
     // cached assignment + centroid artifact (Lloyd runs once per
@@ -370,6 +381,19 @@ object PipelineQueries extends QueryPack {
        |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS pos
        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
        |      WHERE len(toks) >= $k)""".stripMargin
+
+  /** Winnowed fingerprint set (doc_id, fp) — keep in sync with
+    * TextAnalysis.winnowFingerprints: md5 per positional k-gram,
+    * length-w rows-frame min, full windows only, distinct. */
+  private def winnowFpsSql(k: Int, w: Int): String =
+    s"""SELECT DISTINCT doc_id, fp FROM (
+       |  SELECT doc_id, pos, n_pos,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM (SELECT doc_id, pos, md5(shingle) AS h,
+       |               count(*) OVER (PARTITION BY doc_id) AS n_pos
+       |        FROM (${positionalShinglesSql(k)})))
+       |WHERE pos <= n_pos - ${w - 1}""".stripMargin
 
   /** Distinct k-gram shingles of any (doc_id, text) relation. */
   private def shinglesSqlFrom(k: Int, rel: String): String =
@@ -1114,6 +1138,56 @@ object PipelineQueries extends QueryPack {
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
          |        FROM ($TOKS) WHERE len(toks) >= 3))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // winnowing summary — full-corpus coverage via the left joins;
+    // keep in sync with TextAnalysis.winnowSummary (k=5, w=4)
+    "text_winnowing" ->
+      s"""WITH fps AS (${winnowFpsSql(5, 4)}),
+         |grams AS (SELECT doc_id, count(*) AS n_grams
+         |          FROM (${positionalShinglesSql(5)}) GROUP BY doc_id),
+         |f AS (SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp
+         |      FROM fps GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(g.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(f.n_fps, 0) AS BIGINT) AS n_fps,
+         |       f.min_fp,
+         |       CAST(CASE WHEN coalesce(g.n_grams, 0) = 0 THEN 0
+         |                 ELSE coalesce(f.n_fps, 0) * 10000 // g.n_grams END AS BIGINT)
+         |         AS density_bp
+         |FROM documents d
+         |LEFT JOIN grams g USING (doc_id)
+         |LEFT JOIN f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // MOSS shared-fingerprint pairs — keep in sync with
+    // Dedup.winnowPairs (k=5, w=4, minShared=3, df cap)
+    "dedup_winnow" ->
+      s"""WITH fps AS (${winnowFpsSql(5, 4)}),
+         |kept AS (SELECT doc_id, fp FROM fps
+         |         WHERE fp NOT IN (
+         |           SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+         |           WHERE df > ${Dedup.MaxShingleDf}))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // priority sampling — keep in sync with Curation.prioritySample
+    // (k=100; tau = the 101st priority; est_w = max(weight, tau))
+    "pipeline_reservoir" -> {
+      s"""WITH k0 AS (SELECT doc_id, source, n_chars AS weight,
+         |                   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |p AS (SELECT doc_id, source, weight,
+         |             weight * ${1L << 48} // (${hex48Sql("hx")} + 1) AS priority
+         |      FROM k0),
+         |t AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+         |      FROM p QUALIFY rn <= 101),
+         |tau AS (SELECT min(priority) AS tau FROM t)
+         |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+         |       CAST(priority AS BIGINT) AS priority,
+         |       CAST(rn AS INTEGER) AS rank,
+         |       CAST(greatest(weight, tau.tau) AS BIGINT) AS est_w
+         |FROM t, tau WHERE rn <= 100 ORDER BY rank""".stripMargin
+    },
     // bucket = first md5 byte (two lowercase hex digits) mod 64 —
     // keep in sync with Curation.stratifiedSample
     "pipeline_sample" -> {
@@ -1744,6 +1818,53 @@ object PipelineQueries extends QueryPack {
          |                                   ORDER BY cos DESC, vec_id) AS rn
          |      FROM scored)
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // recall@5 audit: the sim_topk (exact) and sim_ivf_topk (cell-
+    // routed) CTE blocks joined per probe — keep in sync with both
+    "sim_ivf_recall" ->
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.vec_id AS probe_id, v.vec_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY list_dot_product(p.qd, v.qd)
+         |                        / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) DESC,
+         |                      v.vec_id) AS rn
+         |    FROM qd p JOIN qd v ON v.vec_id <> p.vec_id
+         |    WHERE p.vec_id < 10)
+         |  WHERE rn <= 5),
+         |pe AS (SELECT label, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
+         |cent AS (SELECT label, pos, CAST(SUM(qi) AS BIGINT) AS c FROM pe GROUP BY label, pos),
+         |centv AS (
+         |  SELECT label AS cell, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv,
+         |         CAST(SUM(c * c) AS BIGINT) AS cn2
+         |  FROM cent GROUP BY label),
+         |assign AS (
+         |  SELECT vec_id, cell, qd, n2 FROM (
+         |    SELECT v.vec_id, c.cell, v.qd, v.n2,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_dot_product(v.qd, c.cv) / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS rn
+         |    FROM qd v CROSS JOIN centv c)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, cell, qd AS pq, n2 AS pn2
+         |           FROM assign WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY list_dot_product(p.pq, a.qd)
+         |                        / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+         |                      a.vec_id) AS rn
+         |    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id)
+         |  WHERE rn <= 5)
+         |SELECT e.probe_id,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(count(*) AS BIGINT) AS k,
+         |       CAST(count(a.vec_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
     // Unrolled fixed-iteration spherical k-means (seeded md5 init,
     // integer centroid sums, assignment argmax with score DESC / cell
     // ASC tie-break) — keep in sync with Similarity.kmeansCentroids.

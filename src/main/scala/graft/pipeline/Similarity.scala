@@ -384,6 +384,29 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** Recall@k audit of the IVF serve path against exact brute force —
+    * the "measure, don't guess" dial for ANN (the [[Dedup.minhashError]]
+    * stance applied to the embedding plane): per probe, how many of the
+    * true top-k the cell-routed search returned. nprobe=1 IVF misses
+    * exactly the neighbors living outside the probe's cell, so this is
+    * the number that justifies (or refutes) a given nprobe before a
+    * 100 TB index is frozen. Both sides are the already-bounded plans
+    * (probes broadcast / cell-routed); the audit itself is a left join
+    * + aggregate over 2·|probes|·k rows. Integer basis-point recall so
+    * the oracle replays exactly. */
+  def ivfRecall(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    val exact = bruteTopK(emb, probeIds, k).select(col("probe_id"), col("neighbor_id"))
+    val approx = ivfTopK(emb, probeIds, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact
+      .join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"), count(lit(1)).as("k"))
+      .withColumn("recall_bp", expr("n_hits * 10000 div k"))
+      .select(col("probe_id"), col("n_hits"), col("k"), col("recall_bp"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with cos >= minCos
     * of each probe — the similarity-API complement of top-k (audits,
     * dedup sweeps, "everything close to X" retrieval, where the answer

@@ -577,6 +577,57 @@ object TextAnalysis {
         min(md5(col("shingle"))).as("fp"),
         count(lit(1)).cast("long").as("n_shingles"))
 
+  /** TRUE winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm; [[fingerprint]] is the
+    * degenerate one-window-per-doc form): every length-`w` window of
+    * consecutive positional k-gram hashes contributes its MINIMUM
+    * hash, and the doc's fingerprint set is the distinct selected
+    * values. The winnowing guarantee: any verbatim match of length >=
+    * w + k - 1 tokens between two docs shares at least one selected
+    * fingerprint, while only ~2/(w+1) of all hashes are stored — the
+    * position-robust sampling that plain every-nth or mod-p hash
+    * sampling lacks.
+    *
+    * Plan shape: the rows-frame min and the full-window guard count
+    * share ONE doc_id partitioning (doc-length-bounded window, the
+    * dedup_spans stance); selection is then a distinct. Docs with
+    * fewer than w full windows contribute no fingerprints (the
+    * guarantee needs w + k - 1 tokens). Output: (doc_id, fp). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    shingles(docs, k)
+      .select(col("doc_id"), col("pos"), md5(col("shingle")).as("h"))
+      .withColumn("n_pos", count(lit(1)).over(byDoc))
+      .withColumn("fp", min("h").over(frame))
+      .filter(col("pos") <= col("n_pos") - (w - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Per-doc winnowing summary: total k-gram positions, selected
+    * fingerprint count and the density the 2/(w+1) bound predicts —
+    * the storage dial a fingerprint index is sized by. Docs shorter
+    * than w + k - 1 tokens keep a row with n_fps = 0 (the left join),
+    * so the report covers the whole corpus. */
+  def winnowSummary(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = shingles(docs, k)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val fps = winnowFingerprints(docs, k, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fps"), min("fp").as("min_fp"))
+    docs.select("doc_id")
+      .join(grams, Seq("doc_id"), "left")
+      .join(fps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        col("min_fp"))
+      .withColumn("density_bp",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("n_fps * 10000 div n_grams")))
+  }
+
   /** Intra-document repetition score — the boilerplate/looped-text
     * detector (a doc whose k-grams repeat heavily is template output,
     * scraper residue, or a generation loop): rep_ratio = 1 −

@@ -1,0 +1,77 @@
+package graft
+
+import graft.apps.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Events-plane behavior: funnel stage semantics on hand-built event
+  * streams (ordering, strict-after, the 72 h conversion window) — the
+  * sf oracles only see the aggregate counts, not WHY a user dropped.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // 1 h in µs
+  private val W = RelationalQueries.FUNNEL_WINDOW_US
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "tsu")
+
+  private def counts(rows: (Long, String, Long)*): Map[Int, Long] =
+    RelationalQueries.funnel(ev(rows: _*))
+      .select("stage", "n_users").as[(Int, Long)].collect().toMap
+
+  test("funnel: completing user counts at every stage") {
+    val c = counts(
+      (1L, "signup", 0L), (1L, "view", H), (1L, "click", 2 * H), (1L, "purchase", 3 * H))
+    assert(c == Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("funnel: stage order is enforced — events before the previous stage don't count") {
+    // view happens BEFORE signup: user reaches stage 1 only
+    val c = counts(
+      (1L, "view", 0L), (1L, "signup", H), (1L, "click", 2 * H), (1L, "purchase", 3 * H))
+    assert(c(1) == 1L && c(2) == 0L && c(3) == 0L && c(4) == 0L, c.toString)
+  }
+
+  test("funnel: a same-timestamp event is not strictly after — excluded") {
+    val c = counts((1L, "signup", H), (1L, "view", H))
+    assert(c(1) == 1L && c(2) == 0L)
+  }
+
+  test("funnel: conversion window — a stage more than 72h later is out") {
+    val c = counts(
+      (1L, "signup", 0L), (1L, "view", W + 1L),
+      (2L, "signup", 0L), (2L, "view", W)) // exactly at the boundary: in
+    assert(c(1) == 2L && c(2) == 1L, c.toString)
+  }
+
+  test("funnel: min-forward picks the FIRST qualifying event per stage") {
+    // two views; the first one (in window) sets t2, so the click 1h
+    // after the second view still converts because it is after t2
+    val c = counts(
+      (1L, "signup", 0L), (1L, "view", H), (1L, "view", 10 * H),
+      (1L, "click", 11 * H))
+    assert(c(3) == 1L)
+    // conversely: if only the LATE view existed and the click came
+    // before it, no stage-3 conversion
+    val c2 = counts(
+      (2L, "signup", 0L), (2L, "view", 10 * H), (2L, "click", 5 * H))
+    assert(c2(3) == 0L)
+  }
+
+  test("funnel: conv_bp is stage-over-previous-stage in basis points") {
+    val rows = (1L to 4L).flatMap { u =>
+      // users 1-4 sign up; 1-2 view; 1 clicks
+      Seq((u, "signup", 0L)) ++
+        (if (u <= 2) Seq((u, "view", H)) else Nil) ++
+        (if (u <= 1) Seq((u, "click", 2 * H)) else Nil)
+    }
+    val r = RelationalQueries.funnel(rows.toDF("user_id", "event_type", "tsu"))
+      .select("stage", "n_users", "conv_bp").as[(Int, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1) == ((4L, 10000L)))
+    assert(r(2) == ((2L, 5000L))) // 2/4
+    assert(r(3) == ((1L, 5000L))) // 1/2
+    assert(r(4) == ((0L, 0L)))    // 0/1
+  }
+}

@@ -1369,6 +1369,94 @@ class PipelineSpec extends SparkSpec {
     assert(rk.forall(x => x._3 == 3L && x._4 == 10000L), rk.mkString(","))
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=5, w=4: guarantee threshold is 8 verbatim tokens
+    val run = (5 to 12).map(i => s"a$i") // 8 tokens of doc A
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 6).map(i => s"b$i") ++ run ++ (7 to 12).map(i => s"b$i")).mkString(" ")
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = Seq((1L, a, "en", "s", 1L), (2L, b, "en", "s", 1L), (3L, c, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextAnalysis.winnowFingerprints(d, k = 5, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "8-token verbatim run must share a winnowed fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs share no fingerprint")
+    // selection density: each selected value covers at most w windows
+    val nWindows = (20 - 5 + 1) - (4 - 1) // positions with a full window
+    assert(fps(1L).size >= nWindows / 4 && fps(1L).size <= nWindows)
+  }
+
+  test("winnowSummary covers short docs with n_fps = 0; density bounded") {
+    val d = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" "), "en", "s", 1L),
+      (2L, "only four tokens here", "en", "s", 1L), // 4 < k: no grams at all
+      (3L, "six distinct tokens in this doc", "en", "s", 1L)) // 6 tokens: 2 grams < w windows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.winnowSummary(d, k = 5, w = 4)
+      .select("doc_id", "n_grams", "n_fps", "density_bp")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(2L) == ((2L, 0L, 0L, 0L)))
+    assert(r(3L)._2 == 2L && r(3L)._3 == 0L, s"no full window -> no fps: ${r(3L)}")
+    assert(r(1L)._3 > 0 && r(1L)._3 <= r(1L)._2)
+    assert(r(1L)._4 > 0 && r(1L)._4 <= 10000)
+  }
+
+  test("winnowPairs reports the overlapping pair, not the unrelated doc") {
+    val run = (1 to 12).map(i => s"shared$i")
+    val d = Seq(
+      (1L, ((1 to 8).map(i => s"x$i") ++ run).mkString(" "), "en", "s", 1L),
+      (2L, (run ++ (1 to 8).map(i => s"y$i")).mkString(" "), "en", "s", 1L),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.winnowPairs(d, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"12-token shared run must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("prioritySample: exact DLT priorities, rank order, estimator threshold") {
+    def h48(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val weights = (1L to 10L).map(i => i -> (i * 100L)).toMap
+    val d = weights.toSeq.map { case (id, w) =>
+      (id, "txt", "en", s"src${id % 3}", w)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = weights.toSeq
+      .map { case (id, w) => (id, w, w * (1L << 48) / (h48(id) + 1)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = expected(3)._3 // the (k+1)-th priority for k=3
+    val r = Curation.prioritySample(d, k = 3)
+      .select("doc_id", "weight", "priority", "rank", "est_w")
+      .as[(Long, Long, Long, Int, Long)].collect().sortBy(_._4)
+    assert(r.length == 3)
+    r.zipWithIndex.foreach { case ((id, w, p, rank, est), i) =>
+      assert(id == expected(i)._1 && w == expected(i)._2 && p == expected(i)._3,
+        s"rank ${i + 1}: got ($id, $w, $p), expected ${expected(i)}")
+      assert(rank == i + 1)
+      assert(est == math.max(w, tau), s"est_w must be max(weight, tau=$tau), got $est")
+    }
+  }
+
+  test("ivfRecall: clean-cell probe has full recall; cross-cell nearest is missed") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.95f, 0.05f), 0), (3L, Seq(0.8f, 0.6f), 0),
+      (10L, Seq(0.0f, 1.0f), 1), (11L, Seq(0.1f, 0.9f), 1),
+      (12L, Seq(0.65f, 0.76f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfRecall(d, Seq(0L, 3L), k = 1)
+      .select("probe_id", "n_hits", "recall_bp")
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // probe 0's true nearest (vec 2) shares its cell -> found
+    assert(r(0L) == ((0L, 1L, 10000L)), r.toString)
+    // probe 3's true nearest is vec 12, assigned to the OTHER cell ->
+    // nprobe=1 IVF misses it
+    assert(r(3L) == ((3L, 0L, 0L)), r.toString)
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -417,4 +417,51 @@ class PlanSpec extends SparkSpec {
     }
     assert(limits.nonEmpty, s"final top-k lost its WindowGroupLimit pushdown:\n$p")
   }
+
+  test("ev_funnel: the four stage windows share ONE user_id shuffle") {
+    val p = plan("ev_funnel")
+    // every events row is shuffled exactly once (hashpartitioning on
+    // user_id); the rest of the plan runs over the 4-row funnel
+    val userExchanges = collectAll(p) {
+      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("user_id") => e
+    }
+    assert(userExchanges.size == 1,
+      s"ev_funnel expected exactly one user_id shuffle, got ${userExchanges.size}:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), "ev_funnel produced a cartesian join")
+  }
+
+  test("ev_retention / dedup_winnow / pipeline_reservoir / sim_ivf_recall plan shapes") {
+    // ev_retention: equi-join + aggregates only, no windows at all
+    val r = plan("ev_retention")
+    assert(collectAll(r) { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "ev_retention grew a window")
+    assert(!r.toString.contains("CartesianProduct"), "ev_retention produced a cartesian join")
+    // dedup_winnow: the df blacklist must stay a broadcast anti-join
+    // (two-phase groupBy cap), and the only WindowExecs are the
+    // doc-partitioned winnow selections (one per self-join branch) —
+    // never a window on the fingerprint key
+    val w = plan("dedup_winnow")
+    val anti = collectAll(w) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, s"dedup_winnow lost its broadcast anti-join blacklist:\n$w")
+    val winnowWindows = collectAll(w) {
+      case x: org.apache.spark.sql.execution.window.WindowExec => x
+    }
+    assert(winnowWindows.forall(_.partitionSpec.exists(_.toString.contains("doc_id"))),
+      s"dedup_winnow has a window not partitioned by doc_id:\n$winnowWindows")
+    // pipeline_reservoir: top-(k+1) must be a distributed TakeOrdered,
+    // never a global sort of the corpus
+    val res = plan("pipeline_reservoir")
+    assert(res.toString.contains("TakeOrderedAndProject"),
+      s"pipeline_reservoir lost its TakeOrderedAndProject:\n$res")
+    // sim_ivf_recall: both retrieval sides keep their bounded shapes —
+    // probes broadcast, no cartesian of the corpus against itself
+    val rec = plan("sim_ivf_recall")
+    assert(!rec.toString.contains("CartesianProduct"),
+      "sim_ivf_recall produced a cartesian join")
+    assert(collectAll(rec) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "sim_ivf_recall lost its probe-side broadcasts")
+  }
 }
