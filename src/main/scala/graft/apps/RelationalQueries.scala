@@ -284,6 +284,53 @@ object RelationalQueries extends QueryPack {
         .agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort", "wk")
     },
+    // PIVOT: per-user event-type count matrix — the groupBy().pivot()
+    // API surface. Values are listed explicitly (the 5 known types):
+    // an unlisted pivot would collect the distinct values to the
+    // driver to plan the schema — fine at 5 types, a scan at 5M.
+    "ev_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+    // HOPPING window rollup: 2 h windows sliding by 1 h — each event
+    // lands in exactly two windows. The batch twin of the streaming
+    // sliding-window aggregation; Spark expands the window set
+    // row-locally before the one aggregate shuffle.
+    "ev_sliding" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev
+        .select(Tables.eventTime(ev).as("ts_utc"), col("event_type"), col("value"))
+        .groupBy(window(col("ts_utc"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")
+    },
+    // Daily-count anomaly flags per event type: spike ⟺ z > 2 over
+    // that type's day series, decided entirely in integers — z² > 4
+    // ⟺ (D·n − S1)² > 4·(D·S2 − S1²) after multiplying through by
+    // D²σ², so no sqrt, no doubles, exact in any engine. The per-type
+    // stats table is |types| rows (broadcast); the daily grid is
+    // days × types. (At extreme daily counts the squares want
+    // decimals; ANSI mode makes an overflow loud, never wrong.)
+    "ev_anomaly" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .select(col("event_type"), to_date(Tables.eventTime(ev)).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      val stats = daily
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("d"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("spike",
+          when(expr("(d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)"), 1).otherwise(0))
+        .select(col("event_type"), col("day"), col("n"), col("spike"))
+        .orderBy("event_type", "day")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -447,6 +494,39 @@ object RelationalQueries extends QueryPack {
         |FROM d JOIN c USING (user_id)
         |GROUP BY c.cohort, wk
         |ORDER BY c.cohort, wk""".stripMargin,
+    "ev_pivot" ->
+      """SELECT user_id,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS "error",
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // every event belongs to the two 2h-wide windows starting at
+    // floor_hour(ts) and floor_hour(ts) - 1h
+    "ev_sliding" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |x AS (SELECT h AS w_start, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT h - INTERVAL 1 HOUR, event_type, value FROM e)
+        |SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM x GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+    // z² > 4 in integers: (D·n − S1)² > 4·(D·S2 − S1²)
+    "ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |stats AS (
+        |  SELECT event_type, count(*) AS d, sum(n) AS s1, sum(n * n) AS s2
+        |  FROM daily GROUP BY event_type)
+        |SELECT daily.event_type, day, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN (d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS spike
+        |FROM daily JOIN stats USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "ev_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,

@@ -111,6 +111,9 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id", "probe_id")
     }),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    // in-engine-trained multinomial NB language classifier, evaluated
+    // as a confusion matrix (label-noise audit)
+    "text_nb" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred_lang")),
     // per-doc winnowing fingerprint selection (Schleimer 2003) —
     // density should track the 2/(w+1) bound
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowSummary(docs(s, d)).orderBy("doc_id")),
@@ -1138,6 +1141,43 @@ object PipelineQueries extends QueryPack {
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
          |        FROM ($TOKS) WHERE len(toks) >= 3))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB train + predict + confusion, one token scan — keep in sync
+    // with TextAnalysis.nbConfusion (add-one smoothing, shared vocab,
+    // 4-decimal score rounding, score DESC / cand ASC argmax)
+    "text_nb" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, word FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |c AS (SELECT word, lang AS cand, count(*) AS cnt FROM toks GROUP BY word, lang),
+        |lt AS (SELECT lang AS cand, count(*) AS t FROM toks GROUP BY lang),
+        |v AS (SELECT count(DISTINCT word) AS v FROM toks),
+        |prior AS (SELECT lang AS cand, count(*) AS dl FROM documents GROUP BY lang),
+        |dtot AS (SELECT count(*) AS dd FROM documents),
+        |scored AS (
+        |  SELECT tk.doc_id, tk.lang, lg.cand,
+        |         round(sum(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+        |                      / CAST(lt.t + v.v AS DOUBLE)))
+        |               + ln(CAST(prior.dl AS DOUBLE) / dtot.dd), 4) AS score_q
+        |  FROM toks tk
+        |  CROSS JOIN langs lg
+        |  LEFT JOIN c ON c.word = tk.word AND c.cand = lg.cand
+        |  JOIN lt ON lt.cand = lg.cand
+        |  CROSS JOIN v
+        |  JOIN prior ON prior.cand = lg.cand
+        |  CROSS JOIN dtot
+        |  GROUP BY tk.doc_id, tk.lang, lg.cand, prior.dl, dtot.dd),
+        |pred AS (
+        |  SELECT doc_id, lang, cand AS pred_lang
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY score_q DESC, cand) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1)
+        |SELECT lang, pred_lang, count(*) AS n_docs
+        |FROM pred GROUP BY lang, pred_lang
+        |ORDER BY lang, pred_lang""".stripMargin,
     // winnowing summary — full-corpus coverage via the left joins;
     // keep in sync with TextAnalysis.winnowSummary (k=5, w=4)
     "text_winnowing" ->

@@ -343,6 +343,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("best.cand_lang").as("pred_lang"), col("best.hits").as("score"))
   }
 
+  /** Multinomial Naive Bayes language classifier TRAINED IN-ENGINE on
+    * the corpus's own labels, evaluated as a confusion matrix — the
+    * label-noise audit a curation pipeline runs before trusting its
+    * `lang` column (docs the model and the label disagree on are the
+    * mislabeled / code-switched / too-short tail). Add-one smoothing
+    * over the shared vocabulary; score(d, ℓ) = ln(D_ℓ/D) +
+    * Σ_{tok∈d} ln((c_{ℓ,tok}+1)/(T_ℓ+V)).
+    *
+    * Train and predict are the SAME token scan: per-(word, lang)
+    * counts are one partial-aggregating groupBy; prediction expands
+    * each token row by the |langs| candidate set (bounded ×5 here —
+    * the minhash many-hashes stance), left-joins the sparse count
+    * table (absent pairs coalesce to the smoothing floor), and folds
+    * per (doc, cand) — equi-joins and aggregates only, stats tables
+    * broadcast. Per-doc scores are 4-decimal-rounded before the
+    * argmax ([[logProb]]'s ulp-absorption discipline), argmax is the
+    * [[langId]] min_by idiom (score desc, lang asc).
+    * Output: (lang, pred_lang, n_docs) — ≤ |langs|² rows. */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val langs = docs.select(col("lang").as("cand")).distinct()
+    val counts = toks.groupBy(col("word"), col("lang").as("cand"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = toks.agg(countDistinct("word").as("v"))
+    val ltot = toks.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("t"))
+    val prior = docs.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("dl"))
+    val dtot = docs.agg(count(lit(1)).as("dd"))
+    val scored = toks
+      .crossJoin(broadcast(langs))
+      .join(counts, Seq("word", "cand"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .join(broadcast(ltot), Seq("cand"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(log((col("cnt") + 1).cast("double") / (col("t") + col("v")).cast("double"))).as("ll"))
+      .join(broadcast(prior), Seq("cand"))
+      .crossJoin(broadcast(dtot))
+      .withColumn("score_q",
+        round(col("ll") + log(col("dl").cast("double") / col("dd").cast("double")), 4))
+    scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cand"), struct((-col("score_q")).as("ns"), col("cand"))).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Quality score in [0,1]: length component + stopword-density
     * component, capped. Deterministic arithmetic only. */
   def quality(docs: DataFrame): DataFrame = {

@@ -59,6 +59,22 @@ class EventsSpec extends SparkSpec {
     assert(c2(3) == 0L)
   }
 
+  test("ev_pivot: per-user counts partition the event stream exactly") {
+    val r = SparkEntry.queries("ev_pivot")(spark, sf0001)
+    val total = r.select((col("click") + col("error") + col("purchase") +
+      col("signup") + col("view")).as("s")).agg(sum("s")).first().getLong(0)
+    val events = Tables.events(spark, sf0001).count()
+    assert(total == events, s"pivot cells must sum to the event count: $total != $events")
+  }
+
+  test("ev_anomaly: spike flag discriminates (some spikes, never all)") {
+    val r = SparkEntry.queries("ev_anomaly")(spark, sf0001)
+      .agg(sum("spike").cast("long"), count(lit(1))).first()
+    val (spikes, rows) = (r.getLong(0), r.getLong(1))
+    assert(spikes > 0, "z>2 must flag at least one day at sf0.001")
+    assert(spikes < rows / 5, s"z>2 flagged $spikes/$rows days — threshold not discriminating")
+  }
+
   test("funnel: conv_bp is stage-over-previous-stage in basis points") {
     val rows = (1L to 4L).flatMap { u =>
       // users 1-4 sign up; 1-2 view; 1 clicks

@@ -1457,6 +1457,24 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) == ((3L, 0L, 0L)), r.toString)
   }
 
+  test("nbConfusion: the in-engine NB model flags a mislabeled doc") {
+    val en = "hello world program language model data"
+    val de = "der die das und nicht ein"
+    val d = Seq(
+      (1L, en, "en", "s", 1L), (2L, en + " extra", "en", "s", 1L),
+      (3L, de, "de", "s", 1L), (4L, de + " anders", "de", "s", 1L),
+      // mislabeled: English content under a 'de' label
+      (5L, "hello world program language", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.nbConfusion(d)
+      .as[(String, String, Long)].collect()
+      .map { case (l, p, n) => (l, p) -> n }.toMap
+    assert(m.getOrElse(("en", "en"), 0L) == 2L, m.toString)
+    assert(m.getOrElse(("de", "de"), 0L) == 2L, m.toString)
+    assert(m.getOrElse(("de", "en"), 0L) == 1L,
+      s"the mislabeled doc must surface in the (de, en) cell: $m")
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
