@@ -145,6 +145,42 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     },
+    // TPC-H Q17 shape: correlated aggregate subquery — lineitems under
+    // 20% of their part's average quantity, for one brand. The
+    // per-part average is computed AFTER the brand semi-join, so the
+    // avg shuffle covers only the brand's parts (restricting to the
+    // brand cannot change a per-part average); the threshold join then
+    // reuses the same l_partkey partitioning.
+    "q17_avg_qty" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("l_partkey"))
+      val liB = li.join(p, Seq("l_partkey"), "left_semi")
+      val avgq = liB.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
+      liB.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+    // Exact nearest-rank percentiles of event values per type, over a
+    // cents-quantized histogram CDF — no corpus sort, the
+    // lengthQuantiles stance on the events plane. The running-sum
+    // window is per-type over DISTINCT cent values (bounded by the
+    // value range, not the event count).
+    "ev_percentiles" -> { (s, dir) =>
+      val hist = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      val cdf = hist
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("cents")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val picks = Seq(50, 90, 99).map(q =>
+        round(min(when(col("cum") * 100 >= col("n") * q, col("cents")))
+          .cast("double") / 100, 2).as(s"p$q"))
+      cdf.groupBy("event_type").agg(picks.head, picks.tail: _*).orderBy("event_type")
+    },
     // Event-time daily rollup.
     "ev_daily" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -392,6 +428,26 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q17_avg_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "ev_percentiles" ->
+      """WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY event_type, cents),
+        |c AS (SELECT event_type, cents, cnt,
+        |             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |             sum(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM h)
+        |SELECT event_type,
+        |       round(CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS DOUBLE) / 100, 2) AS p50,
+        |       round(CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS DOUBLE) / 100, 2) AS p90,
+        |       round(CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS DOUBLE) / 100, 2) AS p99
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total
