@@ -114,6 +114,8 @@ object PipelineQueries extends QueryPack {
     // in-engine-trained multinomial NB language classifier, evaluated
     // as a confusion matrix (label-noise audit)
     "text_nb" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred_lang")),
+    // Count-Min sketch vs exact heavy hitters (sketch-sizing audit)
+    "text_cms" -> ((s, d) => TextAnalysis.cmsAudit(docs(s, d)).orderBy(desc("exact"), asc("word"))),
     // per-doc winnowing fingerprint selection (Schleimer 2003) —
     // density should track the 2/(w+1) bound
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowSummary(docs(s, d)).orderBy("doc_id")),
@@ -1141,6 +1143,27 @@ object PipelineQueries extends QueryPack {
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
          |        FROM ($TOKS) WHERE len(toks) >= 3))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CMS build + top-k probe — keep in sync with TextAnalysis.cmsAudit
+    // (depth 4, width 1024, md5(j|word) 48-bit bucket hash)
+    "text_cms" -> {
+      s"""WITH toks AS (
+         |  SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0),
+         |ex AS (SELECT word, count(*) AS exact FROM toks GROUP BY word),
+         |r0 AS (SELECT word, exact, j FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+         |r1 AS (SELECT word, exact, j, md5(CAST(j AS VARCHAR) || '|' || word) AS hx FROM r0),
+         |r2 AS (SELECT word, exact, j, ${hex48Sql("hx")} % 1024 AS bucket FROM r1),
+         |cms AS (SELECT j, bucket, sum(exact) AS cell FROM r2 GROUP BY j, bucket),
+         |top AS (SELECT word, exact FROM ex ORDER BY exact DESC, word LIMIT 20),
+         |probe AS (SELECT t.word, t.exact, r.j, r.bucket
+         |          FROM top t JOIN r2 r ON r.word = t.word)
+         |SELECT p.word, CAST(p.exact AS BIGINT) AS exact,
+         |       CAST(min(c.cell) AS BIGINT) AS est,
+         |       CAST((min(c.cell) - p.exact) * 10000 // p.exact AS BIGINT) AS over_bp
+         |FROM probe p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+         |GROUP BY p.word, p.exact
+         |ORDER BY exact DESC, word""".stripMargin
+    },
     // NB train + predict + confusion, one token scan — keep in sync
     // with TextAnalysis.nbConfusion (add-one smoothing, shared vocab,
     // 4-decimal score rounding, score DESC / cand ASC argmax)

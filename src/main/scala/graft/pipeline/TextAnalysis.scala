@@ -343,6 +343,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("best.cand_lang").as("pred_lang"), col("best.hits").as("score"))
   }
 
+  /** Count-Min sketch heavy-hitter audit (Cormode & Muthukrishnan,
+    * J. Algorithms 2005): build a depth×width CMS over the token
+    * stream — depth independent md5-derived hash rows, each cell the
+    * sum of counts hashing into it — and report, for the top-k exact
+    * heavy hitters, the sketch ESTIMATE (min over the depth cells)
+    * next to the truth, with the overestimate in basis points. CMS
+    * never underestimates; this query measures how much the fixed
+    * 4×1024 memory costs in collision inflation — the dial that sizes
+    * the sketch before a 100 TB frequency pass trusts it.
+    *
+    * Scale shape: the sketch is a partial-aggregating groupBy over a
+    * FIXED 4×width key space (constant memory at any corpus size —
+    * the production form aggregates the raw token stream directly;
+    * here the word-count table doubles as the audit's ground truth).
+    * The probe side is k·depth rows joining a broadcast 4×width
+    * table. All hashing is md5-slice integer math — any engine
+    * replays the identical sketch. */
+  def cmsAudit(docs: DataFrame, depth: Int = 4, width: Int = 1024, k: Int = 20): DataFrame = {
+    val jCol = explode(array((0 until depth).map(j => lit(j)): _*)).as("j")
+    def bucket = conv(
+      substring(md5(concat(col("j").cast("string"), lit("|"), col("word"))), 1, 12),
+      16, 10).cast("long") % width
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("exact"))
+    val cells = exact.select(col("word"), col("exact"), jCol)
+      .withColumn("bucket", bucket)
+    val cms = cells.groupBy("j", "bucket").agg(sum("exact").as("cell"))
+    val top = exact.orderBy(desc("exact"), asc("word")).limit(k)
+    top.select(col("word"), col("exact"), jCol)
+      .withColumn("bucket", bucket)
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy("word", "exact")
+      .agg(min("cell").as("est"))
+      .withColumn("over_bp", expr("(est - exact) * 10000 div exact"))
+      .select(col("word"), col("exact"), col("est"), col("over_bp"))
+  }
+
   /** Multinomial Naive Bayes language classifier TRAINED IN-ENGINE on
     * the corpus's own labels, evaluated as a confusion matrix — the
     * label-noise audit a curation pipeline runs before trusting its

@@ -1457,6 +1457,24 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) == ((3L, 0L, 0L)), r.toString)
   }
 
+  test("cmsAudit: CMS never underestimates; no collisions -> exact recovery") {
+    // corpus heavy hitters: est >= exact always (CMS overestimate-only)
+    val r = TextAnalysis.cmsAudit(docs)
+      .select("exact", "est").as[(Long, Long)].collect()
+    assert(r.nonEmpty && r.forall { case (e, s) => s >= e },
+      "CMS must never underestimate")
+    // tiny vocab, wide sketch: every row of every depth is
+    // collision-free, so the min recovers the exact count
+    val d = Seq((1L, "alpha alpha beta gamma gamma gamma", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = TextAnalysis.cmsAudit(d, k = 3)
+      .select("word", "exact", "est", "over_bp")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(t("gamma") == (("gamma", 3L, 3L, 0L)), t.toString)
+    assert(t("alpha") == (("alpha", 2L, 2L, 0L)), t.toString)
+    assert(t("beta") == (("beta", 1L, 1L, 0L)), t.toString)
+  }
+
   test("nbConfusion: the in-engine NB model flags a mislabeled doc") {
     val en = "hello world program language model data"
     val de = "der die das und nicht ein"
