@@ -207,6 +207,32 @@ object RelationalQueries extends QueryPack {
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+    // Per-session table: ev_sessions' gap logic carried through to a
+    // session_id (running sum of session starts) with per-session
+    // duration and event count. The lag window, the running sum AND
+    // the (user, session) aggregate all run on the ONE user_id
+    // partitioning — HashPartitioning(user_id) satisfies the
+    // ClusteredDistribution of the superset grouping key, so no
+    // second shuffle ever happens.
+    "ev_session_stats" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+      ev
+        .select(col("user_id"), Tables.eventMicros(ev).as("tsu"))
+        .withColumn("prev", lag("tsu", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tsu") - col("prev") > SESSION_GAP_US, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max("tsu").as("max_t"), min("tsu").as("min_t"))
+        .withColumn("dur_s", expr("(max_t - min_t) div 1000000"))
+        .select(col("user_id"), col("session_id"), col("n_events"), col("dur_s"))
+        .orderBy("user_id", "session_id")
+    },
     // Top spenders: agg + top-k + rank, deterministic tie-break.
     // orderBy().limit(k) compiles to TakeOrderedAndProject — per-
     // partition top-k, merge on the driver, never a global sort or a
@@ -463,6 +489,22 @@ object RelationalQueries extends QueryPack {
         |      FROM e)
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (SELECT user_id, tsu,
+        |             CASE WHEN lag(tsu) OVER w IS NULL
+        |                    OR tsu - lag(tsu) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |s AS (SELECT user_id, tsu,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+        |                              ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       CAST((max(tsu) - min(tsu)) // 1000000 AS BIGINT) AS dur_s
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "ev_top_spenders" ->
       """WITH spend AS (
         |  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases

@@ -116,6 +116,8 @@ object PipelineQueries extends QueryPack {
     "text_nb" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred_lang")),
     // Count-Min sketch vs exact heavy hitters (sketch-sizing audit)
     "text_cms" -> ((s, d) => TextAnalysis.cmsAudit(docs(s, d)).orderBy(desc("exact"), asc("word"))),
+    // Zipf rank-frequency fit over the top-100 tokens (corpus health)
+    "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d))),
     // per-doc winnowing fingerprint selection (Schleimer 2003) —
     // density should track the 2/(w+1) bound
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowSummary(docs(s, d)).orderBy("doc_id")),
@@ -1143,6 +1145,27 @@ object PipelineQueries extends QueryPack {
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
          |        FROM ($TOKS) WHERE len(toks) >= 3))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // closed-form least squares over ln(rank)/ln(cnt) of the top-100 —
+    // keep in sync with TextAnalysis.zipfFit
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0),
+        |top AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        |        ORDER BY cnt DESC, word LIMIT 100),
+        |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, word) AS DOUBLE)) AS x,
+        |              ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM top),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(x) AS sx, sum(y) AS sy,
+        |              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |       FROM xy)
+        |SELECT CAST(nn AS BIGINT) AS n_tokens,
+        |       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4) AS slope,
+        |       round((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn, 4)
+        |         AS intercept,
+        |       round(pow(nn * sxy - sx * sy, 2)
+        |             / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 4) AS r2
+        |FROM st""".stripMargin,
     // CMS build + top-k probe — keep in sync with TextAnalysis.cmsAudit
     // (depth 4, width 1024, md5(j|word) 48-bit bucket hash)
     "text_cms" -> {

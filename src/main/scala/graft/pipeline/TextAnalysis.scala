@@ -343,6 +343,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("best.cand_lang").as("pred_lang"), col("best.hits").as("score"))
   }
 
+  /** Zipf-fit corpus-health audit: least-squares slope of ln(count)
+    * vs ln(rank) over the top-`n` tokens, with r². Natural text sits
+    * near slope −1 (Zipf's law); a flat slope flags synthetic or
+    * template-dominated corpora, a cliff flags boilerplate flooding.
+    * The top-n is a distributed TakeOrdered; only those n rows see the
+    * constant-partition rank window; the regression is one closed-form
+    * aggregate over n (ln ulps vanish under 4-decimal rounding as in
+    * [[logProb]]). Output: one row (n_tokens, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, n: Int = 100): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val top = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(n)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(desc("cnt"), asc("word"))))
+      .select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top
+      .agg(
+        count(lit(1)).cast("double").as("nn"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope",
+        round((col("nn") * col("sxy") - col("sx") * col("sy"))
+          / (col("nn") * col("sxx") - col("sx") * col("sx")), 4))
+      .withColumn("intercept",
+        round((col("sy") - (col("nn") * col("sxy") - col("sx") * col("sy"))
+          / (col("nn") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("nn"), 4))
+      .withColumn("r2",
+        round(pow(col("nn") * col("sxy") - col("sx") * col("sy"), 2)
+          / ((col("nn") * col("sxx") - col("sx") * col("sx"))
+            * (col("nn") * col("syy") - col("sy") * col("sy"))), 4))
+      .select(col("nn").cast("long").as("n_tokens"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
   /** Count-Min sketch heavy-hitter audit (Cormode & Muthukrishnan,
     * J. Algorithms 2005): build a depth×width CMS over the token
     * stream — depth independent md5-derived hash rows, each cell the

@@ -1475,6 +1475,20 @@ class PipelineSpec extends SparkSpec {
     assert(t("beta") == (("beta", 1L, 1L, 0L)), t.toString)
   }
 
+  test("zipfFit recovers slope -1 exactly on a true Zipf corpus") {
+    // counts c_r = 2520/r are integers for r = 1..10, so ln c vs ln r
+    // is EXACTLY linear with slope -1 and intercept ln 2520
+    val text = (1 to 10).flatMap(r => Seq.fill(2520 / r)(s"w$r")).mkString(" ")
+    val d = Seq((1L, text, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.zipfFit(d)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 == 10L)
+    assert(r._2 == -1.0, s"slope: ${r._2}")
+    assert(math.abs(r._3 - math.log(2520.0)) < 0.001, s"intercept: ${r._3}")
+    assert(r._4 == 1.0, s"r2: ${r._4}")
+  }
+
   test("nbConfusion: the in-engine NB model flags a mislabeled doc") {
     val en = "hello world program language model data"
     val de = "der die das und nicht ein"
