@@ -56,6 +56,8 @@ object PipelineQueries extends QueryPack {
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(docs(s, d)).orderBy("doc_id")),
     // per-dimension integer stats of the quantized embeddings
     "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
+    // top principal component by quantized power iteration (5 rounds)
+    "emb_pca" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
@@ -423,6 +425,37 @@ object PipelineQueries extends QueryPack {
 
   private def planeSql(j: Int): String =
     s"((pos * ${j + 3} * 2654435761) % 2000001 - 1000000)"
+
+  /** Quantized power iteration unrolled — keep in sync with
+    * Similarity.pcaTop (scatter matrix, 1e6 range normalization,
+    * per-round L∞ renormalization to ±1e4, truncation-toward-zero
+    * sign-split so // matches Spark's div on negatives). */
+  private def pcaOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      val pv = s"v${t - 1}"
+      s"""u$t AS (SELECT mm.j, CAST(sum(mm.m * $pv.v) AS BIGINT) AS u
+         |        FROM mm JOIN $pv ON $pv.k = mm.k GROUP BY mm.j),
+         |s$t AS (SELECT greatest(1, max(abs(u)) // 10000) AS st FROM u$t),
+         |v$t AS (SELECT j AS k,
+         |               CASE WHEN u >= 0 THEN u // st ELSE -((-u) // st) END AS v
+         |        FROM u$t, s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS ($QV),
+       |pe AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM qv),
+       |sq AS (SELECT j, CAST(sum(qj) AS BIGINT) AS s FROM pe GROUP BY j),
+       |nn AS (SELECT count(*) AS n FROM qv),
+       |gg AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS sqq
+       |       FROM pe a JOIN pe b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
+       |m0 AS (SELECT gg.j, gg.k, nn.n * gg.sqq - sa.s * sb.s AS m
+       |       FROM gg, nn, sq sa, sq sb WHERE sa.j = gg.j AND sb.j = gg.k),
+       |msc AS (SELECT greatest(1, max(abs(m)) // 1000000) AS sc FROM m0),
+       |mm AS (SELECT j, k, CASE WHEN m >= 0 THEN m // sc ELSE -((-m) // sc) END AS m
+       |       FROM m0, msc),
+       |v0 AS (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM sq),
+       |$iterCtes
+       |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+       |FROM v$iters ORDER BY dim""".stripMargin
+  }
 
   /** LSH-bucketed cosine pair CTEs ending in `pairs(id_a, id_b,
     * cos_sim)` — semantics of [[Similarity.annPairs]] (NumFamilies
@@ -1050,6 +1083,7 @@ object PipelineQueries extends QueryPack {
         |       CAST(sum(q * q) AS BIGINT) AS sum_q2,
         |       CAST(sum(q) * 1000 // count(*) AS BIGINT) AS mean_mq
         |FROM qs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_pca" -> pcaOracleSql(5),
     "dedup_jaccard" ->
       // sizes AND intersections over the same df-capped universe —
       // keep in sync with Dedup.jaccardPairs

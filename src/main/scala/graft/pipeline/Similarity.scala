@@ -384,6 +384,58 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
+  /** Top principal component of the embedding cloud by QUANTIZED POWER
+    * ITERATION — PCA's first axis computed in-engine with exact
+    * integer arithmetic end to end, so any engine replays the
+    * identical vector (the k-means/PageRank quantization contract
+    * applied to an eigenproblem):
+    *
+    *  - scatter matrix m_jk = N·Σ q_j q_k − S_j·S_k (centered
+    *    covariance × N², eigenvectors unchanged by the scaling) from
+    *    ONE pass: the (vec, dim) explosion self-joined on vec_id and
+    *    partially aggregated to d² rows — the relational Gram-matrix
+    *    build; S and N ride broadcast side tables;
+    *  - the matrix is range-normalized once (trunc-div by
+    *    maxabs div 1e6) and each iterate renormalized to ±1e4 by
+    *    L∞ (trunc-div by maxabs div 1e4) — both divisions spell
+    *    truncation-toward-zero explicitly so Spark `div` and DuckDB
+    *    `//` agree on negative entries, and every product stays far
+    *    inside long range at any corpus size;
+    *  - `iters` fixed matrix-vector rounds (d²-row join against the
+    *    broadcast 64-row iterate, one partial-aggregating groupBy).
+    *
+    * The deterministic all-ones start vector makes the output sign
+    * reproducible. Output: (dim, v) — the 1e4-scaled component. */
+  def pcaTop(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val qv = quantized(emb)
+    val pe = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qj")))
+    val sq = pe.groupBy("j").agg(sum("qj").as("s"))
+    val nn = qv.agg(count(lit(1)).as("n"))
+    val gg = pe.as("a").join(pe.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum(col("a.qj") * col("b.qj")).as("sqq"))
+    val m0 = gg
+      .join(broadcast(sq.select(col("j"), col("s").as("sa"))), Seq("j"))
+      .join(broadcast(sq.select(col("j").as("k"), col("s").as("sb"))), Seq("k"))
+      .crossJoin(broadcast(nn))
+      .select(col("j"), col("k"),
+        (col("n") * col("sqq") - col("sa") * col("sb")).as("m"))
+    val msc = m0.agg(greatest(lit(1L), expr("max(abs(m)) div 1000000")).as("sc"))
+    val mm = m0.crossJoin(broadcast(msc))
+      .select(col("j"), col("k"),
+        when(col("m") >= 0, expr("m div sc")).otherwise(-expr("(-m) div sc")).as("m"))
+    var v = sq.select(col("j").as("k"), lit(10000L).as("v"))
+    for (_ <- 1 to iters) {
+      val u = mm.join(broadcast(v), Seq("k"))
+        .groupBy("j").agg(sum(col("m") * col("v")).as("u"))
+      val st = u.agg(greatest(lit(1L), expr("max(abs(u)) div 10000")).as("st"))
+      v = u.crossJoin(broadcast(st))
+        .select(col("j").as("k"),
+          when(col("u") >= 0, expr("u div st")).otherwise(-expr("(-u) div st")).as("v"))
+    }
+    v.select(col("k").cast("long").as("dim"), col("v")).orderBy("dim")
+  }
+
   /** Recall@k audit of the IVF serve path against exact brute force —
     * the "measure, don't guess" dial for ANN (the [[Dedup.minhashError]]
     * stance applied to the embedding plane): per probe, how many of the

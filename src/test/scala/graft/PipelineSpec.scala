@@ -1475,6 +1475,20 @@ class PipelineSpec extends SparkSpec {
     assert(t("beta") == (("beta", 1L, 1L, 0L)), t.toString)
   }
 
+  test("pcaTop finds the planted dominant axis") {
+    // variance concentrated on dim 0 (x = ±3), noise on dim 1 (±0.1);
+    // the scatter matrix is diagonal, so the top component must align
+    // with dim 0 after the L-inf renormalized iterations
+    val d = Seq(
+      (0L, Seq(3.0f, 0.1f), 0), (1L, Seq(-3.0f, -0.1f), 0),
+      (2L, Seq(3.0f, -0.1f), 1), (3L, Seq(-3.0f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val v = Similarity.pcaTop(d)
+      .as[(Long, Long)].collect().toMap
+    assert(math.abs(v(0L)) == 10000L, s"dominant axis must saturate: $v")
+    assert(math.abs(v(1L)) <= 10L, s"noise axis must vanish: $v")
+  }
+
   test("zipfFit recovers slope -1 exactly on a true Zipf corpus") {
     // counts c_r = 2520/r are integers for r = 1..10, so ln c vs ln r
     // is EXACTLY linear with slope -1 and intercept ln 2520
