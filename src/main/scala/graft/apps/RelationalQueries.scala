@@ -233,6 +233,22 @@ object RelationalQueries extends QueryPack {
         .select(col("user_id"), col("session_id"), col("n_events"), col("dur_s"))
         .orderBy("user_id", "session_id")
     },
+    // Burst detection via the banded RANGE JOIN (operators.RangeJoin):
+    // same-user event pairs within 5 minutes. The |Δt| predicate is
+    // rewritten to a (user, bucket) equi-join with a bounded ×3
+    // expansion — never the BroadcastNestedLoop/cartesian plan a raw
+    // theta-join gets (plan-pinned).
+    "ev_bursts" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val e = ev.select(col("user_id"), col("event_id"), Tables.eventMicros(ev).as("tsu"))
+      val a = e.select(col("user_id"), col("event_id").as("id_a"), col("tsu").as("t_a"))
+      val b = e.select(col("user_id"), col("event_id").as("id_b"), col("tsu").as("t_b"))
+      graft.operators.RangeJoin.join(a, b, "user_id", "t_a", "t_b", 300000000L)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
     // Top spenders: agg + top-k + rank, deterministic tie-break.
     // orderBy().limit(k) compiles to TakeOrderedAndProject — per-
     // partition top-k, merge on the driver, never a global sort or a
@@ -505,6 +521,12 @@ object RelationalQueries extends QueryPack {
         |       CAST((max(tsu) - min(tsu)) // 1000000 AS BIGINT) AS dur_s
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "ev_bursts" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
+        |SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.tsu - a.tsu) <= 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "ev_top_spenders" ->
       """WITH spend AS (
         |  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded (bucketized) RANGE JOIN: rows with equal `key` whose times
+  * differ by at most `windowUs`, expressed as an EQUI-join.
+  *
+  * A raw `|t_r − t_l| <= w` predicate has no equality Catalyst can
+  * hash on, so Spark plans it as BroadcastNestedLoopJoin or a
+  * cartesian product — O(n·m) per key and a scale-killer the moment
+  * either side grows. The banding trick restores an equi-join:
+  * bucket = t div w, and any in-window pair sits in the same or an
+  * adjacent bucket, so the left side joins on its own bucket while
+  * the right side is expanded to (b−1, b, b+1) — a bounded ×3 map —
+  * and the exact |Δt| <= w filter runs after the hash join. Each
+  * candidate pair meets exactly once (one left bucket vs three
+  * distinct right buckets), so no dedup pass is needed.
+  *
+  * This is the two-sided sibling of [[AsOfJoin]] (carry-forward
+  * union) and the batch analog of Structured Streaming's
+  * watermark-bounded interval join. Time columns are µs-since-epoch
+  * longs; callers rename away collisions before joining.
+  */
+object RangeJoin {
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val l = left.withColumn("__bucket", expr(s"$leftTime div $windowUs"))
+    val r = right
+      .withColumn("__delta", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", expr(s"$rightTime div $windowUs") + col("__delta"))
+      .drop("__delta")
+    l.join(r, Seq(key, "__bucket"))
+      .filter(abs(col(rightTime) - col(leftTime)) <= windowUs)
+      .drop("__bucket")
+  }
+}

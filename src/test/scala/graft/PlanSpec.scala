@@ -430,6 +430,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), "ev_funnel produced a cartesian join")
   }
 
+  test("ev_bursts: the banded range join stays an equi-join — no nested-loop, no cartesian") {
+    val p = plan("ev_bursts")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), "range join fell back to a cartesian product")
+    assert(!s.contains("BroadcastNestedLoopJoin"), "range join fell back to a nested loop")
+  }
+
   test("ev_retention / dedup_winnow / pipeline_reservoir / sim_ivf_recall plan shapes") {
     // ev_retention: equi-join + aggregates only, no windows at all
     val r = plan("ev_retention")
