@@ -74,6 +74,21 @@ object PipelineQueries extends QueryPack {
     // span removal: the corpus with every shared run excised from the
     // higher-id doc of its pair (min-id keeps its copy)
     "dedup_spans_clean" -> ((s, d) => Dedup.removeSpans(docs(s, d)).orderBy("doc_id")),
+    // corpus-level duplication mass: what fraction of all tokens sits
+    // inside removable shared runs (the one-number "how much
+    // boilerplate" dial; per-doc detail is dedup_spans_clean)
+    "dedup_span_coverage" -> ((s, d) => {
+      val all = docs(s, d)
+      val tot = all.agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      Dedup.removeSpans(all)
+        .agg(
+          sum("n_removed").as("removed_tokens"),
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_docs_affected"))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage_bp", expr("removed_tokens * 10000 div total_tokens"))
+        .select(col("total_tokens"), col("removed_tokens"),
+          col("n_docs_affected"), col("coverage_bp"))
+    }),
     // incremental ingest dedup: every 5th doc plays the new crawl
     // batch, screened against the rest as the standing base corpus —
     // batch-vs-base joins only, never base-vs-base
@@ -1112,6 +1127,31 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_a, doc_b, start_a, start_b, len_tokens
          |FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    // dropped-position count over the same span CTEs (distinct (doc,
+    // pos) == Spark's per-doc orig-minus-kept sizes) — keep in sync
+    // with Dedup.removeSpans
+    "dedup_span_coverage" ->
+      s"""WITH ${spanCtes(3, 10)},
+         |drops AS (SELECT doc_b AS doc_id, start_b AS s,
+         |                 start_b + len_tokens AS e
+         |          FROM spans),
+         |dw AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos
+         |       FROM (SELECT doc_id,
+         |                    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |             FROM documents
+         |             WHERE doc_id IN (SELECT doc_id FROM drops))),
+         |dropped AS (SELECT DISTINCT d.doc_id, d.pos
+         |            FROM dw d JOIN drops r
+         |              ON r.doc_id = d.doc_id AND d.pos >= r.s AND d.pos < r.e),
+         |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |        FROM documents),
+         |rem AS (SELECT CAST(count(*) AS BIGINT) AS removed_tokens,
+         |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+         |        FROM dropped)
+         |SELECT tot.total_tokens, rem.removed_tokens, rem.n_docs_affected,
+         |       CAST(rem.removed_tokens * 10000 // tot.total_tokens AS BIGINT)
+         |         AS coverage_bp
+         |FROM tot, rem""".stripMargin,
     // rebuild affected docs without their dropped positions (higher-id
     // doc of each pair loses the run; overlaps union via DISTINCT) —
     // keep in sync with Dedup.removeSpans
