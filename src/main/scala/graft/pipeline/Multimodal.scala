@@ -102,6 +102,43 @@ object Multimodal {
     * falls back to [[decodeStub]], keeping non-media payloads on the
     * honest stand-in path. Video remains stub-only (no in-JDK codec
     * exists). */
+  /** Average-hash (aHash) perceptual fingerprint of an image: REAL
+    * `javax.imageio` decode → integer luma grid (the [[decodeImage]]
+    * 299/587/114 weights) → EXACT 8×8 block-mean resample (per target
+    * cell, the source rect [t·d div 8, (t+1)·d div 8) — collapsed to
+    * the nearest pixel when upscaling — averaged by integer division)
+    * → strict mean threshold → 64 bits, MSB-first row-major, as a
+    * 16-hex-char string. Every step is integer arithmetic, so the
+    * fixture goldens are derivable on paper (and flat images
+    * degenerate to the all-zero hash — the documented aHash
+    * limitation; simhash-style banding over these fingerprints is the
+    * image twin of [[Dedup.simhashNearPairs]]). */
+  def aHash64(payload: Array[Byte]): Option[String] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      def luma(x: Int, y: Int): Long = {
+        val rgb = bi.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000L
+      }
+      val v = Array.tabulate(8, 8) { (ty, tx) =>
+        val x0 = tx * w / 8; val x1 = math.max((tx + 1) * w / 8, x0 + 1)
+        val y0 = ty * h / 8; val y1 = math.max((ty + 1) * h / 8, y0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) { var x = x0; while (x < x1) { s += luma(x, y); x += 1 }; y += 1 }
+        s / ((x1 - x0).toLong * (y1 - y0))
+      }
+      val mean = v.flatten.sum / 64
+      val hash = v.flatten.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        if (p > mean) acc | (1L << (63 - i)) else acc
+      }
+      f"$hash%016x"
+    }
+  }
+
   def decodeAudio(payload: Array[Byte]): Option[Array[Double]] = {
     val in =
       try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(

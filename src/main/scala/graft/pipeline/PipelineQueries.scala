@@ -315,6 +315,10 @@ object PipelineQueries extends QueryPack {
     // (DuckDB can't decode WAV — see WavFixtures). NO stub fallback.
     "mm_audio" -> ((s, _) =>
       WavFixtures.decodeQuery(s).orderBy("media_id", "feature_pos")),
+    // Perceptual image fingerprint (aHash) over the committed PNGs —
+    // real decode + exact-integer resample/threshold vs the on-paper
+    // golden hashes (see PngFixtures.phashGolden).
+    "mm_phash" -> ((s, _) => PngFixtures.phashQuery(s).orderBy("media_id")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -2072,6 +2076,7 @@ object PipelineQueries extends QueryPack {
     // cannot cancel out of the compare.
     "mm_decode" -> PngFixtures.goldenSql,
     "mm_audio" -> WavFixtures.goldenSql,
+    "mm_phash" -> PngFixtures.phashGoldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {

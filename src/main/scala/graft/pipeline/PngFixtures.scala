@@ -115,4 +115,50 @@ object PngFixtures {
        |  $rows) AS t(media_id, feature_pos, feature_val)
        |ORDER BY media_id, feature_pos""".stripMargin
   }
+
+  /** Analytic aHash goldens, derived from the patterns on paper (see
+    * [[Multimodal.aHash64]] — every step is integer arithmetic):
+    *  - black / white: flat image → every block equals the mean →
+    *    strict `>` gives the all-zero hash (the documented aHash
+    *    degeneracy on flat inputs);
+    *  - checker: mean = (32·255) div 64 = 127; white cells (x+y even)
+    *    exceed it → rows alternate 10101010 / 01010101 = aa / 55;
+    *  - ramp 16×4 → 8×8: block (tx, ·) averages luma 17·(2tx) and
+    *    17·(2tx+1) → 34·tx + 8; mean = 8128 div 64 = 127; only
+    *    tx >= 4 exceeds it → each row 00001111 = 0f. */
+  val phashGolden: Seq[(Long, String)] = Seq(
+    (1L, "0000000000000000"),
+    (2L, "0000000000000000"),
+    (3L, "aa55aa55aa55aa55"),
+    (4L, "0f0f0f0f0f0f0f0f"))
+
+  /** The mm_phash query: committed PNGs → real decode → exact-integer
+    * aHash. Same batched seam and no-fallback stance as
+    * [[decodeQuery]] — an undecodable payload drops its row and fails
+    * the driver's row-count compare. */
+  def phashQuery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(fixtureDir + "/*.png")
+      .select(
+        regexp_extract(col("path"), "(\\d+)_[a-z]+\\.png$", 1).cast("long").as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          Multimodal.aHash64(bytes).map(h => (id, h))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  def phashGoldenSql: String = {
+    val rows = phashGolden.map { case (id, h) =>
+      s"(CAST($id AS BIGINT), '$h')"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows) AS t(media_id, phash)
+       |ORDER BY media_id""".stripMargin
+  }
 }

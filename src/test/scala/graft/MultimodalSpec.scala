@@ -137,4 +137,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got == WavFixtures.golden,
       s"audio decode output diverged from the analytic golden: $got")
   }
+
+  test("aHash matches the on-paper goldens; one flipped pixel moves few bits") {
+    import graft.pipeline.{Multimodal, PngFixtures}
+    // committed fixtures decode to exactly the analytic hashes
+    val byId = PngFixtures.phashQuery(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    PngFixtures.phashGolden.foreach { case (id, h) =>
+      assert(byId(id) == h, s"fixture $id: got ${byId(id)}, expected $h")
+    }
+    // near-dup robustness: flipping ONE checker pixel changes at most
+    // a couple of hash bits (the property banding relies on), while
+    // checker vs ramp stay far apart
+    def hashOf(w: Int, h: Int, rgb: (Int, Int) => Int): Long =
+      java.lang.Long.parseUnsignedLong(
+        Multimodal.aHash64(PngFixtures.pngBytes(w, h, rgb)).get, 16)
+    val checker = hashOf(8, 8, (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val flipped = hashOf(8, 8, (x, y) =>
+      if ((x, y) == ((3, 3)) ) 0x000000
+      else if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val ramp = hashOf(16, 4, (x, _) => 0x010101 * (17 * x))
+    assert(java.lang.Long.bitCount(checker ^ flipped) <= 2,
+      f"near-dup moved too many bits: ${checker ^ flipped}%016x")
+    assert(java.lang.Long.bitCount(checker ^ ramp) >= 16,
+      f"unrelated images too close: ${checker ^ ramp}%016x")
+  }
 }
