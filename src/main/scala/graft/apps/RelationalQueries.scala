@@ -409,6 +409,21 @@ object RelationalQueries extends QueryPack {
         .select(col("event_type"), col("day"), col("n"), col("spike"))
         .orderBy("event_type", "day")
     },
+    // FULL OUTER join surface: per (user, day), signup activity vs
+    // big-purchase activity — the two sides genuinely mismatch, so
+    // both null fringes are exercised (coalesced to 0 both engines).
+    "ev_full_outer" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val e = ev.select(col("user_id"), to_date(Tables.eventTime(ev)).as("day"),
+        col("event_type"), col("value"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_signups"))
+      val bp = e.filter(col("event_type") === "purchase" && col("value") > 150)
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_big_purchases"))
+      su.join(bp, Seq("user_id", "day"), "full_outer")
+        .na.fill(0L, Seq("n_signups", "n_big_purchases"))
+        .orderBy("user_id", "day")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -647,6 +662,21 @@ object RelationalQueries extends QueryPack {
         |                 THEN 1 ELSE 0 END AS INTEGER) AS spike
         |FROM daily JOIN stats USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+    "ev_full_outer" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                  event_type, value FROM events),
+        |su AS (SELECT user_id, day, count(*) AS n_signups
+        |       FROM e WHERE event_type = 'signup' GROUP BY user_id, day),
+        |bp AS (SELECT user_id, day, count(*) AS n_big_purchases
+        |       FROM e WHERE event_type = 'purchase' AND value > 150
+        |       GROUP BY user_id, day)
+        |SELECT coalesce(su.user_id, bp.user_id) AS user_id,
+        |       coalesce(su.day, bp.day) AS day,
+        |       CAST(coalesce(n_signups, 0) AS BIGINT) AS n_signups,
+        |       CAST(coalesce(n_big_purchases, 0) AS BIGINT) AS n_big_purchases
+        |FROM su FULL OUTER JOIN bp
+        |  ON su.user_id = bp.user_id AND su.day = bp.day
+        |ORDER BY user_id, day""".stripMargin,
     "ev_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,

@@ -58,6 +58,8 @@ object PipelineQueries extends QueryPack {
     "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
     // top principal component by quantized power iteration (5 rounds)
     "emb_pca" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
+    // per-vector coordinate along the component (the serve use)
+    "emb_pca_project" -> ((s, d) => Similarity.pcaProject(emb(s, d)).orderBy("vec_id")),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
@@ -449,7 +451,7 @@ object PipelineQueries extends QueryPack {
     * Similarity.pcaTop (scatter matrix, 1e6 range normalization,
     * per-round L∞ renormalization to ±1e4, truncation-toward-zero
     * sign-split so // matches Spark's div on negatives). */
-  private def pcaOracleSql(iters: Int): String = {
+  private def pcaCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       val pv = s"v${t - 1}"
       s"""u$t AS (SELECT mm.j, CAST(sum(mm.m * $pv.v) AS BIGINT) AS u
@@ -459,7 +461,7 @@ object PipelineQueries extends QueryPack {
          |               CASE WHEN u >= 0 THEN u // st ELSE -((-u) // st) END AS v
          |        FROM u$t, s$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS ($QV),
+    s"""qv AS ($QV),
        |pe AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM qv),
        |sq AS (SELECT j, CAST(sum(qj) AS BIGINT) AS s FROM pe GROUP BY j),
        |nn AS (SELECT count(*) AS n FROM qv),
@@ -471,10 +473,13 @@ object PipelineQueries extends QueryPack {
        |mm AS (SELECT j, k, CASE WHEN m >= 0 THEN m // sc ELSE -((-m) // sc) END AS m
        |       FROM m0, msc),
        |v0 AS (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM sq),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def pcaOracleSql(iters: Int): String =
+    s"""WITH ${pcaCtes(iters)}
        |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
        |FROM v$iters ORDER BY dim""".stripMargin
-  }
 
   /** LSH-bucketed cosine pair CTEs ending in `pairs(id_a, id_b,
     * cos_sim)` — semantics of [[Similarity.annPairs]] (NumFamilies
@@ -1103,6 +1108,15 @@ object PipelineQueries extends QueryPack {
         |       CAST(sum(q) * 1000 // count(*) AS BIGINT) AS mean_mq
         |FROM qs GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_pca" -> pcaOracleSql(5),
+    // projection over the same unrolled CTEs: pe ⋈ v5 per vector
+    "emb_pca_project" ->
+      s"""WITH ${pcaCtes(5)},
+         |proj AS (SELECT pe.vec_id, CAST(sum(pe.qj * v.v) AS BIGINT) AS raw
+         |         FROM pe JOIN v5 v ON v.k = pe.j GROUP BY pe.vec_id)
+         |SELECT vec_id,
+         |       CAST(CASE WHEN raw >= 0 THEN raw // 10000
+         |                 ELSE -((-raw) // 10000) END AS BIGINT) AS coord
+         |FROM proj ORDER BY vec_id""".stripMargin,
     "dedup_jaccard" ->
       // sizes AND intersections over the same df-capped universe —
       // keep in sync with Dedup.jaccardPairs

@@ -436,6 +436,23 @@ object Similarity {
     v.select(col("k").cast("long").as("dim"), col("v")).orderBy("dim")
   }
 
+  /** Every vector's coordinate along the [[pcaTop]] axis — the serve
+    * use of the component (1-D sharding key, skew diagnostics, quick
+    * visualization ordering). coord = Σ q_i·v_i div 1e4, back on the
+    * quantized scale; sign-split truncation keeps DuckDB `//` parity.
+    * One posexplode + a broadcast 64-row join + one per-vector fold. */
+  def pcaProject(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val v = pcaTop(emb, iters)
+    quantized(emb)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qi")))
+      .join(broadcast(v), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum(col("qi") * col("v")).as("raw"))
+      .withColumn("coord",
+        when(col("raw") >= 0, expr("raw div 10000")).otherwise(-expr("(-raw) div 10000")))
+      .select(col("vec_id"), col("coord"))
+  }
+
   /** Recall@k audit of the IVF serve path against exact brute force —
     * the "measure, don't guess" dial for ANN (the [[Dedup.minhashError]]
     * stance applied to the embedding plane): per probe, how many of the
