@@ -58,6 +58,8 @@ object PipelineQueries extends QueryPack {
     "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
     // top principal component by quantized power iteration (5 rounds)
     "emb_pca" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
+    // second component by integer Hotelling deflation
+    "emb_pca2" -> ((s, d) => Similarity.pcaTop2(emb(s, d))),
     // per-vector coordinate along the component, served from the
     // session-cached build-once artifact (emb_pca keeps the inline
     // build its unrolled oracle replays; rows identical)
@@ -455,28 +457,34 @@ object PipelineQueries extends QueryPack {
     * Similarity.pcaTop (scatter matrix, 1e6 range normalization,
     * per-round L∞ renormalization to ±1e4, truncation-toward-zero
     * sign-split so // matches Spark's div on negatives). */
-  private def pcaCtes(iters: Int): String = {
-    val iterCtes = (1 to iters).map { t =>
-      val pv = s"v${t - 1}"
-      s"""u$t AS (SELECT mm.j, CAST(sum(mm.m * $pv.v) AS BIGINT) AS u
-         |        FROM mm JOIN $pv ON $pv.k = mm.k GROUP BY mm.j),
-         |s$t AS (SELECT greatest(1, max(abs(u)) // 10000) AS st FROM u$t),
-         |v$t AS (SELECT j AS k,
+  /** One quantized power-iteration chain over matrix CTE `mat`,
+    * seeding from v0; CTE names prefixed with `pfx` (empty prefix
+    * reproduces the original emb_pca names). */
+  private def pcaIterCtes(mat: String, pfx: String, iters: Int): String =
+    (1 to iters).map { t =>
+      val pv = if (t == 1) "v0" else s"${pfx}v${t - 1}"
+      s"""${pfx}u$t AS MATERIALIZED (SELECT $mat.j, CAST(sum($mat.m * $pv.v) AS BIGINT) AS u
+         |        FROM $mat JOIN $pv ON $pv.k = $mat.k GROUP BY $mat.j),
+         |${pfx}s$t AS MATERIALIZED (SELECT greatest(1, max(abs(u)) // 10000) AS st FROM ${pfx}u$t),
+         |${pfx}v$t AS MATERIALIZED (SELECT j AS k,
          |               CASE WHEN u >= 0 THEN u // st ELSE -((-u) // st) END AS v
-         |        FROM u$t, s$t)""".stripMargin
+         |        FROM ${pfx}u$t, ${pfx}s$t)""".stripMargin
     }.mkString(",\n")
-    s"""qv AS ($QV),
-       |pe AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM qv),
-       |sq AS (SELECT j, CAST(sum(qj) AS BIGINT) AS s FROM pe GROUP BY j),
-       |nn AS (SELECT count(*) AS n FROM qv),
-       |gg AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS sqq
+
+  private def pcaCtes(iters: Int): String = {
+    val iterCtes = pcaIterCtes("mm", "", iters)
+    s"""qv AS MATERIALIZED ($QV),
+       |pe AS MATERIALIZED (SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM qv),
+       |sq AS MATERIALIZED (SELECT j, CAST(sum(qj) AS BIGINT) AS s FROM pe GROUP BY j),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM qv),
+       |gg AS MATERIALIZED (SELECT a.j AS j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS sqq
        |       FROM pe a JOIN pe b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
-       |m0 AS (SELECT gg.j, gg.k, nn.n * gg.sqq - sa.s * sb.s AS m
+       |m0 AS MATERIALIZED (SELECT gg.j, gg.k, nn.n * gg.sqq - sa.s * sb.s AS m
        |       FROM gg, nn, sq sa, sq sb WHERE sa.j = gg.j AND sb.j = gg.k),
-       |msc AS (SELECT greatest(1, max(abs(m)) // 1000000) AS sc FROM m0),
-       |mm AS (SELECT j, k, CASE WHEN m >= 0 THEN m // sc ELSE -((-m) // sc) END AS m
+       |msc AS MATERIALIZED (SELECT greatest(1, max(abs(m)) // 1000000) AS sc FROM m0),
+       |mm AS MATERIALIZED (SELECT j, k, CASE WHEN m >= 0 THEN m // sc ELSE -((-m) // sc) END AS m
        |       FROM m0, msc),
-       |v0 AS (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM sq),
+       |v0 AS MATERIALIZED (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM sq),
        |$iterCtes""".stripMargin
   }
 
@@ -484,6 +492,30 @@ object PipelineQueries extends QueryPack {
     s"""WITH ${pcaCtes(iters)}
        |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
        |FROM v$iters ORDER BY dim""".stripMargin
+
+  /** Hotelling deflation unrolled over the pcaCtes chain — keep in
+    * sync with Similarity.pcaTop2 (integer Rayleigh quotient, outer
+    * product rescaled by v_max² = 1e8, sign-split truncation). */
+  private def pca2OracleSql(iters: Int): String =
+    s"""WITH ${pcaCtes(iters)},
+       |w1 AS MATERIALIZED (SELECT mm.j, CAST(sum(mm.m * v.v) AS BIGINT) AS u
+       |       FROM mm JOIN v$iters v ON v.k = mm.k GROUP BY mm.j),
+       |ld AS MATERIALIZED (SELECT CAST(sum(v.v * w1.u) AS BIGINT) AS num,
+       |              CAST(sum(v.v * v.v) AS BIGINT) AS den
+       |       FROM w1 JOIN v$iters v ON v.k = w1.j),
+       |lam AS MATERIALIZED (SELECT CASE WHEN num >= 0 THEN num // den
+       |                    ELSE -((-num) // den) END AS lam FROM ld),
+       |mm2 AS MATERIALIZED (SELECT mm.j, mm.k,
+       |               mm.m - (CASE WHEN lam.lam * vj.v * vk.v >= 0
+       |                            THEN (lam.lam * vj.v * vk.v) // 100000000
+       |                            ELSE -((-(lam.lam * vj.v * vk.v)) // 100000000)
+       |                       END) AS m
+       |        FROM mm
+       |        JOIN v$iters vj ON vj.k = mm.j
+       |        JOIN v$iters vk ON vk.k = mm.k, lam),
+       |${pcaIterCtes("mm2", "b", iters)}
+       |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+       |FROM bv$iters ORDER BY dim""".stripMargin
 
   /** LSH-bucketed cosine pair CTEs ending in `pairs(id_a, id_b,
     * cos_sim)` — semantics of [[Similarity.annPairs]] (NumFamilies
@@ -1112,6 +1144,7 @@ object PipelineQueries extends QueryPack {
         |       CAST(sum(q) * 1000 // count(*) AS BIGINT) AS mean_mq
         |FROM qs GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_pca" -> pcaOracleSql(5),
+    "emb_pca2" -> pca2OracleSql(5),
     // projection over the same unrolled CTEs: pe ⋈ v5 per vector
     "emb_pca_project" ->
       s"""WITH ${pcaCtes(5)},

@@ -406,7 +406,12 @@ object Similarity {
     *
     * The deterministic all-ones start vector makes the output sign
     * reproducible. Output: (dim, v) — the 1e4-scaled component. */
-  def pcaTop(emb: DataFrame, iters: Int = 5): DataFrame = {
+  /** The range-normalized scatter matrix, built ONCE and checkpointed:
+    * without the checkpoint, every power-iteration round's plan embeds
+    * the full Gram subtree and re-executes the d²·N-row aggregate
+    * (measured 16 s -> ~2.3 s at sf0.1 — the compounding-lineage
+    * failure the components fixpoint already solved). Caller frees. */
+  private def scatterMatrix(emb: DataFrame): DataFrame = {
     val qv = quantized(emb)
     val pe = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qj")))
     val sq = pe.groupBy("j").agg(sum("qj").as("s"))
@@ -421,17 +426,20 @@ object Similarity {
       .select(col("j"), col("k"),
         (col("n") * col("sqq") - col("sa") * col("sb")).as("m"))
     val msc = m0.agg(greatest(lit(1L), expr("max(abs(m)) div 1000000")).as("sc"))
-    // The matrix is built ONCE and checkpointed: without this, every
-    // iteration's plan embeds the full Gram subtree and re-executes
-    // the d²·N-row aggregate per round (measured 16 s -> ~3 s at
-    // sf0.1). Each iterate is checkpointed too — the lineage of v_t
-    // otherwise nests every previous round's join tree — and retired
-    // rounds free their blocks eagerly (the components hygiene).
-    val mm = Dedup.loopCheckpoint(
+    Dedup.loopCheckpoint(
       m0.crossJoin(broadcast(msc))
         .select(col("j"), col("k"),
           when(col("m") >= 0, expr("m div sc")).otherwise(-expr("(-m) div sc")).as("m")))
-    var v = Dedup.loopCheckpoint(sq.select(col("j").as("k"), lit(10000L).as("v")))
+  }
+
+  /** `iters` quantized power-iteration rounds over a (j, k, m) matrix.
+    * Each iterate is checkpointed (d rows) — the lineage of v_t
+    * otherwise nests every previous round's join tree — and retired
+    * rounds free their blocks eagerly. Returns the checkpoint-backed
+    * final iterate (k, v); caller retains or frees it. */
+  private def powerIterate(mm: DataFrame, iters: Int): DataFrame = {
+    var v = Dedup.loopCheckpoint(
+      mm.select(col("j").as("k")).distinct().select(col("k"), lit(10000L).as("v")))
     for (_ <- 1 to iters) {
       val u = mm.join(broadcast(v), Seq("k"))
         .groupBy("j").agg(sum(col("m") * col("v")).as("u"))
@@ -443,8 +451,51 @@ object Similarity {
             when(col("u") >= 0, expr("u div st")).otherwise(-expr("(-u) div st")).as("v")))
       Dedup.freeCheckpoint(prev)
     }
+    v
+  }
+
+  def pcaTop(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val mm = scatterMatrix(emb)
+    val v = powerIterate(mm, iters)
     Dedup.freeCheckpoint(mm)
     Dedup.retain(v)
+      .select(col("k").cast("long").as("dim"), col("v")).orderBy("dim")
+  }
+
+  /** SECOND principal component by Hotelling deflation, all exact
+    * integer arithmetic: λ̂ = (v₁ᵀ·m·v₁) div (v₁ᵀ·v₁) (the Rayleigh
+    * quotient in matrix units), m₂ = m − (λ̂·v₁ⱼ·v₁ₖ) div 1e8 (v₁ is
+    * ±1e4-scaled, so the outer product rescales by v_max²), then the
+    * same quantized power iteration on m₂. Quantization of λ̂ and v₁
+    * leaves O(1e-4) of the first component in m₂ — fine while
+    * λ₁/λ₂ is moderate (the estimate, like any deflation, degrades as
+    * the spectrum gap widens); the point is the DETERMINISM: DuckDB
+    * replays both eigen-passes bit-for-bit. */
+  def pcaTop2(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val mm = scatterMatrix(emb)
+    val v1 = powerIterate(mm, iters)
+    val u = mm.join(broadcast(v1), Seq("k"))
+      .groupBy("j").agg(sum(col("m") * col("v")).as("u"))
+    val lam = u
+      .join(broadcast(v1.select(col("k").as("j"), col("v").as("vv"))), Seq("j"))
+      .agg(sum(col("vv") * col("u")).as("num"), sum(col("vv") * col("vv")).as("den"))
+      .select(
+        when(col("num") >= 0, expr("num div den"))
+          .otherwise(-expr("(-num) div den")).as("lam"))
+    val m2 = Dedup.loopCheckpoint(
+      mm
+        .join(broadcast(v1.select(col("k").as("j"), col("v").as("vj"))), Seq("j"))
+        .join(broadcast(v1.select(col("k"), col("v").as("vk"))), Seq("k"))
+        .crossJoin(broadcast(lam))
+        .withColumn("corr", col("lam") * col("vj") * col("vk"))
+        .select(col("j"), col("k"),
+          (col("m") - when(col("corr") >= 0, expr("corr div 100000000"))
+            .otherwise(-expr("(-corr) div 100000000"))).as("m")))
+    Dedup.freeCheckpoint(mm)
+    Dedup.freeCheckpoint(v1)
+    val v2 = powerIterate(m2, iters)
+    Dedup.freeCheckpoint(m2)
+    Dedup.retain(v2)
       .select(col("k").cast("long").as("dim"), col("v")).orderBy("dim")
   }
 

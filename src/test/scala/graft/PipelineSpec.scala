@@ -1489,6 +1489,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(v(1L)) <= 10L, s"noise axis must vanish: $v")
   }
 
+  test("pcaTop2 deflation finds the planted second axis") {
+    // dominant variance on dim 0 (±3), second on dim 1 (±1.5) — a
+    // moderate spectrum gap so quantized deflation stays clean; dim 2
+    // is noise
+    val d = Seq(
+      (0L, Seq(3.0f, 0.0f, 0.05f), 0), (1L, Seq(-3.0f, 0.0f, -0.05f), 0),
+      (2L, Seq(3.0f, 0.0f, -0.05f), 0), (3L, Seq(-3.0f, 0.0f, 0.05f), 0),
+      (4L, Seq(0.0f, 1.5f, 0.05f), 1), (5L, Seq(0.0f, -1.5f, -0.05f), 1),
+      (6L, Seq(0.0f, 1.5f, -0.05f), 1), (7L, Seq(0.0f, -1.5f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val v1 = Similarity.pcaTop(d).as[(Long, Long)].collect().toMap
+    val v2 = Similarity.pcaTop2(d).as[(Long, Long)].collect().toMap
+    assert(math.abs(v1(0L)) == 10000L && math.abs(v1(1L)) <= 100L, v1.toString)
+    assert(math.abs(v2(1L)) == 10000L, s"second axis must dominate v2: $v2")
+    assert(math.abs(v2(0L)) <= 500L, s"first axis must be deflated away: $v2")
+  }
+
   test("pcaTopCached serves the identical component; project matches inline") {
     val e = Tables.embeddings(spark, sf0001)
     val inline = Similarity.pcaTop(e).as[(Long, Long)].collect().toSeq.sorted
