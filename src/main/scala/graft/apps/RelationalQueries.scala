@@ -424,6 +424,20 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("n_signups", "n_big_purchases"))
         .orderBy("user_id", "day")
     },
+    // Day-of-week × hour activity heatmap. dow is computed as
+    // days-since-a-known-Monday mod 7 (0 = Monday) — pure date
+    // arithmetic, immune to the engines' conflicting dayofweek()
+    // numbering conventions.
+    "ev_dow_hour" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.select(Tables.eventTime(ev).as("ts_utc"), col("value"))
+        .withColumn("dow",
+          expr("datediff(to_date(ts_utc), date'2024-01-01') % 7").cast("int"))
+        .withColumn("hr", hour(col("ts_utc")).cast("int"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("dow", "hr")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -677,6 +691,12 @@ object RelationalQueries extends QueryPack {
         |FROM su FULL OUTER JOIN bp
         |  ON su.user_id = bp.user_id AND su.day = bp.day
         |ORDER BY user_id, day""".stripMargin,
+    "ev_dow_hour" ->
+      """SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |                      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INTEGER) AS dow,
+        |       CAST(hour(ts) AS INTEGER) AS hr,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
     "ev_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,

@@ -264,6 +264,9 @@ object PipelineQueries extends QueryPack {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     // recall@5 of the cell-routed IVF path vs exact brute force
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(emb(s, d), 0L to 9L, 5).orderBy("probe_id")),
+    // top-5 cross-label near-misses per probe (contrastive mining)
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfTopKKmeans(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     // k-means IVF serve path: multi-probe top-k against the session-
     // cached assignment + centroid artifact (Lloyd runs once per
@@ -1920,6 +1923,25 @@ object PipelineQueries extends QueryPack {
          |  FROM probes p JOIN qd v ON v.vec_id <> p.probe_id)
          |SELECT probe_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
          |       CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                                   ORDER BY cos DESC, vec_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // the sim_topk oracle with the cross-label fence — keep in sync
+    // with Similarity.hardNegatives
+    "sim_hard_negatives" ->
+      s"""WITH qv AS ($QV2),
+         |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS q, n2 FROM qv),
+         |probes AS (SELECT vec_id AS probe_id, label AS p_label, q AS pq, n2 AS pn2
+         |           FROM qd WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id, v.label,
+         |         list_dot_product(p.pq, v.q)
+         |           / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) AS cos
+         |  FROM probes p JOIN qd v
+         |    ON v.vec_id <> p.probe_id AND v.label <> p.p_label)
+         |SELECT probe_id, vec_id AS neg_id, CAST(label AS INTEGER) AS neg_label,
+         |       round(cos, 6) AS cos_sim, CAST(rn AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
          |                                   ORDER BY cos DESC, vec_id) AS rn
          |      FROM scored)

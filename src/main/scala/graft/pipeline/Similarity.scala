@@ -551,6 +551,32 @@ object Similarity {
       .select(col("probe_id"), col("n_hits"), col("k"), col("recall_bp"))
   }
 
+  /** Hard-negative mining for contrastive training: per probe, the
+    * top-k highest-cosine vectors with a DIFFERENT label — the
+    * near-miss negatives that teach a retrieval model its decision
+    * boundary (random negatives are trivially separable; these are
+    * not). Same bounded shape as [[bruteTopK]] — probes broadcast,
+    * corpus streams, the label fence is a codegen'd filter before
+    * ranking. */
+  def hardNegatives(emb: DataFrame, probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    val qv = quantized(emb)
+    val probes = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    qv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id") && col("label") =!= col("p_label"))
+      .withColumn("cos",
+        dot(emb.sparkSession, col("pq"), col("q")).cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with cos >= minCos
     * of each probe — the similarity-API complement of top-k (audits,
     * dedup sweeps, "everything close to X" retrieval, where the answer
