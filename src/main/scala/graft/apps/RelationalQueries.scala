@@ -145,6 +145,22 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     },
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (zero-order customers must appear) then a histogram of the
+    // per-customer counts. Two aggregations, both key-partitioned; the
+    // histogram grid is bounded by max orders per customer.
+    "q13_custdist" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(!col("o_orderpriority").contains("LOW"))
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      cust.join(ord, Seq("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
     // TPC-H Q17 shape: correlated aggregate subquery — lineitems under
     // 20% of their part's average quantity, for one brand. The
     // per-part average is computed AFTER the brand semi-join, so the
@@ -499,6 +515,15 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority NOT LIKE '%LOW%'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q17_avg_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
