@@ -81,6 +81,16 @@ object Tables {
   /** Session factory used by tests / local mains. Verify/Bench build
     * their own (driver contract) — keep configs in sync with those.
     */
+  /** Register every testdata table as a temp view so `spark.sql(...)`
+    * works as a front door next to the DataFrame API — the full ANSI
+    * SQL surface (plus graft's native functions when the session was
+    * built with [[GraftExtensions]]) over the same loaders, schema
+    * adaptation included. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
   def session(appName: String, cores: Int = 4): SparkSession = {
     val spark = SparkSession.builder()
       // local[N, 2]: allow one task retry, like a real cluster would —
