@@ -358,6 +358,27 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** The pipeline's END: materialize a curated epoch as
+    * shard-partitioned parquet training files. Each doc rides its
+    * [[epochShuffle]] (shard, pos) — so readers stream any shard in
+    * its deterministic permutation order by a pos sort WITHIN the
+    * shard file, never a global sort — and the layout is
+    * `dir/shard=N/part-…` via partitionBy: one directory per shard,
+    * each a few tens of MB at the derived shard count, the unit a
+    * data-loader worker claims. Write is the only action; everything
+    * upstream (dedup, gates, shuffle) stays one lazy plan.
+    * Returns the shard count. */
+  def writeTrainingShards(docs: DataFrame, dir: String,
+      epoch: Int = 0, nShards: Int = 0): Int = {
+    val shards = if (nShards > 0) nShards else autoShards(docs)
+    docs
+      .join(epochShuffle(docs, epoch, shards), Seq("doc_id"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("text"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    shards
+  }
+
   /** [[epochShuffle]]'s derived shard count: the smallest power of two
     * >= max(8, corpusTokens / [[TargetTokensPerBucket]]), from the
     * same one partial-aggregating token count as [[autoBuckets]]. The

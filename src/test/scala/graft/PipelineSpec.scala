@@ -1489,6 +1489,34 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(v(1L)) <= 10L, s"noise axis must vanish: $v")
   }
 
+  test("writeTrainingShards: partitioned layout, lossless round-trip, permutation order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      val d = docs.select("doc_id", "text")
+      val n = Curation.writeTrainingShards(d, dir, epoch = 1, nShards = 8)
+      assert(n == 8)
+      // layout: one directory per shard value
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      assert(shardDirs.nonEmpty && shardDirs.subsetOf((0 until 8).map(i => s"shard=$i").toSet))
+      val back = spark.read.parquet(dir)
+      // lossless: every doc exactly once, text intact
+      assert(back.count() == d.count())
+      val joined = back.join(d.withColumnRenamed("text", "orig"), "doc_id")
+      assert(joined.filter(col("text") =!= col("orig")).count() == 0)
+      // reading one shard ordered by pos replays exactly the epoch
+      // permutation for that shard
+      val shard0 = back.filter(col("shard") === 0)
+        .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+      val expect = Curation.epochShuffle(d, epoch = 1, nShards = 8)
+        .filter(col("shard") === 0)
+        .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+      assert(shard0 == expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pcaTop2 deflation finds the planted second axis") {
     // dominant variance on dim 0 (±3), second on dim 1 (±1.5) — a
     // moderate spectrum gap so quantized deflation stays clean; dim 2
