@@ -75,6 +75,37 @@ class EventsSpec extends SparkSpec {
     assert(spikes < rows / 5, s"z>2 flagged $spikes/$rows days — threshold not discriminating")
   }
 
+  test("funnel matches a naive in-memory reference on random event streams") {
+    val rnd = new scala.util.Random(42)
+    val types = Vector("signup", "view", "click", "purchase", "error")
+    val rows = (0 until 2000).map { _ =>
+      (rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextLong(10 * W)) // spread over ~10 windows so the 72h gate bites
+    }
+    def naive(): Map[Int, Long] = {
+      val byUser = rows.groupBy(_._1)
+      def stageT(evs: Seq[(Long, String, Long)], t: String, after: Option[Long]): Option[Long] =
+        after.flatMap { a =>
+          val c = evs.filter(e => e._2 == t && e._3 > a && e._3 <= a + W).map(_._3)
+          if (c.isEmpty) None else Some(c.min)
+        }
+      val stages = byUser.values.map { evs =>
+        val t1 = { val s = evs.filter(_._2 == "signup").map(_._3); if (s.isEmpty) None else Some(s.min) }
+        val t2 = stageT(evs, "view", t1)
+        val t3 = stageT(evs, "click", t2)
+        val t4 = stageT(evs, "purchase", t3)
+        (t1, t2, t3, t4)
+      }
+      Map(1 -> stages.count(_._1.isDefined).toLong,
+        2 -> stages.count(_._2.isDefined).toLong,
+        3 -> stages.count(_._3.isDefined).toLong,
+        4 -> stages.count(_._4.isDefined).toLong)
+    }
+    val got = RelationalQueries.funnel(rows.toDF("user_id", "event_type", "tsu"))
+      .select("stage", "n_users").as[(Int, Long)].collect().toMap
+    assert(got == naive(), s"got $got expected ${naive()}")
+  }
+
   test("funnel: conv_bp is stage-over-previous-stage in basis points") {
     val rows = (1L to 4L).flatMap { u =>
       // users 1-4 sign up; 1-2 view; 1 clicks
