@@ -440,6 +440,26 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("n_signups", "n_big_purchases"))
         .orderBy("user_id", "day")
     },
+    // Event-type transition matrix (first-order Markov chain over each
+    // user's time-ordered stream): P(next | current) in basis points.
+    // One lead window on the user_id partitioning; the transition
+    // table is |types|² rows and its row-normalizer is a broadcast.
+    "ev_markov" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val trans = ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.eventMicros(ev).as("tsu"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+      trans.join(broadcast(tot), "from_type")
+        .withColumn("p_bp", expr("n * 10000 div tot"))
+        .select("from_type", "to_type", "n", "p_bp")
+        .orderBy("from_type", "to_type")
+    },
     // Day-of-week × hour activity heatmap. dow is computed as
     // days-since-a-known-Monday mod 7 (0 = Monday) — pure date
     // arithmetic, immune to the engines' conflicting dayofweek()
@@ -716,6 +736,19 @@ object RelationalQueries extends QueryPack {
         |FROM su FULL OUTER JOIN bp
         |  ON su.user_id = bp.user_id AND su.day = bp.day
         |ORDER BY user_id, day""".stripMargin,
+    "ev_markov" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY tsu, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |       CAST(c.n * 10000 // tot.tot AS BIGINT) AS p_bp
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "ev_dow_hour" ->
       """SELECT CAST(date_diff('day', DATE '2024-01-01',
         |                      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INTEGER) AS dow,
