@@ -408,6 +408,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** LSH RECALL audit over a deterministic pair sample — the
+    * false-negative dial [[minhashError]] cannot see (it audits only
+    * pairs the bands already caught). Docs sharing a hash bucket
+    * (md5 byte mod `nBuckets`) form the sampled pair set — N²/B
+    * pairs, so B sized ~N keeps the audit linear while sampling pairs
+    * uniformly. Per pair: the TRUE df-capped distinct-shingle Jaccard
+    * (computed only for sampled pairs: pair × shingles-of-a rows
+    * semi-joined against b's shingles — never the all-pairs
+    * self-join), and whether [[minhashCandidates]]' banding caught
+    * it. Output per Jaccard decile: pair count, caught count, capture
+    * rate, and the theoretical S-curve 1 − (1 − j^r)^b at the bucket
+    * midpoint — observed-vs-theory is the number that sizes
+    * (bands × rows) before a 100 TB dedup run trusts its recall. */
+  def lshRecall(docs: DataFrame, k: Int = 3, nBuckets: Int = 16,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val pb = docs.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        % nBuckets).as("pb"))
+    val pairs = pb.as("a").join(pb.as("b"),
+        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = TextAnalysis.shingles(docs, k)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val overCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(kept.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val caught = minhashCandidates(docs, k).withColumn("caught", lit(1L))
+    val scored = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"), "left")
+      .join(caught, Seq("doc_a", "doc_b"), "left")
+      .select(
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("sz_a"), lit(0L)) + coalesce(col("sz_b"), lit(0L))
+          - coalesce(col("inter"), lit(0L))).as("den"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .withColumn("jac_bp",
+        when(col("den") === 0, lit(0L)).otherwise(expr("inter * 10000 div den")))
+    scored
+      .withColumn("decile", least(expr("jac_bp div 1000"), lit(9L)).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"), sum("caught").as("n_caught"))
+      .withColumn("capture_bp", expr("n_caught * 10000 div n_pairs"))
+      .withColumn("theory",
+        round(lit(1.0) - pow(lit(1.0) -
+          pow((col("decile") + 0.5) / 10.0, lit(BandRows)), lit(nBands)), 4))
+      .select(col("decile"), col("n_pairs"), col("n_caught"),
+        col("capture_bp"), col("theory"))
+  }
+
   /** Winnowing-based near-dup pairs (MOSS similarity — Schleimer et
     * al. SIGMOD 2003 §4): docs sharing >= `minShared` WINNOWED
     * fingerprints ([[TextAnalysis.winnowFingerprints]]). Differs from

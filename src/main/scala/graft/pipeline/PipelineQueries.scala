@@ -39,6 +39,9 @@ object PipelineQueries extends QueryPack {
     // sketch-quality audit: minhash Jaccard estimate vs true shingle
     // Jaccard per candidate pair, 1e4-quantized
     "dedup_minhash_err" -> ((s, d) => Dedup.minhashError(docs(s, d)).orderBy("doc_a", "doc_b")),
+    // LSH recall audit: sampled-pair capture rate per Jaccard decile
+    // vs the theoretical S-curve (the false-negative dial)
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(docs(s, d)).orderBy("decile")),
     // cross-source near-dup overlap matrix (mirror detection), served
     // from the build-once pair table
     "dedup_source_overlap" -> ((s, d) =>
@@ -1298,6 +1301,52 @@ object PipelineQueries extends QueryPack {
         |       round(pow(nn * sxy - sx * sy, 2)
         |             / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 4) AS r2
         |FROM st""".stripMargin,
+    // sampled-pair LSH recall over the shared candidate CTEs — keep in
+    // sync with Dedup.lshRecall (16 sample buckets, df-capped true
+    // jaccard, decile capture vs the 1-(1-j^r)^b S-curve)
+    "dedup_lsh_recall" -> {
+      val nBands = Dedup.NumHashes / Dedup.BandRows
+      s"""WITH ${minhashCandCtes},
+         |pb AS (SELECT doc_id,
+         |              (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b0
+         |       FROM documents),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM pb a JOIN pb b
+         |            ON a.b0 % 16 = b.b0 % 16 AND a.doc_id < b.doc_id),
+         |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         |        WHERE df > ${Dedup.MaxShingleDf}),
+         |kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM dfc)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+         |pa AS (SELECT p.doc_a, p.doc_b, k1.shingle
+         |       FROM pairs p JOIN kept k1 ON k1.doc_id = p.doc_a),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM pa
+         |          WHERE EXISTS (SELECT 1 FROM kept k2
+         |                        WHERE k2.doc_id = pa.doc_b AND k2.shingle = pa.shingle)
+         |          GROUP BY doc_a, doc_b),
+         |scored AS (
+         |  SELECT coalesce(i.inter, 0) AS inter,
+         |         coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.inter, 0) AS den,
+         |         CASE WHEN EXISTS (SELECT 1 FROM cand c
+         |                           WHERE c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+         |              THEN 1 ELSE 0 END AS caught
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  LEFT JOIN sizes sb ON sb.doc_id = p.doc_b),
+         |jb AS (SELECT CASE WHEN den = 0 THEN 0 ELSE inter * 10000 // den END AS jac_bp,
+         |              caught
+         |       FROM scored),
+         |g AS (SELECT CAST(least(jac_bp // 1000, 9) AS INTEGER) AS decile,
+         |             count(*) AS n_pairs, sum(caught) AS n_caught
+         |      FROM jb GROUP BY decile)
+         |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(n_caught AS BIGINT) AS n_caught,
+         |       CAST(n_caught * 10000 // n_pairs AS BIGINT) AS capture_bp,
+         |       round(1 - pow(1 - pow((decile + 0.5) / 10, ${Dedup.BandRows}), $nBands), 4)
+         |         AS theory
+         |FROM g ORDER BY decile""".stripMargin
+    },
     // CMS build + top-k probe — keep in sync with TextAnalysis.cmsAudit
     // (depth 4, width 1024, md5(j|word) 48-bit bucket hash)
     "text_cms" -> {
