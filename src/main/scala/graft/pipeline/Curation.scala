@@ -57,7 +57,10 @@ object Curation {
       .withColumn("priority", expr(s"weight * ${1L << 48} div (h48 + 1)"))
       .orderBy(desc("priority"), asc("doc_id"))
       .limit(k + 1)
-    val tau = top.agg(min("priority").as("tau"))
+    // tau is the (k+1)-th priority; when the sample IS the population
+    // (fewer than k+1 rows) DLT defines tau = 0, so est_w = w exactly
+    val tau = top.agg(min("priority").as("mn"), count(lit(1)).as("c"))
+      .select(when(col("c") < k + 1, lit(0L)).otherwise(col("mn")).as("tau"))
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0)).orderBy(desc("priority"), asc("doc_id"))
     top

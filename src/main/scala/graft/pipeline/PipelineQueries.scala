@@ -1448,7 +1448,8 @@ object PipelineQueries extends QueryPack {
          |      FROM k0),
          |t AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
          |      FROM p QUALIFY rn <= 101),
-         |tau AS (SELECT min(priority) AS tau FROM t)
+         |tau AS (SELECT CASE WHEN count(*) < 101 THEN 0
+         |               ELSE min(priority) END AS tau FROM t)
          |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
          |       CAST(priority AS BIGINT) AS priority,
          |       CAST(rn AS INTEGER) AS rank,

@@ -1414,6 +1414,16 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prioritySample: k >= population -> tau = 0 and est_w = weight exactly") {
+    val d = (1L to 5L).map(i => (i, "t", "en", "s", i * 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.prioritySample(d, k = 100)
+      .select("weight", "est_w").as[(Long, Long)].collect()
+    assert(r.length == 5)
+    assert(r.forall { case (w, e) => e == w },
+      s"whole-population sample must estimate exactly: ${r.mkString(",")}")
+  }
+
   test("prioritySample: exact DLT priorities, rank order, estimator threshold") {
     def h48(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
