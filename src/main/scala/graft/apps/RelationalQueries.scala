@@ -440,6 +440,23 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("n_signups", "n_big_purchases"))
         .orderBy("user_id", "day")
     },
+    // Trend analytics over the DAILY grid: 7-day moving average and
+    // day-over-day delta per event type. The windows run over the
+    // aggregated (type, day) series — bounded by days × types, never
+    // the raw event stream — with rowsBetween frames ordered by day.
+    "ev_trend" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .select(col("event_type"), to_date(Tables.eventTime(ev)).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("ma7",
+          round(avg("n").over(byType.rowsBetween(-6, Window.currentRow)), 2))
+        .withColumn("delta", col("n") - lag("n", 1).over(byType))
+        .orderBy("event_type", "day")
+    },
     // Event-type transition matrix (first-order Markov chain over each
     // user's time-ordered stream): P(next | current) in basis points.
     // One lead window on the user_id partitioning; the transition
@@ -736,6 +753,17 @@ object RelationalQueries extends QueryPack {
         |FROM su FULL OUTER JOIN bp
         |  ON su.user_id = bp.user_id AND su.day = bp.day
         |ORDER BY user_id, day""".stripMargin,
+    "ev_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+        |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+        |       CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |         AS delta
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "ev_markov" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
         |t AS (SELECT event_type AS from_type,
