@@ -139,7 +139,10 @@ object Multimodal {
     }
   }
 
-  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] = {
+  /** Raw 16-bit signed PCM samples via `javax.sound.sampled` —
+    * WAV/AIFF/AU containers, endianness per format. The shared decode
+    * seam under [[decodeAudio]] and [[audioHash64]]. */
+  def decodePcm(payload: Array[Byte]): Option[Array[Int]] = {
     val in =
       try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload)))
@@ -155,23 +158,54 @@ object Multimodal {
         if (!pcm) None
         else {
           val bytes = ais.readAllBytes()
-          val hist = new Array[Double](HistBins)
+          val out = new Array[Int](bytes.length / 2)
           var i = 0
-          var n = 0
           while (i + 1 < bytes.length) {
             // 16-bit signed sample; WAV is little-endian, AIFF/AU big
-            val s =
+            out(i / 2) =
               if (fmt.isBigEndian) (bytes(i).toInt << 8) | (bytes(i + 1) & 0xff)
               else (bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)
-            hist(((s + 32768) * HistBins) / 65536) += 1.0
-            n += 1
             i += 2
           }
-          if (n == 0) None else Some(hist.map(_ / n))
+          if (out.isEmpty) None else Some(out)
         }
       } finally ais.close()
     }
   }
+
+  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] =
+    decodePcm(payload).map { samples =>
+      val hist = new Array[Double](HistBins)
+      samples.foreach(s => hist(((s + 32768) * HistBins) / 65536) += 1.0)
+      hist.map(_ / samples.length)
+    }
+
+  /** Audio perceptual fingerprint — the [[aHash64]] stance on the
+    * audio plane: REAL decode → 64 integer block-mean frames (sum of
+    * samples div count; nearest frame when fewer than 64 samples) →
+    * bit i (i = 0..62, MSB-first) set iff frame i+1 > frame i (the
+    * sign-of-derivative envelope, robust to gain changes that scale
+    * all frames together), bit 63 reserved 0 — 16 hex chars. Every
+    * step is integer arithmetic, so the fixture goldens are on-paper
+    * derivable: constant-envelope signals (silence, symmetric
+    * squares) degenerate to the all-zero hash; the ramp's strictly
+    * rising means read fffffffffffffffe. */
+  def audioHash64(payload: Array[Byte]): Option[String] =
+    decodePcm(payload).map { s =>
+      val n = s.length
+      val frames = Array.tabulate(64) { f =>
+        val i0 = f * n / 64
+        val i1 = math.max((f + 1) * n / 64, i0 + 1)
+        var sum = 0L
+        var i = i0
+        while (i < i1) { sum += s(math.min(i, n - 1)); i += 1 }
+        sum / (i1 - i0)
+      }
+      val hash = (0 until 63).foldLeft(0L) { (acc, i) =>
+        if (frames(i + 1) > frames(i)) acc | (1L << (63 - i)) else acc
+      }
+      f"$hash%016x"
+    }
 
   /** Batched per-partition feature extraction — the JVM analogue of
     * `mapInPandas`: one iterator per partition, codec state is

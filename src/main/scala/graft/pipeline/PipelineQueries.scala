@@ -333,6 +333,10 @@ object PipelineQueries extends QueryPack {
     // real decode + exact-integer resample/threshold vs the on-paper
     // golden hashes (see PngFixtures.phashGolden).
     "mm_phash" -> ((s, _) => PngFixtures.phashQuery(s).orderBy("media_id")),
+    // Audio envelope fingerprint over the committed WAVs — real decode
+    // + integer frame means + sign-of-derivative bits (see
+    // WavFixtures.aphashGolden).
+    "mm_aphash" -> ((s, _) => WavFixtures.aphashQuery(s).orderBy("media_id")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -2200,6 +2204,7 @@ object PipelineQueries extends QueryPack {
     "mm_decode" -> PngFixtures.goldenSql,
     "mm_audio" -> WavFixtures.goldenSql,
     "mm_phash" -> PngFixtures.phashGoldenSql,
+    "mm_aphash" -> WavFixtures.aphashGoldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {

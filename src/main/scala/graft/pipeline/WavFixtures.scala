@@ -122,4 +122,43 @@ object WavFixtures {
        |  $rows) AS t(media_id, feature_pos, feature_val)
        |ORDER BY media_id, feature_pos""".stripMargin
   }
+
+  /** Analytic audio-fingerprint goldens ([[Multimodal.audioHash64]] on
+    * paper): constant-envelope fixtures — silence, and both square
+    * waves whose 4-sample frame means are sum −2 div 4 = 0 — read the
+    * all-zero hash (the aHash flat-input degeneracy, audio edition);
+    * the 4096-sample ramp's 64 frame means rise strictly (1024f + 504
+    * − 32768), so bits 0..62 set = fffffffffffffffe. */
+  val aphashGolden: Seq[(Long, String)] = Seq(
+    (1L, "0000000000000000"),
+    (2L, "0000000000000000"),
+    (3L, "0000000000000000"),
+    (4L, "fffffffffffffffe"))
+
+  /** The mm_aphash query: committed WAVs → real decode → exact-integer
+    * envelope fingerprint. Same no-fallback stance as [[decodeQuery]]. */
+  def aphashQuery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(fixtureDir + "/*.wav")
+      .select(
+        regexp_extract(col("path"), "(\\d+)_[a-z]+\\.wav$", 1).cast("long").as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Multimodal.audioHash64(bytes).map(h => (id, h))
+        }
+      }
+      .toDF("media_id", "aphash")
+  }
+
+  def aphashGoldenSql: String = {
+    val rows = aphashGolden.map { case (id, h) =>
+      s"(CAST($id AS BIGINT), '$h')"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows) AS t(media_id, aphash)
+       |ORDER BY media_id""".stripMargin
+  }
 }

@@ -138,6 +138,30 @@ class MultimodalSpec extends SparkSpec {
       s"audio decode output diverged from the analytic golden: $got")
   }
 
+  test("audioHash64 matches the on-paper goldens; gain changes move no bits") {
+    import graft.pipeline.{Multimodal, WavFixtures}
+    WavFixtures.specs.foreach { case (id, _, samples) =>
+      val got = Multimodal.audioHash64(WavFixtures.wavBytes(samples)).get
+      val want = WavFixtures.aphashGolden.find(_._1 == id).get._2
+      assert(got == want, s"fixture $id: got $got, expected $want")
+    }
+    // envelope robustness: halving the gain scales every frame mean
+    // together, so the sign-of-derivative hash is identical — while a
+    // time-reversed ramp flips every bit of the envelope
+    def hash(samples: Seq[Int]): Long =
+      java.lang.Long.parseUnsignedLong(
+        Multimodal.audioHash64(WavFixtures.wavBytes(samples)).get, 16)
+    val wob = (0 until 1024).map(i => (math.sin(i / 40.0) * 20000).toInt)
+    // integer truncation can flip a +-1 frame delta at an envelope
+    // peak, so "identical" is asserted up to a couple of bits
+    assert(java.lang.Long.bitCount(hash(wob) ^ hash(wob.map(_ / 2))) <= 2,
+      "gain change must move at most truncation-tie bits")
+    val ramp = (0 until 4096).map(i => 16 * i - 32768)
+    val rev = ramp.reverse
+    assert(java.lang.Long.bitCount(hash(ramp) ^ hash(rev)) == 63,
+      "time reversal must flip the whole envelope")
+  }
+
   test("aHash matches the on-paper goldens; one flipped pixel moves few bits") {
     import graft.pipeline.{Multimodal, PngFixtures}
     // committed fixtures decode to exactly the analytic hashes
