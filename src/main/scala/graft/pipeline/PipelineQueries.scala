@@ -155,6 +155,8 @@ object PipelineQueries extends QueryPack {
     // weighted priority sample (Duffield-Lund-Thorup) with the
     // subset-sum estimator threshold
     "pipeline_reservoir" -> ((s, d) => Curation.prioritySample(docs(s, d)).orderBy("rank")),
+    // packing-efficiency audit: fill rate + boundary-cut doc count
+    "pipeline_pack_eval" -> ((s, d) => Curation.packEfficiency(docs(s, d))),
     // training-mix rates in 64ths: heavy en, medium de/fr/es, light zh
     "pipeline_sample" -> ((s, d) =>
       Curation.stratifiedSample(docs(s, d),
@@ -607,7 +609,9 @@ object PipelineQueries extends QueryPack {
     * derived bucket count, 48-bit md5 bucket hash, per-bucket running
     * offsets, floor-division chunk spans — semantics of
     * [[Curation.packSequencesBy]]. */
-  private def packCoreSql(cntCtes: String): String = {
+  /** The pack CTE chain ending in `o(doc_id, n_tokens, bucket, off)` —
+    * shared by the per-doc layout queries and the efficiency audit. */
+  private def packBaseCtes(cntCtes: String): String = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
     // Horner-free 48-bit value: sum of nibble * 16^(11-i) — exact in
@@ -625,13 +629,16 @@ object PipelineQueries extends QueryPack {
        |o AS (
        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  private def packCoreSql(cntCtes: String): String =
+    s"""${packBaseCtes(cntCtes)}
        |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
        |       CAST(off AS BIGINT) AS offset_in_bucket,
        |       CAST(off // 256 AS BIGINT) AS first_pack,
        |       CAST((off + n_tokens - 1) // 256 AS BIGINT) AS last_pack
        |FROM o ORDER BY doc_id""".stripMargin
-  }
 
   /** Per-doc quality CTE `q(doc_id, source, n_tokens, quality)` —
     * [[TextAnalysis.quality]]'s arithmetic with the source column
@@ -1535,6 +1542,26 @@ object PipelineQueries extends QueryPack {
         |  SELECT doc_id,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)""".stripMargin),
+    // efficiency fold over the same pack CTEs — keep in sync with
+    // Curation.packEfficiency
+    "pipeline_pack_eval" -> {
+      s"""${packBaseCtes(
+           """cnt AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents)""".stripMargin)},
+         |g AS (SELECT bucket, sum(n_tokens) AS used,
+         |             max((off + n_tokens - 1) // 256) + 1 AS n_packs,
+         |             sum(CASE WHEN off // 256 <> (off + n_tokens - 1) // 256
+         |                      THEN 1 ELSE 0 END) AS n_cut
+         |      FROM o GROUP BY bucket)
+         |SELECT CAST(sum(used) AS BIGINT) AS total_tokens,
+         |       CAST(sum(n_packs) AS BIGINT) AS n_packs,
+         |       CAST(sum(n_packs) * 256 AS BIGINT) AS capacity,
+         |       CAST(sum(n_cut) AS BIGINT) AS n_cut_docs,
+         |       CAST(sum(used) * 10000 // (sum(n_packs) * 256) AS BIGINT) AS fill_bp
+         |FROM g""".stripMargin
+    },
     // the same pack core over bpeApply's subword counts — keep in sync
     // with Curation.packSequencesBy + TextAnalysis.bpeApply
     "pipeline_pack_bpe" -> packCoreSql(
