@@ -421,12 +421,19 @@ object Dedup {
     * rate, and the theoretical S-curve 1 − (1 − j^r)^b at the bucket
     * midpoint — observed-vs-theory is the number that sizes
     * (bands × rows) before a 100 TB dedup run trusts its recall. */
-  def lshRecall(docs: DataFrame, k: Int = 3, nBuckets: Int = 16,
+  def lshRecall(docs: DataFrame, k: Int = 3, nBuckets: Int = 0,
       maxDf: Long = MaxShingleDf): DataFrame = {
     val nBands = NumHashes / BandRows
+    // DERIVED sample-bucket count: B ~ N/32 keeps the sampled pair set
+    // at ~16·N pairs at any corpus size (a static B would make the
+    // sample quadratic again — the epochShuffle autoShards stance);
+    // 48 hash bits make the mod-B bias negligible at arbitrary B
+    val buckets =
+      if (nBuckets > 0) nBuckets.toLong
+      else math.max(16L, docs.count() / 32)
     val pb = docs.select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
-        % nBuckets).as("pb"))
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+        % buckets).as("pb"))
     val pairs = pb.as("a").join(pb.as("b"),
         col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -1318,13 +1318,13 @@ object PipelineQueries extends QueryPack {
     "dedup_lsh_recall" -> {
       val nBands = Dedup.NumHashes / Dedup.BandRows
       s"""WITH ${minhashCandCtes},
+         |nbk AS (SELECT greatest(16, count(*) // 32) AS b FROM documents),
          |pb AS (SELECT doc_id,
-         |              (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b0
-         |       FROM documents),
+         |              ${hex48Sql("hx")} % (SELECT b FROM nbk) AS pb
+         |       FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM pb a JOIN pb b
-         |            ON a.b0 % 16 = b.b0 % 16 AND a.doc_id < b.doc_id),
+         |            ON a.pb = b.pb AND a.doc_id < b.doc_id),
          |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
          |        WHERE df > ${Dedup.MaxShingleDf}),
          |kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM dfc)),
