@@ -63,6 +63,22 @@ object Dedup {
         countDistinct(col("h")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
 
+  /** NORMALIZED exact dedup — the standard tier between byte-exact
+    * and near-dup (the C4 convention): lowercase + whitespace-collapse
+    * + trim before hashing, so trivial formatting variants of the
+    * same content collapse. One aggregate pass computes raw-distinct
+    * and normalized-distinct side by side; the difference is the
+    * duplicate mass ONLY normalization catches. Map-only expressions
+    * + partial-aggregating distinct counts. */
+  def exactNormSummary(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_raw_distinct"),
+      countDistinct(md5(norm)).as("n_norm_distinct"))
+      .withColumn("n_norm_only_dups", col("n_raw_distinct") - col("n_norm_distinct"))
+  }
+
   /** Exact-duplicate groups (by content hash): representative doc +
     * group size, only groups with > 1 member. */
   def exactGroups(docs: DataFrame): DataFrame =

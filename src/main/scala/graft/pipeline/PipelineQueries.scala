@@ -35,6 +35,9 @@ object PipelineQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactSummary(docs(s, d))),
+    // normalized-exact tier (lowercase + whitespace collapse before
+    // hashing — the dup mass only normalization catches)
+    "dedup_exact_norm" -> ((s, d) => Dedup.exactNormSummary(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d)).orderBy("doc_a", "doc_b")),
     // sketch-quality audit: minhash Jaccard estimate vs true shingle
     // Jaccard per candidate pair, 1e4-quantized
@@ -935,6 +938,17 @@ object PipelineQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    // keep in sync with Dedup.exactNormSummary (lower + \s+ collapse +
+    // trim; DuckDB regexp_replace needs the 'g' flag Spark implies)
+    "dedup_exact_norm" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_raw_distinct,
+        |       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS n_norm_distinct,
+        |       count(DISTINCT md5(text))
+        |         - count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS n_norm_only_dups
         |FROM documents""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $minhashCandCtes

@@ -1369,6 +1369,19 @@ class PipelineSpec extends SparkSpec {
     assert(rk.forall(x => x._3 == 3L && x._4 == 10000L), rk.mkString(","))
   }
 
+  test("exactNormSummary: case and whitespace variants collapse under normalization") {
+    val d = Seq(
+      (1L, "Hello  World", "en", "s", 1L),
+      (2L, " hello world ", "en", "s", 1L), // normalizes equal to 1
+      (3L, "hello world", "en", "s", 1L),   // and to this
+      (4L, "different entirely", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.exactNormSummary(d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((4L, 4L, 2L, 2L)),
+      s"4 docs, 4 raw-distinct, 2 norm-distinct, 2 norm-only dups: $r")
+  }
+
   test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
     // k=5, w=4: guarantee threshold is 8 verbatim tokens
     val run = (5 to 12).map(i => s"a$i") // 8 tokens of doc A
