@@ -440,6 +440,24 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("n_signups", "n_big_purchases"))
         .orderBy("user_id", "day")
     },
+    // Daily active users split into new (first-ever-active that day)
+    // vs returning — the growth-accounting twin of ev_retention; the
+    // same distinct-(user, day) + min-day-per-user machinery, one
+    // user_id-keyed join, bounded daily output.
+    "ev_dau" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val days = ev
+        .select(col("user_id"), to_date(Tables.eventTime(ev)).as("day"))
+        .distinct()
+      val first = days.groupBy("user_id").agg(min("day").as("first_day"))
+      days.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("dau"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+        .withColumn("returning", col("dau") - col("new_users"))
+        .orderBy("day")
+    },
     // Trend analytics over the DAILY grid: 7-day moving average and
     // day-over-day delta per event type. The windows run over the
     // aggregated (type, day) series — bounded by days × types, never
@@ -753,6 +771,17 @@ object RelationalQueries extends QueryPack {
         |FROM su FULL OUTER JOIN bp
         |  ON su.user_id = bp.user_id AND su.day = bp.day
         |ORDER BY user_id, day""".stripMargin,
+    "ev_dau" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |           FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id)
+        |SELECT day, count(*) AS dau,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS new_users,
+        |       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS returning
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
     "ev_trend" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
