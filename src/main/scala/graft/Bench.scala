@@ -29,11 +29,17 @@ import org.apache.spark.sql.SparkSession
   * stay comparable. Catalyst optimizes under it like any action: maps
   * prune to the counted columns, and a join that provably cannot
   * change cardinality (e.g. dedup_spans_clean's left join against the
-  * aggregate-keyed ranges table) is eliminated outright, so such a
-  * query's bench number measures its COUNT cost, not its full
-  * materialization (the correctness gate writes every column and pays
-  * the full cost). Changing the action would re-baseline every query;
-  * not worth it mid-series.
+  * aggregate-keyed ranges table — and, through the same elimination
+  * cascade, dedup_span_coverage's ungrouped aggregate over it) is
+  * eliminated outright, so such a query's bench number measures its
+  * COUNT cost, not its full materialization (the correctness gate
+  * writes every column and pays the full cost). Since round 9 both
+  * spans-family consumers serve from the build-once span index
+  * (Dedup.spanIndexCached), so the subtree the elimination drops is a
+  * checkpoint READ, not the positional self-join — the benched serve
+  * shape is the production shape; the train-inline build cost is
+  * visible in dedup_spans, which keeps it deliberately. Changing the
+  * action would re-baseline every query; not worth it mid-series.
   *
   * Failure accounting: a query's headline number is the median of its
   * SUCCESSFUL samples; -1 means every pass failed. Queries with a

@@ -78,9 +78,6 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** Session factory used by tests / local mains. Verify/Bench build
-    * their own (driver contract) — keep configs in sync with those.
-    */
   /** Register every testdata table as a temp view so `spark.sql(...)`
     * works as a front door next to the DataFrame API — the full ANSI
     * SQL surface (plus graft's native functions when the session was
@@ -91,6 +88,9 @@ object Tables {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
 
+  /** Session factory used by tests / local mains. Verify/Bench build
+    * their own (driver contract) — keep configs in sync with those.
+    */
   def session(appName: String, cores: Int = 4): SparkSession = {
     val spark = SparkSession.builder()
       // local[N, 2]: allow one task retry, like a real cluster would —

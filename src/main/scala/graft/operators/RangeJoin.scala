@@ -24,13 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** bucket = t div w as COLUMN arithmetic (not a string-interpolated
+    * expr, which breaks on column names needing backticks): decimal
+    * division + long cast truncates toward zero exactly like Spark's
+    * `div`, and every bucket interval is >= w wide (the zero-straddling
+    * bucket is 2w−1), so |Δt| <= w still lands same-or-adjacent. */
+  private def bucketOf(t: org.apache.spark.sql.Column, windowUs: Long) =
+    (t.cast("decimal(25,0)") / windowUs).cast("long")
+
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, windowUs: Long): DataFrame = {
     require(windowUs > 0, "windowUs must be positive")
-    val l = left.withColumn("__bucket", expr(s"$leftTime div $windowUs"))
+    // __bucket is an internal plumbing column; silently overwriting a
+    // caller's column of that name would corrupt their data
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "inputs must not already carry a __bucket column")
+    val l = left.withColumn("__bucket", bucketOf(col(leftTime), windowUs))
     val r = right
       .withColumn("__delta", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("__bucket", expr(s"$rightTime div $windowUs") + col("__delta"))
+      .withColumn("__bucket", bucketOf(col(rightTime), windowUs) + col("__delta"))
       .drop("__delta")
     l.join(r, Seq(key, "__bucket"))
       .filter(abs(col(rightTime) - col(leftTime)) <= windowUs)

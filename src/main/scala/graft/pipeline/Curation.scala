@@ -43,18 +43,25 @@ object Curation {
     * (k+1)-th priority — unbiased for any subset-sum query over the
     * corpus, the sketch a 100 TB lake answers "how many bytes does
     * source X hold" from without a full scan. All arithmetic exact:
-    * u_i = (h48+1)/2^48 for 48 md5 bits, so q_i = w_i * 2^48 div
-    * (h48+1) is a pure long (w * 2^48 < 2^63 for any doc under 32k
-    * chars) and every engine replays the same sample. Top-(k+1) is a
-    * distributed TakeOrdered (never a global sort); only the k+1
-    * survivors see the constant-partition rank window; tau rides a
-    * 1-row broadcast. */
+    * u_i = (h32+1)/2^32 for 32 md5 bits, so q_i = w_i * 2^32 div
+    * (h32+1) is a pure long for any weight under 2^31 — weights are
+    * saturated at 2^31−1 before the multiply (ENFORCED, not just
+    * documented: under ANSI mode an overflow would abort the whole
+    * job), so a pathological multi-GB doc degrades to a
+    * near-guaranteed-inclusion priority instead of failing the run;
+    * est_w still uses the true weight, so subset-sum estimates over
+    * sampled items stay exact. 32 hash bits keep u's granularity at
+    * 2^-32 — ample for any sample size this serves — and every engine
+    * replays the same sample. Top-(k+1) is a distributed TakeOrdered
+    * (never a global sort); only the k+1 survivors see the
+    * constant-partition rank window; tau rides a 1-row broadcast. */
   def prioritySample(docs: DataFrame, k: Int = 100): DataFrame = {
     val top = docs
       .select(col("doc_id"), col("source"), col("n_chars").as("weight"))
-      .withColumn("h48",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
-      .withColumn("priority", expr(s"weight * ${1L << 48} div (h48 + 1)"))
+      .withColumn("h32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .withColumn("priority",
+        expr(s"least(weight, ${(1L << 31) - 1}) * ${1L << 32} div (h32 + 1)"))
       .orderBy(desc("priority"), asc("doc_id"))
       .limit(k + 1)
     // tau is the (k+1)-th priority; when the sample IS the population

@@ -672,6 +672,7 @@ object Dedup {
     // about to be freed — a cleared eager checkpoint cannot be read or
     // recomputed, so the cache entries must go with the blocks
     indexCache.clear()
+    spanCache.clear()
     Similarity.clearIndexCaches()
     TextAnalysis.clearCaches()
     retainedCps.foreach(_.get.foreach(_.unpersist(false)))
@@ -934,6 +935,30 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
   }
 
+  /** Build-once SPAN index — [[spanPairs]]' output as a
+    * checkpoint-backed artifact (the [[nearDupIndex]] pattern applied
+    * to the span plane, the one dedup family that lacked it): at
+    * corpus scale the positional shingle self-join is the single most
+    * expensive dedup build, and span removal + coverage audits are
+    * READS of its output — the pairs are written once
+    * (`spans.write.parquet(...)`) and every consumer amortizes the
+    * build instead of re-running it per query. Retained-checkpoint
+    * lifecycle: [[freeRetained]]. */
+  def spanIndex(docs: DataFrame, k: Int = 3, minRun: Int = 10,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    retain(spanPairs(docs, k, minRun, maxDf).localCheckpoint(true))
+
+  /** Session-scoped cache of [[spanIndex]] builds keyed by (session,
+    * corpus tag, k, minRun, maxDf) — same contract as
+    * [[nearDupIndexCached]]; cleared by [[freeRetained]]. */
+  private val spanCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Long), DataFrame]
+
+  def spanIndexCached(docs: DataFrame, tag: String, k: Int = 3, minRun: Int = 10,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    spanCache.getOrElseUpdate((docs.sparkSession, tag, k, minRun, maxDf),
+      spanIndex(docs, k, minRun, maxDf))
+
   /** Span REMOVAL — the curation step [[spanPairs]] exists for (the
     * dedup paper's pipeline removes the shared bytes, it doesn't just
     * report them): every maximal shared run loses its copy in the
@@ -942,20 +967,29 @@ object Dedup {
     * affected documents are rebuilt with those token positions excised.
     * A doc in several pairs loses the union of its drop ranges
     * (overlaps collapse via the distinct position set semantics).
+    * Train-inline form; production serves from [[spanIndexCached]] via
+    * [[removeSpansFromIndex]] (bit-identical — the build is
+    * deterministic; PipelineSpec pins the identity). */
+  def removeSpans(docs: DataFrame, k: Int = 3, minRun: Int = 10,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    removeSpansFromIndex(docs, spanPairs(docs, k, minRun, maxDf))
+
+  /** [[removeSpans]] served from a prebuilt span table ([[spanIndex]])
+    * — read-path cost only: no positional self-join, no islands
+    * window.
     *
-    * Scale shape: [[spanPairs]] does the heavy lifting; the drop
-    * ranges then collapse to ONE small array per AFFECTED doc
-    * (collect_list after a partial-aggregating groupBy — bounded by
-    * that doc's span count), the corpus joins it with a left join on
-    * doc_id, and the rebuild is ROW-LOCAL (filter-with-index over the
-    * token array against the doc's own ranges; untouched docs
-    * short-circuit through the original text and never evaluate the
-    * lambda). No shuffle is corpus-wide except the one doc_id join.
+    * Scale shape: the spans' drop ranges collapse to ONE small array
+    * per AFFECTED doc (collect_list after a partial-aggregating
+    * groupBy — bounded by that doc's span count), the corpus joins it
+    * with a left join on doc_id, and the rebuild is ROW-LOCAL
+    * (filter-with-index over the token array against the doc's own
+    * ranges; untouched docs short-circuit through the original text
+    * and never evaluate the lambda). No shuffle is corpus-wide except
+    * the one doc_id join.
     *
     * Output: (doc_id, text, n_removed) for every input doc. */
-  def removeSpans(docs: DataFrame, k: Int = 3, minRun: Int = 10,
-      maxDf: Long = MaxShingleDf): DataFrame = {
-    val drops = spanPairs(docs, k, minRun, maxDf)
+  def removeSpansFromIndex(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val drops = spans
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("len_tokens")).as("e"))
     val ranges = drops.groupBy("doc_id")

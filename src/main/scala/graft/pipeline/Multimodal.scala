@@ -91,17 +91,6 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decode for `kind=audio` via the JDK's
-    * `javax.sound.sampled` (zero extra dependencies — the same
-    * in-JDK-codec stance as [[decodeImage]]): parses WAV/AIFF/AU
-    * containers, accepts 16-bit signed PCM, and emits a normalized
-    * HistBins-bin AMPLITUDE histogram — bin = (sample + 32768) *
-    * HistBins / 65536, exact integer arithmetic over the full 16-bit
-    * range, all channels pooled. Returns None when the bytes are not
-    * a parseable audio container (or not 16-bit PCM) — the caller
-    * falls back to [[decodeStub]], keeping non-media payloads on the
-    * honest stand-in path. Video remains stub-only (no in-JDK codec
-    * exists). */
   /** Average-hash (aHash) perceptual fingerprint of an image: REAL
     * `javax.imageio` decode → integer luma grid (the [[decodeImage]]
     * 299/587/114 weights) → EXACT 8×8 block-mean resample (per target
@@ -173,6 +162,17 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode for `kind=audio` via the JDK's
+    * `javax.sound.sampled` (zero extra dependencies — the same
+    * in-JDK-codec stance as [[decodeImage]]): parses WAV/AIFF/AU
+    * containers, accepts 16-bit signed PCM, and emits a normalized
+    * HistBins-bin AMPLITUDE histogram — bin = (sample + 32768) *
+    * HistBins / 65536, exact integer arithmetic over the full 16-bit
+    * range, all channels pooled. Returns None when the bytes are not
+    * a parseable audio container (or not 16-bit PCM) — the caller
+    * falls back to [[decodeStub]], keeping non-media payloads on the
+    * honest stand-in path. Video remains stub-only (no in-JDK codec
+    * exists). */
   def decodeAudio(payload: Array[Byte]): Option[Array[Double]] =
     decodePcm(payload).map { samples =>
       val hist = new Array[Double](HistBins)

@@ -29,6 +29,15 @@ object PipelineQueries extends QueryPack {
     * deterministic); PipelineSpec pins that identity. */
   private def ndIdx(s: SparkSession, d: String) = Dedup.nearDupIndexCached(docs(s, d), d)
 
+  /** Session-cached build-once SPAN index ([[Dedup.spanIndexCached]]):
+    * the positional-shingle span table is built once per (session,
+    * corpus) and span removal + coverage serve from it — at 100 TB the
+    * span self-join is the costliest dedup build in the shop and both
+    * consumers are reads of its output. dedup_spans keeps the
+    * train-inline build (oracle bit-parity); PipelineSpec pins the
+    * inline == FromIndex identity. */
+  private def spanIdx(s: SparkSession, d: String) = Dedup.spanIndexCached(docs(s, d), d)
+
   /** Fixed query terms for text_bm25 — mid-frequency corpus words so
     * tf, df and doc-length normalization all do real work. */
   val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
@@ -86,15 +95,18 @@ object PipelineQueries extends QueryPack {
     "dedup_spans" -> ((s, d) =>
       Dedup.spanPairs(docs(s, d)).orderBy("doc_a", "doc_b", "start_a", "start_b")),
     // span removal: the corpus with every shared run excised from the
-    // higher-id doc of its pair (min-id keeps its copy)
-    "dedup_spans_clean" -> ((s, d) => Dedup.removeSpans(docs(s, d)).orderBy("doc_id")),
+    // higher-id doc of its pair (min-id keeps its copy) — served from
+    // the build-once span index
+    "dedup_spans_clean" -> ((s, d) =>
+      Dedup.removeSpansFromIndex(docs(s, d), spanIdx(s, d)).orderBy("doc_id")),
     // corpus-level duplication mass: what fraction of all tokens sits
     // inside removable shared runs (the one-number "how much
-    // boilerplate" dial; per-doc detail is dedup_spans_clean)
+    // boilerplate" dial; per-doc detail is dedup_spans_clean) — served
+    // from the build-once span index
     "dedup_span_coverage" -> ((s, d) => {
       val all = docs(s, d)
       val tot = all.agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-      Dedup.removeSpans(all)
+      Dedup.removeSpansFromIndex(all, spanIdx(s, d))
         .agg(
           sum("n_removed").as("removed_tokens"),
           sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_docs_affected"))
@@ -569,6 +581,15 @@ object PipelineQueries extends QueryPack {
     (0 until 12)
       .map(i => s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)"
         + s" * ${1L << (4 * (11 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** 32-bit value of the first 8 hex chars of `hexCol` — the
+    * [[hex48Sql]] nibble sum at the width prioritySample's
+    * overflow-safe priority arithmetic uses. */
+  private def hex32Sql(hexCol: String): String =
+    (0 until 8)
+      .map(i => s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)"
+        + s" * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
 
   private def annPairsCtes(threshold: Double): String = {
@@ -1464,12 +1485,15 @@ object PipelineQueries extends QueryPack {
          |HAVING count(*) >= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // priority sampling — keep in sync with Curation.prioritySample
-    // (k=100; tau = the 101st priority; est_w = max(weight, tau))
+    // (k=100; tau = the 101st priority; est_w = max(weight, tau);
+    // priority weight saturated at 2^31−1 so the multiply never
+    // overflows BIGINT)
     "pipeline_reservoir" -> {
       s"""WITH k0 AS (SELECT doc_id, source, n_chars AS weight,
          |                   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
          |p AS (SELECT doc_id, source, weight,
-         |             weight * ${1L << 48} // (${hex48Sql("hx")} + 1) AS priority
+         |             least(weight, ${(1L << 31) - 1}) * ${1L << 32}
+         |               // (${hex32Sql("hx")} + 1) AS priority
          |      FROM k0),
          |t AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
          |      FROM p QUALIFY rn <= 101),

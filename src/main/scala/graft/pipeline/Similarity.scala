@@ -500,14 +500,17 @@ object Similarity {
   }
 
   private val pcaCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
 
   /** Session-cached [[pcaTop]] — the component as a build-once
     * artifact (the ivfIndex stance): serve-path consumers like
     * [[pcaProject]] read it instead of re-running the Gram build +
-    * power iteration per query. */
+    * power iteration per query. `iters` is part of the key (a second
+    * call with different rounds is a different artifact); `tag` must
+    * uniquely identify the embedding DATASET — the cache trusts it,
+    * exactly like the other index caches. */
   def pcaTopCached(emb: DataFrame, tag: String, iters: Int = 5): DataFrame =
-    pcaCache.getOrElseUpdate((emb.sparkSession, tag), pcaTop(emb, iters))
+    pcaCache.getOrElseUpdate((emb.sparkSession, tag, iters), pcaTop(emb, iters))
 
   /** Every vector's coordinate along the [[pcaTop]] axis — the serve
     * use of the component (1-D sharding key, skew diagnostics, quick

@@ -297,6 +297,25 @@ class PipelineSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("spanIndex is build-once: cached instance, serve twins identical to train-inline") {
+    Dedup.freeRetained()
+    val d = planted
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    val i1 = Dedup.spanIndexCached(d, "spanSpecTag")
+    assert(Dedup.spanIndexCached(d, "spanSpecTag") eq i1,
+      "second call must hit the session cache, not rebuild")
+    // the index IS spanPairs' output, and the serve-path removal over
+    // it is bit-identical to the train-inline form
+    assert(rows(i1) == rows(Dedup.spanPairs(d)) && rows(i1).nonEmpty)
+    assert(rows(Dedup.removeSpansFromIndex(d, i1)) == rows(Dedup.removeSpans(d)))
+    // freeRetained invalidates cache + checkpoint blocks together
+    Dedup.freeRetained()
+    val i2 = Dedup.spanIndexCached(d, "spanSpecTag")
+    assert(!(i2 eq i1))
+    assert(rows(i2) == rows(Dedup.spanPairs(d)))
+    Dedup.freeRetained()
+  }
+
   test("nearDupIndex is build-once: cached instance, consumers serve rows identical to train-inline") {
     import graft.pipeline.Graph
     Dedup.freeRetained() // start from a clean cache
@@ -1438,17 +1457,17 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("prioritySample: exact DLT priorities, rank order, estimator threshold") {
-    def h48(id: Long): Long = {
+    def h32(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
     }
     val weights = (1L to 10L).map(i => i -> (i * 100L)).toMap
     val d = weights.toSeq.map { case (id, w) =>
       (id, "txt", "en", s"src${id % 3}", w)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     val expected = weights.toSeq
-      .map { case (id, w) => (id, w, w * (1L << 48) / (h48(id) + 1)) }
+      .map { case (id, w) => (id, w, w * (1L << 32) / (h32(id) + 1)) }
       .sortBy { case (id, _, p) => (-p, id) }
     val tau = expected(3)._3 // the (k+1)-th priority for k=3
     val r = Curation.prioritySample(d, k = 3)
@@ -1461,6 +1480,25 @@ class PipelineSpec extends SparkSpec {
       assert(rank == i + 1)
       assert(est == math.max(w, tau), s"est_w must be max(weight, tau=$tau), got $est")
     }
+  }
+
+  test("prioritySample: oversized weights saturate instead of overflowing (ANSI-safe)") {
+    // pre-fix, weight * 2^48 overflowed Long for n_chars >= 32768 and
+    // ANSI mode aborted the job; the 2^31-1 saturation + 2^32
+    // multiplier must keep a multi-GB doc in-range, near-guaranteed
+    // sampled, with est_w reporting its TRUE weight
+    val d = Seq(
+      (1L, "t", "en", "s", 3L * 1024 * 1024 * 1024), // 3 GB of chars
+      (2L, "t", "en", "s", 40000L),                  // the old abort threshold
+      (3L, "t", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.prioritySample(d, k = 2)
+      .select("doc_id", "weight", "est_w").as[(Long, Long, Long)].collect()
+    assert(r.length == 2)
+    val huge = r.find(_._1 == 1L)
+    assert(huge.isDefined, "the 3 GB doc must make a k=2 sample")
+    assert(huge.get._2 == 3L * 1024 * 1024 * 1024, "weight must be the TRUE size")
+    assert(huge.get._3 >= huge.get._2, "est_w = max(weight, tau) >= weight")
   }
 
   test("ivfRecall: clean-cell probe has full recall; cross-cell nearest is missed") {
