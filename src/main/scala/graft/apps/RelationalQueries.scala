@@ -404,11 +404,13 @@ object RelationalQueries extends QueryPack {
         .orderBy("w_start", "event_type")
     },
     // Daily-count anomaly flags per event type: spike ⟺ z > 2 over
-    // that type's day series, decided entirely in integers — z² > 4
-    // ⟺ (D·n − S1)² > 4·(D·S2 − S1²) after multiplying through by
-    // D²σ², so no sqrt, no doubles, exact in any engine. The per-type
-    // stats table is |types| rows (broadcast); the daily grid is
-    // days × types. (At extreme daily counts the squares want
+    // that type's day series, decided entirely in integers — z > 2
+    // ⟺ D·n − S1 > 0 AND (D·n − S1)² > 4·(D·S2 − S1²) after
+    // multiplying through by D²σ² (the sign conjunct keeps dips/
+    // outages, which also satisfy the squared inequality, out of the
+    // spike flag), so no sqrt, no doubles, exact in any engine. The
+    // per-type stats table is |types| rows (broadcast); the daily grid
+    // is days × types. (At extreme daily counts the squares want
     // decimals; ANSI mode makes an overflow loud, never wrong.)
     "ev_anomaly" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -421,7 +423,8 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("d"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
       daily.join(broadcast(stats), "event_type")
         .withColumn("spike",
-          when(expr("(d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)"), 1).otherwise(0))
+          when(expr("d*n - s1 > 0 AND (d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)"), 1)
+            .otherwise(0))
         .select(col("event_type"), col("day"), col("n"), col("spike"))
         .orderBy("event_type", "day")
     },
@@ -509,6 +512,124 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("dow", "hr")
     },
+    // ---- Correlated-subquery TPC-H shapes (q4/q16/q18/q21/q22) ----
+    // Deliberately written as spark.sql TEXT over the registered views,
+    // not hand-decorrelated DataFrame code: the point is evidence that
+    // CATALYST's decorrelation (RewritePredicateSubquery &c.) turns
+    // each correlated EXISTS / NOT EXISTS / NOT IN / IN-with-agg /
+    // scalar subquery into hash-able semi/anti/aggregate joins — the
+    // query shapes a 100×-scale engine gets wrong first (an accidental
+    // BroadcastNestedLoopJoin from a failed decorrelation is the
+    // classic scale-killer). PlanSpec pins every one of these plans
+    // free of BroadcastNestedLoopJoin / CartesianProduct. Predicates
+    // are adapted to the testdata schema (no l_commitdate/l_receiptdate
+    // /partsupp/c_phone columns here): "late" is shipdate far past the
+    // order date, q16's complaint filter is negative supplier balance,
+    // q22's country codes are nation keys — same shapes, same
+    // decorrelation work.
+
+    // TPC-H Q4: correlated EXISTS — orders with at least one late
+    // lineitem, counted by priority. Decorrelates to ONE left-semi
+    // hash join on l_orderkey (the o_orderdate correlation rides the
+    // join as an extra condition), then a 5-group aggregate.
+    "q4_order_priority" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+    // TPC-H Q16: NOT IN subquery — distinct-supplier counts per part
+    // (brand, type, size) bucket, excluding flagged suppliers. The
+    // NOT IN plans as a null-aware anti join (broadcast — the excluded
+    // set is an aggregate of a dimension table, tiny at any sf);
+    // lineitem plays the partsupp bridge.
+    "q16_supplier_cnt" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |       count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+          |                        WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+    // TPC-H Q18: IN with a grouped-HAVING subquery — large-quantity
+    // orders with their customer. The IN decorrelates to a left-semi
+    // join against the per-order quantity aggregate; both the
+    // aggregate and the semi join share the l_orderkey/o_orderkey
+    // partitioning.
+    "q18_big_orders" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM customer, orders, lineitem
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                     GROUP BY l_orderkey
+          |                     HAVING sum(l_quantity) > 300)
+          |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+    // TPC-H Q21: the hardest decorrelation in the suite — EXISTS and
+    // NOT EXISTS over the SAME table with a supplier INEQUALITY and an
+    // outer-scope o_orderdate reference inside the anti branch.
+    // Decorrelates to a semi join + an anti join, both hashed on
+    // l_orderkey with the non-equi conditions riding along — never a
+    // nested loop. numwait = orders where this supplier is the ONLY
+    // late one among several.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier, lineitem l1, orders
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 1200 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 1200 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    },
+    // TPC-H Q22: scalar aggregate subquery in a predicate + anti join
+    // — well-funded customers in selected nations with no recent
+    // orders. The scalar avg becomes a 1-row broadcast; the NOT EXISTS
+    // an anti join on o_custkey. The avg is rounded to cents on both
+    // sides (FP summation order differs between engines; a raw avg in
+    // a predicate is a portability bug).
+    "q22_idle_balance" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT c_nationkey, count(*) AS numcust,
+          |       round(sum(c_acctbal), 2) AS totacctbal
+          |FROM customer
+          |WHERE c_nationkey IN (3, 7, 11, 15, 19, 22, 24)
+          |  AND c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+          |                   WHERE c_acctbal > 0
+          |                     AND c_nationkey IN (3, 7, 11, 15, 19, 22, 24))
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -586,6 +707,69 @@ object RelationalQueries extends QueryPack {
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                      FROM lineitem l2
         |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    // The correlated-subquery shapes run the SAME SQL text both sides
+    // (the Spark side goes through spark.sql over the registered
+    // views).
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 1200 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 1200 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (3, 7, 11, 15, 19, 22, 24)
+        |  AND c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+        |                   WHERE c_acctbal > 0
+        |                     AND c_nationkey IN (3, 7, 11, 15, 19, 22, 24))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "ev_percentiles" ->
       """WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
         |                  count(*) AS cnt
@@ -742,7 +926,7 @@ object RelationalQueries extends QueryPack {
         |       count(*) AS n, round(sum(value), 2) AS total
         |FROM x GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
-    // z² > 4 in integers: (D·n − S1)² > 4·(D·S2 − S1²)
+    // z > 2 in integers: D·n − S1 > 0 AND (D·n − S1)² > 4·(D·S2 − S1²)
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -752,7 +936,8 @@ object RelationalQueries extends QueryPack {
         |  SELECT event_type, count(*) AS d, sum(n) AS s1, sum(n * n) AS s2
         |  FROM daily GROUP BY event_type)
         |SELECT daily.event_type, day, CAST(n AS BIGINT) AS n,
-        |       CAST(CASE WHEN (d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)
+        |       CAST(CASE WHEN d*n - s1 > 0
+        |                  AND (d*n - s1)*(d*n - s1) > 4*(d*s2 - s1*s1)
         |                 THEN 1 ELSE 0 END AS INTEGER) AS spike
         |FROM daily JOIN stats USING (event_type)
         |ORDER BY event_type, day""".stripMargin,

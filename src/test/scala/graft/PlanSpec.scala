@@ -437,6 +437,31 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), "range join fell back to a nested loop")
   }
 
+  test("correlated subqueries q4/q16/q18/q21/q22 decorrelate to hash joins — no nested loop") {
+    // the failure mode these guard against: a correlated EXISTS /
+    // NOT IN Catalyst fails to decorrelate plans as
+    // BroadcastNestedLoopJoin or CartesianProduct — O(n·m) and the
+    // first thing a 100× scale-up kills
+    val semiAnti = Map(
+      "q4_order_priority" -> "LeftSemi",
+      "q16_supplier_cnt" -> "LeftAnti",
+      "q18_big_orders" -> "LeftSemi",
+      "q21_waiting_supplier" -> "LeftAnti",
+      "q22_idle_balance" -> "LeftAnti")
+    semiAnti.foreach { case (q, jt) =>
+      val p = plan(q)
+      val s = p.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$q failed to decorrelate — nested loop join:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$q produced a cartesian join:\n$s")
+      val joins = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+      }
+      assert(joins.exists(_.contains(jt)),
+        s"$q expected a $jt join from decorrelation, got joins: $joins")
+    }
+  }
+
   test("ev_retention / dedup_winnow / pipeline_reservoir / sim_ivf_recall plan shapes") {
     // ev_retention: equi-join + aggregates only, no windows at all
     val r = plan("ev_retention")
