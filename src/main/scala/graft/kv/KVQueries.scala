@@ -37,6 +37,13 @@ object KVQueries extends QueryPack {
         .select(Key2Shard.shardOfFast(s, col("key")).as("shard"))
         .groupBy("shard").agg(count(lit(1)).as("n_keys"))
         .orderBy("shard")),
+    // the STREAMING plane under the driver's hash gate: the op log
+    // streamed through mapGroupsWithState (file source, 4 micro-
+    // batches under Trigger.AvailableNow, incremental per-key state)
+    // — final state must hash-match the batch replay oracle the fold
+    // shares its monoid with (graft.streaming.StreamReplay)
+    "stream_state_replay" -> ((s, dir) =>
+      graft.streaming.StreamReplay.stateReplay(ops(s, dir)).orderBy("key")),
   )
 
   /** DuckDB mirror of [[OpLog.fromEvents]] + [[KVEngine.dedup]] —
@@ -101,5 +108,19 @@ object KVQueries extends QueryPack {
          |SELECT ${Key2Shard.shardOfSql("key")} AS shard, count(*) AS n_keys
          |FROM (SELECT DISTINCT key FROM ops)
          |GROUP BY shard ORDER BY shard""".stripMargin,
+    // the streaming fold shares the batch replay's monoid, so the
+    // oracle IS kv_state's fold
+    "stream_state_replay" ->
+      s"""$OPS_SQL,
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |anchor AS (SELECT key, max(CASE WHEN kind = 'put' THEN seq END) AS put_seq
+         |           FROM writes GROUP BY key)
+         |SELECT w.key AS key,
+         |       coalesce(string_agg(
+         |         CASE WHEN (w.kind = 'put' AND w.seq = a.put_seq)
+         |                OR (w.kind = 'append' AND (a.put_seq IS NULL OR w.seq > a.put_seq))
+         |              THEN w.value END, '' ORDER BY w.seq), '') AS value
+         |FROM writes w JOIN anchor a ON w.key = a.key
+         |GROUP BY w.key ORDER BY w.key""".stripMargin,
   )
 }

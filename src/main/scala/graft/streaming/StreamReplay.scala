@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.kv.Op
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible STREAMING state replay — the query that puts the
+  * whole Structured-Streaming KV plane (file source → exactly-once
+  * gate → [[LiveKV.liveState]]'s mapGroupsWithState fold → Update-mode
+  * sink) under the driver's DuckDB hash gate, not just under ScalaTest
+  * chaos specs. Oracle: the batch replay's SQL — the streaming fold
+  * shares its segment monoid with [[graft.kv.KVEngine.replay]]
+  * (reference semantics: the kvraft apply loop,
+  * src/kvraft/server.go:166-214), so final state is identical by
+  * construction and any divergence is a real streaming bug.
+  *
+  * Protocol (all deterministic, all distributed except the bounded
+  * final read):
+  *
+  *  1. the deduped WRITE log is bucketed by seq range into `nBatches`
+  *     parquet files with strictly increasing modification times —
+  *     dedup happens batch-side here so the oracle replays exactly
+  *     (streaming dropDuplicates keeps the first ARRIVAL of a
+  *     (clientId, reqId) pair, which within one micro-batch is
+  *     partition-order-dependent; the in-stream dedup path stays
+  *     chaos-tested in StreamingSpec where bit-parity with a SQL
+  *     oracle is not the contract);
+  *  2. a file-source stream reads them with maxFilesPerTrigger=1 under
+  *     Trigger.AvailableNow — one micro-batch per bucket, in seq order
+  *     (mod-times 2 s apart; path order ties). The state fold is
+  *     genuinely INCREMENTAL across micro-batches: per-key GroupState
+  *     carries (value, maxSeq) from batch to batch;
+  *  3. the Update-mode memory sink holds one row per (key, batch that
+  *     touched it); the final state per key is the row with the
+  *     highest max_seq. That read is bounded by keys × batches — the
+  *     key space is the bounded shard domain (reference:
+  *     src/shardkv/client.go:25-32), never the op count.
+  *
+  * At production scale the memory sink becomes the shard-partitioned
+  * parquet sink ([[LiveKV.stateTableSink]]) and the file source a real
+  * log (Kafka offsets playing Raft log order); the operator under test
+  * — the stateful fold — is byte-identical.
+  */
+object StreamReplay {
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run the op log through the streaming path; return final
+    * (key, value) state. Blocking (AvailableNow drains the source and
+    * terminates). */
+  def stateReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    require(nBatches >= 1, "nBatches must be positive")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_replay_")
+    val inDir = root.resolve("in")
+    try {
+      // 1. bucketed, batch-deduped write log (see scaladoc)
+      val writes = graft.kv.KVEngine.dedup(ops).filter(col("kind") =!= "get")
+      val maxSeqRow = writes.agg(max("seq")).head()
+      val maxSeq = if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)
+      val width = math.max(maxSeq / nBatches + 1, 1L)
+      val bucket = least((col("seq").cast("decimal(25,0)") / width).cast("long"),
+        lit(nBatches - 1L))
+      val t0 = System.currentTimeMillis()
+      (0 until nBatches).foreach { b =>
+        val dir = inDir.resolve(f"b$b%03d")
+        writes.filter(bucket === b).coalesce(1)
+          .write.mode("overwrite").parquet(dir.toString)
+        // strictly increasing mod-times pin the micro-batch order (the
+        // file source admits oldest-first; 2 s >> fs timestamp
+        // granularity)
+        java.nio.file.Files.list(dir).forEach { p =>
+          if (!p.getFileName.toString.startsWith("_"))
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
+        }
+      }
+      // 2. stream the buckets through the live fold, one per batch
+      val name = s"stream_state_replay_${runCounter.incrementAndGet()}"
+      val src = spark.readStream
+        .schema(writes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/b*")
+      val q = LiveKV.liveState(src.as[Op])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // 3. bounded final read: keys × batches rows, newest update wins
+      val finalRows = spark.table(name)
+        .groupBy("key").agg(max_by(col("value"), col("max_seq")).as("value"))
+        .collect()
+      spark.catalog.dropTempView(name)
+      finalRows.toSeq.map(r => (r.getString(0), r.getString(1))).toDF("key", "value")
+    } finally {
+      // the result is a local relation — every on-disk artifact of the
+      // run (source buckets, checkpoint) can go immediately
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+}

@@ -38,6 +38,18 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamReplay.stateReplay: file-source AvailableNow replay == batch replay") {
+    // the driver-visible form: seq-bucketed parquet files, one
+    // micro-batch each, incremental mapGroupsWithState fold — final
+    // state must equal the batch replay bit-for-bit (shared monoid)
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
+    val batchState = KVEngine.replay(ops).as[(String, String)].collect().toMap
+    val streamed = graft.streaming.StreamReplay.stateReplay(ops)
+      .as[(String, String)].collect().toMap
+    assert(streamed == batchState)
+    assert(streamed.nonEmpty)
+  }
+
   test("retried ops across micro-batches apply exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Op]
