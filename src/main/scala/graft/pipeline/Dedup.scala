@@ -137,11 +137,15 @@ object Dedup {
     * unshared) signature computation once per band. */
   /** (doc_id, band, sig) rows from a signature table — ONE explode
     * over an in-row array (a union of per-band selects would re-run
-    * the map-only, hence unshared, signature computation per band). */
-  private def minhashBands(sig: DataFrame): DataFrame = {
-    val nBands = NumHashes / BandRows
+    * the map-only, hence unshared, signature computation per band).
+    * `bandRows` is the (bands × rows) knob the S-curve audit
+    * ([[lshRecall]]) exists to size: rows-per-band trades precision
+    * for recall (1 − (1 − j^r)^b). */
+  private def minhashBands(sig: DataFrame, bandRows: Int = BandRows): DataFrame = {
+    require(NumHashes % bandRows == 0, s"bandRows must divide $NumHashes")
+    val nBands = NumHashes / bandRows
     val bandStructs = (0 until nBands).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), concat(cols: _*).as("sig"))
     }
     sig
@@ -150,11 +154,11 @@ object Dedup {
   }
 
   def minhashCandidates(docs: DataFrame, k: Int = 3,
-      maxBucket: Long = MaxBandBucket): DataFrame = {
+      maxBucket: Long = MaxBandBucket, bandRows: Int = BandRows): DataFrame = {
     log.info(s"minhashCandidates: band buckets with > $maxBucket docs are dropped " +
       "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by group-dedup, not pairwise")
-    val bands0 = minhashBands(minhashSignatures(docs, k))
+    val bands0 = minhashBands(minhashSignatures(docs, k), bandRows)
     // two-phase skew-safe cap: groupBy partially aggregates map-side,
     // so a mega-bucket collapses to one count row per map partition
     // (a count-over-window would instead move EVERY row of the hot
@@ -438,8 +442,8 @@ object Dedup {
     * midpoint — observed-vs-theory is the number that sizes
     * (bands × rows) before a 100 TB dedup run trusts its recall. */
   def lshRecall(docs: DataFrame, k: Int = 3, nBuckets: Int = 0,
-      maxDf: Long = MaxShingleDf): DataFrame = {
-    val nBands = NumHashes / BandRows
+      maxDf: Long = MaxShingleDf, bandRows: Int = BandRows): DataFrame = {
+    val nBands = NumHashes / bandRows
     // DERIVED sample-bucket count: B ~ N/32 keeps the sampled pair set
     // at ~16·N pairs at any corpus size (a static B would make the
     // sample quadratic again — the epochShuffle autoShards stance);
@@ -464,7 +468,8 @@ object Dedup {
       .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val caught = minhashCandidates(docs, k).withColumn("caught", lit(1L))
+    val caught = minhashCandidates(docs, k, bandRows = bandRows)
+      .withColumn("caught", lit(1L))
     val scored = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
@@ -484,7 +489,7 @@ object Dedup {
       .withColumn("capture_bp", expr("n_caught * 10000 div n_pairs"))
       .withColumn("theory",
         round(lit(1.0) - pow(lit(1.0) -
-          pow((col("decile") + 0.5) / 10.0, lit(BandRows)), lit(nBands)), 4))
+          pow((col("decile") + 0.5) / 10.0, lit(bandRows)), lit(nBands)), 4))
       .select(col("decile"), col("n_pairs"), col("n_caught"),
         col("capture_bp"), col("theory"))
   }

@@ -54,6 +54,12 @@ object PipelineQueries extends QueryPack {
     // LSH recall audit: sampled-pair capture rate per Jaccard decile
     // vs the theoretical S-curve (the false-negative dial)
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(docs(s, d)).orderBy("decile")),
+    // the audit USED: the bands×rows knob at its other preset — 8
+    // bands of 1 row lifts low-Jaccard capture exactly as the S-curve
+    // predicts (1-(1-j)^8 vs 1-(1-j²)^4); comparing the two recall
+    // tables is how a 100 TB run sizes its banding before committing
+    "dedup_lsh_recall_b8" -> ((s, d) =>
+      Dedup.lshRecall(docs(s, d), bandRows = 1).orderBy("decile")),
     // cross-source near-dup overlap matrix (mirror detection), served
     // from the build-once pair table
     "dedup_source_overlap" -> ((s, d) =>
@@ -73,8 +79,15 @@ object PipelineQueries extends QueryPack {
     "emb_dimstats" -> ((s, d) => Similarity.dimStats(emb(s, d)).orderBy("dim")),
     // top principal component by quantized power iteration (5 rounds)
     "emb_pca" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
-    // second component by integer Hotelling deflation
-    "emb_pca2" -> ((s, d) => Similarity.pcaTop2(emb(s, d))),
+    // second component by integer Hotelling deflation, served from
+    // the build-once artifacts (cached scatter matrix + cached v₁ —
+    // deflation and ONE power-iteration run at read time; identical
+    // rows to the train-inline pcaTop2 the unrolled oracle replays,
+    // identity spec-pinned)
+    "emb_pca2" -> ((s, d) =>
+      Similarity.pcaTop2FromIndex(
+        Similarity.scatterMatrixCached(emb(s, d), d),
+        Similarity.pcaTopCached(emb(s, d), d))),
     // per-vector coordinate along the component, served from the
     // session-cached build-once artifact (emb_pca keeps the inline
     // build its unrolled oracle replays; rows identical)
@@ -814,19 +827,22 @@ object PipelineQueries extends QueryPack {
   }.mkString(",\n  ")
 
   /** Per-band (doc_id, band, sig) rows from a signature relation. */
-  private def bandUnionSql(sigRel: String): String =
-    (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
-      val lo = b * Dedup.BandRows
-      s"SELECT doc_id, $b AS band, mh$lo || mh${lo + 1} AS sig FROM $sigRel"
+  private def bandUnionSql(sigRel: String, bandRows: Int = Dedup.BandRows): String =
+    (0 until Dedup.NumHashes / bandRows).map { b =>
+      val lo = b * bandRows
+      val sig = (lo until lo + bandRows).map(i => s"mh$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $sigRel"
     }.mkString("\n  UNION ALL ")
 
   /** MinHash band-candidate CTEs ending in `cand(doc_a, doc_b)` —
     * semantics of [[Dedup.minhashCandidates]] (band buckets over
     * MaxBandBucket docs leave candidate generation; keep in sync).
     * Shared by dedup_minhash and dedup_components. */
-  private def minhashCandCtes: String = {
+  private def minhashCandCtes: String = minhashCandCtes(Dedup.BandRows)
+
+  private def minhashCandCtes(bandRows: Int): String = {
     val mins = minhashSigExprs
-    val bandSelects = bandUnionSql("sig")
+    val bandSelects = bandUnionSql("sig", bandRows)
     s"""sh AS (${shinglesSql(3)}),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
@@ -838,6 +854,55 @@ object PipelineQueries extends QueryPack {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Sampled-pair LSH recall oracle at a given rows-per-band —
+    * semantics of [[Dedup.lshRecall]] (16+ derived sample buckets,
+    * df-capped true jaccard, decile capture vs the 1-(1-j^r)^b
+    * S-curve). Shared by dedup_lsh_recall (r = BandRows) and
+    * dedup_lsh_recall_b8 (r = 1, 8 bands). */
+  private def lshRecallOracleSql(bandRows: Int): String = {
+    val nBands = Dedup.NumHashes / bandRows
+    s"""WITH ${minhashCandCtes(bandRows)},
+       |nbk AS (SELECT greatest(16, count(*) // 32) AS b FROM documents),
+       |pb AS (SELECT doc_id,
+       |              ${hex48Sql("hx")} % (SELECT b FROM nbk) AS pb
+       |       FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM pb a JOIN pb b
+       |            ON a.pb = b.pb AND a.doc_id < b.doc_id),
+       |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |        WHERE df > ${Dedup.MaxShingleDf}),
+       |kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM dfc)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+       |pa AS (SELECT p.doc_a, p.doc_b, k1.shingle
+       |       FROM pairs p JOIN kept k1 ON k1.doc_id = p.doc_a),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM pa
+       |          WHERE EXISTS (SELECT 1 FROM kept k2
+       |                        WHERE k2.doc_id = pa.doc_b AND k2.shingle = pa.shingle)
+       |          GROUP BY doc_a, doc_b),
+       |scored AS (
+       |  SELECT coalesce(i.inter, 0) AS inter,
+       |         coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.inter, 0) AS den,
+       |         CASE WHEN EXISTS (SELECT 1 FROM cand c
+       |                           WHERE c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+       |              THEN 1 ELSE 0 END AS caught
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+       |  LEFT JOIN sizes sb ON sb.doc_id = p.doc_b),
+       |jb AS (SELECT CASE WHEN den = 0 THEN 0 ELSE inter * 10000 // den END AS jac_bp,
+       |              caught
+       |       FROM scored),
+       |g AS (SELECT CAST(least(jac_bp // 1000, 9) AS INTEGER) AS decile,
+       |             count(*) AS n_pairs, sum(caught) AS n_caught
+       |      FROM jb GROUP BY decile)
+       |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_caught AS BIGINT) AS n_caught,
+       |       CAST(n_caught * 10000 // n_pairs AS BIGINT) AS capture_bp,
+       |       round(1 - pow(1 - pow((decile + 0.5) / 10, $bandRows), $nBands), 4)
+       |         AS theory
+       |FROM g ORDER BY decile""".stripMargin
   }
 
   /** SimHash fingerprint CTEs (tf-weighted md5 hex-digit majority) —
@@ -1350,49 +1415,11 @@ object PipelineQueries extends QueryPack {
     // sampled-pair LSH recall over the shared candidate CTEs — keep in
     // sync with Dedup.lshRecall (16 sample buckets, df-capped true
     // jaccard, decile capture vs the 1-(1-j^r)^b S-curve)
-    "dedup_lsh_recall" -> {
-      val nBands = Dedup.NumHashes / Dedup.BandRows
-      s"""WITH ${minhashCandCtes},
-         |nbk AS (SELECT greatest(16, count(*) // 32) AS b FROM documents),
-         |pb AS (SELECT doc_id,
-         |              ${hex48Sql("hx")} % (SELECT b FROM nbk) AS pb
-         |       FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)),
-         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM pb a JOIN pb b
-         |            ON a.pb = b.pb AND a.doc_id < b.doc_id),
-         |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
-         |        WHERE df > ${Dedup.MaxShingleDf}),
-         |kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM dfc)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-         |pa AS (SELECT p.doc_a, p.doc_b, k1.shingle
-         |       FROM pairs p JOIN kept k1 ON k1.doc_id = p.doc_a),
-         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM pa
-         |          WHERE EXISTS (SELECT 1 FROM kept k2
-         |                        WHERE k2.doc_id = pa.doc_b AND k2.shingle = pa.shingle)
-         |          GROUP BY doc_a, doc_b),
-         |scored AS (
-         |  SELECT coalesce(i.inter, 0) AS inter,
-         |         coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.inter, 0) AS den,
-         |         CASE WHEN EXISTS (SELECT 1 FROM cand c
-         |                           WHERE c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
-         |              THEN 1 ELSE 0 END AS caught
-         |  FROM pairs p
-         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-         |  LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
-         |  LEFT JOIN sizes sb ON sb.doc_id = p.doc_b),
-         |jb AS (SELECT CASE WHEN den = 0 THEN 0 ELSE inter * 10000 // den END AS jac_bp,
-         |              caught
-         |       FROM scored),
-         |g AS (SELECT CAST(least(jac_bp // 1000, 9) AS INTEGER) AS decile,
-         |             count(*) AS n_pairs, sum(caught) AS n_caught
-         |      FROM jb GROUP BY decile)
-         |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs,
-         |       CAST(n_caught AS BIGINT) AS n_caught,
-         |       CAST(n_caught * 10000 // n_pairs AS BIGINT) AS capture_bp,
-         |       round(1 - pow(1 - pow((decile + 0.5) / 10, ${Dedup.BandRows}), $nBands), 4)
-         |         AS theory
-         |FROM g ORDER BY decile""".stripMargin
-    },
+    "dedup_lsh_recall" -> lshRecallOracleSql(Dedup.BandRows),
+    // the bands knob the S-curve audit exists to size, demonstrated:
+    // 8 bands x 1 row — higher recall at low Jaccard (more candidate
+    // pairs), the capture-rate shift visible against dedup_lsh_recall
+    "dedup_lsh_recall_b8" -> lshRecallOracleSql(1),
     // CMS build + top-k probe — keep in sync with TextAnalysis.cmsAudit
     // (depth 4, width 1024, md5(j|word) 48-bit bucket hash)
     "text_cms" -> {

@@ -1606,6 +1606,14 @@ class PipelineSpec extends SparkSpec {
       .pcaProjectFromIndex(Similarity.pcaTopCached(e, "spec"), e)
       .as[(Long, Long)].collect().toSeq.sorted
     assert(pInline == pServed)
+    // the deflation serve path (cached scatter matrix + cached v₁)
+    // must replay the train-inline second component bit-for-bit
+    val p2Inline = Similarity.pcaTop2(e).as[(Long, Long)].collect().toSeq.sorted
+    val p2Served = Similarity
+      .pcaTop2FromIndex(Similarity.scatterMatrixCached(e, "spec"),
+        Similarity.pcaTopCached(e, "spec"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(p2Inline == p2Served)
   }
 
   test("zipfFit recovers slope -1 exactly on a true Zipf corpus") {
