@@ -630,6 +630,71 @@ object RelationalQueries extends QueryPack {
           |GROUP BY c_nationkey
           |ORDER BY c_nationkey""".stripMargin)
     },
+    // TPC-H Q2 shape: CORRELATED SCALAR aggregate subquery — rows
+    // matching their group's min, correlation by equality on
+    // l_partkey. RewriteCorrelatedScalarSubquery turns it into a
+    // per-part min aggregate + equi-join; the double equality is exact
+    // (both engines read identical parquet doubles, min is selection
+    // not arithmetic).
+    "q2_min_price" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+          |FROM part, lineitem
+          |WHERE p_partkey = l_partkey
+          |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                         FROM lineitem l2
+          |                         WHERE l2.l_partkey = p_partkey)
+          |ORDER BY p_partkey, l_suppkey
+          |LIMIT 100""".stripMargin)
+    },
+    // TPC-H Q19: OR-of-ANDs across a join — the disjunction mixes
+    // part-side and lineitem-side predicates, so a naive planner can
+    // push NOTHING below the join and filters 6M rows post-join.
+    // Catalyst extracts the per-side common disjunctions (l_quantity
+    // range union, p_brand/p_size unions) below the join; PlanSpec
+    // pins an Or() inside BOTH scans' pushed filters.
+    "q19_disjunct" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity BETWEEN 10 AND 25)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+    },
+    // TPC-H Q11 shape: scalar aggregate subquery in HAVING — suppliers
+    // holding more than 1.05% of total revenue. Exact INTEGER
+    // arithmetic end to end (per-row cents quantization, then
+    // cross-multiplied threshold — sum·10000 > total·105), because a
+    // raw double sum comparison is summation-order-dependent between
+    // engines. The scalar subquery computes once and broadcasts as a
+    // literal; both aggregates partial-aggregate.
+    "q11_value_share" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """WITH r AS (
+          |  SELECT l_suppkey,
+          |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS rev_c
+          |  FROM lineitem)
+          |SELECT l_suppkey, sum(rev_c) AS value_c
+          |FROM r
+          |GROUP BY l_suppkey
+          |HAVING sum(rev_c) * 10000 > (SELECT sum(rev_c) * 105 FROM r)
+          |ORDER BY value_c DESC, l_suppkey""".stripMargin)
+    },
+    // STREAMING windowed aggregation under the oracle gate: the events
+    // table read as a stream, 1 h tumbling rollup, Complete-mode drain
+    // (graft.streaming.StreamReplay.windowedReplay) — must equal the
+    // batch ev_hourly rollup it shares an oracle with.
+    "stream_hourly" -> { (s, dir) =>
+      graft.streaming.StreamReplay.windowedReplay(s, dir)
+        .orderBy("w_start", "event_type")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -757,6 +822,35 @@ object RelationalQueries extends QueryPack {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    "q2_min_price" ->
+      """SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, l_suppkey
+        |LIMIT 100""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q11_value_share" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS rev_c
+        |  FROM lineitem)
+        |SELECT l_suppkey, CAST(sum(rev_c) AS BIGINT) AS value_c
+        |FROM r
+        |GROUP BY l_suppkey
+        |HAVING sum(rev_c) * 10000 > (SELECT sum(rev_c) * 105 FROM r)
+        |ORDER BY value_c DESC, l_suppkey""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |       round(sum(c_acctbal), 2) AS totacctbal
@@ -863,6 +957,13 @@ object RelationalQueries extends QueryPack {
         |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     "ev_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+    // the streaming rollup shares the batch rollup's oracle
+    "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total
         |FROM events

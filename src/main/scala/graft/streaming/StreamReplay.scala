@@ -46,6 +46,61 @@ object StreamReplay {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Driver-visible STREAMING windowed aggregation — the second
+    * streaming plane (stateful event-time aggregation, vs
+    * [[stateReplay]]'s mapGroupsWithState) under the oracle gate: the
+    * events table itself is read as a file-source STREAM, rolled up
+    * by 1-hour tumbling window × event_type, and drained under
+    * Trigger.AvailableNow into a Complete-mode memory sink — Complete
+    * mode makes the final table the full rollup regardless of how the
+    * source was micro-batched, so the result equals the batch
+    * ev_hourly rollup (same oracle SQL) exactly. The final read is
+    * bounded by the hours × types window grid, never the event count.
+    * In production the sink is a Delta/parquet table in Update mode
+    * with a watermark; the aggregation operator under test is the
+    * same. */
+  def windowedReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_hourly_")
+    try {
+      val batchEv = graft.Tables.events(spark, sfDir)
+      // the file stream source wants a DIRECTORY; the testdata table is
+      // a single parquet file — expose it through a symlinked dir (copy
+      // fallback for filesystems without symlinks), zero data movement
+      val inDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+      val srcFile = java.nio.file.Paths.get(sfDir, "events.parquet")
+      val linked = inDir.resolve("events.parquet")
+      try java.nio.file.Files.createSymbolicLink(linked, srcFile)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(srcFile, linked)
+      }
+      val src = spark.readStream.schema(batchEv.schema).parquet(inDir.toString)
+      val agg = src
+        .select(graft.Tables.eventTime(src).as("ts_utc"), col("event_type"), col("value"))
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+      val name = s"stream_hourly_${runCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = spark.table(name).schema
+      val rows = spark.table(name).collect() // hours × types — bounded
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+
   /** Run the op log through the streaming path; return final
     * (key, value) state. Blocking (AvailableNow drains the source and
     * terminates). */

@@ -462,6 +462,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q19: OR-of-ANDs disjunction pushes per-side filters below the join") {
+    // the mixed disjunction must not filter post-join only: Catalyst
+    // extracts each side's common disjunct and pushes it into the scan
+    val s = formatted("q19_disjunct")
+    val scans = s.split("Scan parquet")
+    val liScan = scans.find(_.contains("l_quantity")).getOrElse("")
+    assert(liScan.contains("PushedFilters:") &&
+      liScan.contains("Or(") && liScan.contains("l_quantity"),
+      s"lineitem scan lost its pushed OR-range filter:\n$s")
+    val pScan = scans.find(_.contains("p_brand")).getOrElse("")
+    assert(pScan.contains("Or(") && pScan.contains("p_brand"),
+      s"part scan lost its pushed OR-brand filter:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("q11: scalar HAVING subquery is a one-row broadcast, not a re-scan per group") {
+    val p = plan("q11_value_share")
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    // the subquery shows up as a Subquery/scalar-subquery reference in
+    // the final aggregate, computed once
+    assert(s.contains("Subquery") || s.contains("scalar-subquery"),
+      s"q11 lost its scalar subquery shape:\n$s")
+  }
+
   test("ev_retention / dedup_winnow / pipeline_reservoir / sim_ivf_recall plan shapes") {
     // ev_retention: equi-join + aggregates only, no windows at all
     val r = plan("ev_retention")

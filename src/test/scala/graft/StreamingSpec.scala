@@ -50,6 +50,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("StreamReplay.windowedReplay: streaming hourly rollup == batch rollup") {
+    val streamed = graft.streaming.StreamReplay.windowedReplay(spark, sf0001)
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = SparkEntry.queries("ev_hourly")(spark, sf0001).collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("retried ops across micro-batches apply exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Op]
