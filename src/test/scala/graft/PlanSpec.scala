@@ -257,12 +257,21 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(lpWindows.isEmpty, "text_logprob2 grew a window")
-    // dedup_spans_clean: exactly the islands window (the rebuild is
-    // row-local; the ranges join must not rank anything)
+    // dedup_spans_clean serves from the build-once span index (round
+    // 9): the islands window lives in the INDEX build (dedup_spans'
+    // train-inline plan keeps it); the serve plan must be windowless —
+    // a checkpoint scan + ranges aggregate + one doc_id join, nothing
+    // ranked (the rebuild is row-local)
     val scWindows = collectAll(plan("dedup_spans_clean")) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(scWindows.size == 1, s"dedup_spans_clean expected only the islands window, got ${scWindows.size}")
+    assert(scWindows.isEmpty,
+      s"dedup_spans_clean's serve plan grew a window: ${scWindows.size}")
+    val spWindows = collectAll(plan("dedup_spans")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(spWindows.size == 1,
+      s"dedup_spans expected only the islands window, got ${spWindows.size}")
     // sim_ivfpq_topk: the only windows are the two bounded rankings
     // (probe->cell routing over k rows/probe, final top-k); the
     // LUT/codebook joins must not fall back to SMJ of the code table
