@@ -49,17 +49,24 @@ object LiveKV {
     KVUpdate(key, st.value, st.maxSeq)
   }
 
-  /** Streaming state table: one KVUpdate per key per micro-batch
-    * (Update output mode). */
-  def liveState(ops: Dataset[Op]): Dataset[KVUpdate] = {
+  /** The stateful fold stage alone — per-key mapGroupsWithState over
+    * an op stream whose exactly-once property is the CALLER's
+    * responsibility (either [[liveState]]'s in-stream dropDuplicates,
+    * or a log that is already deduplicated at the producer, the
+    * [[StreamReplay]] stance). */
+  private[streaming] def foldStream(ops: Dataset[Op]): Dataset[KVUpdate] = {
     val spark = ops.sparkSession
     import spark.implicits._
     ops
-      .dropDuplicates("clientId", "reqId")
       .filter(col("kind") =!= "get")
       .groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldOps)
   }
+
+  /** Streaming state table: one KVUpdate per key per micro-batch
+    * (Update output mode). */
+  def liveState(ops: Dataset[Op]): Dataset[KVUpdate] =
+    foldStream(ops.dropDuplicates("clientId", "reqId"))
 
   /** [[liveState]] with BOUNDED dedup state: retries are deduped only
     * within the event-time watermark horizon

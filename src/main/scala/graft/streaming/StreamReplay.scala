@@ -111,8 +111,13 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_replay_")
     val inDir = root.resolve("in")
     try {
-      // 1. bucketed, batch-deduped write log (see scaladoc)
+      // 1. bucketed, batch-deduped write log (see scaladoc). Folded
+      // ONCE into an eager checkpoint: the per-bucket writes below are
+      // coalesce(1) single-task jobs, and without the checkpoint each
+      // would re-run the whole dedup aggregate single-threaded (4x the
+      // dedup cost, serialized).
       val writes = graft.kv.KVEngine.dedup(ops).filter(col("kind") =!= "get")
+        .localCheckpoint(true)
       val maxSeqRow = writes.agg(max("seq")).head()
       val maxSeq = if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)
       val width = math.max(maxSeq / nBatches + 1, 1L)
@@ -132,13 +137,19 @@ object StreamReplay {
               java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
         }
       }
+      graft.pipeline.Dedup.freeCheckpoint(writes.toDF) // buckets are on disk
       // 2. stream the buckets through the live fold, one per batch
       val name = s"stream_state_replay_${runCounter.incrementAndGet()}"
       val src = spark.readStream
         .schema(writes.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/b*")
-      val q = LiveKV.liveState(src.as[Op])
+      // foldStream, not liveState: the streamed log is ALREADY
+      // exactly-once (step 1), so the in-stream dropDuplicates would
+      // only push every (clientId, reqId) pair through a second state
+      // store for nothing — the operator under the gate is the
+      // incremental fold; the dedup-in-stream path has its own specs
+      val q = LiveKV.foldStream(src.as[Op])
         .writeStream.format("memory").queryName(name)
         .outputMode("update")
         .option("checkpointLocation", root.resolve("ck").toString)
