@@ -441,8 +441,14 @@ object Dedup {
     * rate, and the theoretical S-curve 1 − (1 − j^r)^b at the bucket
     * midpoint — observed-vs-theory is the number that sizes
     * (bands × rows) before a 100 TB dedup run trusts its recall. */
+  /** `caughtPairs`: a prebuilt candidate-pair table for THIS banding
+    * preset (e.g. [[nearDupIndexCached]].pairs for the default) — the
+    * audit then reads the artifact instead of re-running the band
+    * self-join; rows identical (the index IS minhashCandidates'
+    * output). */
   def lshRecall(docs: DataFrame, k: Int = 3, nBuckets: Int = 0,
-      maxDf: Long = MaxShingleDf, bandRows: Int = BandRows): DataFrame = {
+      maxDf: Long = MaxShingleDf, bandRows: Int = BandRows,
+      caughtPairs: Option[DataFrame] = None): DataFrame = {
     val nBands = NumHashes / bandRows
     // DERIVED sample-bucket count: B ~ N/32 keeps the sampled pair set
     // at ~16·N pairs at any corpus size (a static B would make the
@@ -468,7 +474,9 @@ object Dedup {
       .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val caught = minhashCandidates(docs, k, bandRows = bandRows)
+    val caught = caughtPairs
+      .getOrElse(minhashCandidates(docs, k, bandRows = bandRows))
+      .select(col("doc_a"), col("doc_b"))
       .withColumn("caught", lit(1L))
     val scored = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

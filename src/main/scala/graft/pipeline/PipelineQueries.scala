@@ -52,8 +52,13 @@ object PipelineQueries extends QueryPack {
     // Jaccard per candidate pair, 1e4-quantized
     "dedup_minhash_err" -> ((s, d) => Dedup.minhashError(docs(s, d)).orderBy("doc_a", "doc_b")),
     // LSH recall audit: sampled-pair capture rate per Jaccard decile
-    // vs the theoretical S-curve (the false-negative dial)
-    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(docs(s, d)).orderBy("decile")),
+    // vs the theoretical S-curve (the false-negative dial). The
+    // default-banding "caught" set reads the build-once pair table
+    // (it IS minhashCandidates' output) instead of re-running the
+    // band self-join.
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecall(docs(s, d), caughtPairs = Some(ndIdx(s, d).pairs))
+        .orderBy("decile")),
     // the audit USED: the bands×rows knob at its other preset — 8
     // bands of 1 row lifts low-Jaccard capture exactly as the S-curve
     // predicts (1-(1-j)^8 vs 1-(1-j²)^4); comparing the two recall
