@@ -948,6 +948,67 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
   }
 
+  /** Incremental SPAN dedup: maximal shared token runs between a NEW
+    * crawl batch and the standing BASE corpus — the span-plane twin of
+    * [[incrementalDedup]] (screening every ingest against the corpus;
+    * re-running the full positional self-join over base ∪ batch would
+    * be O(base²) per ingest). The positional join is batch-vs-base
+    * ONLY, never base-vs-base: at corpus scale batch << base, so cost
+    * is O(batch-side hits), linear in the ingest.
+    *
+    * The df blacklist is computed over the BASE (distinct docs per
+    * shingle): the standing corpus is the boilerplate authority — a
+    * k-gram common in the corpus is boilerplate even if rare in the
+    * batch, and a batch-only repeated k-gram is exactly what the audit
+    * should surface. Same islands/diagonal machinery as [[spanPairs]];
+    * (doc_a, doc_b) = (batch doc, base doc) — caller contract: the id
+    * spaces are disjoint (different crawls).
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, len_tokens). */
+  def spanPairsIncremental(base: DataFrame, batch: DataFrame, k: Int = 3,
+      minRun: Int = 10, maxDf: Long = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shB = TextAnalysis.shingles(base)
+    val shN = TextAnalysis.shingles(batch)
+    val overCap = shB.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    val keptB = shB.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val keptN = shN.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val hits = keptN.as("a")
+      .join(keptB.as("b"), col("a.shingle") === col("b.shingle"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    hits
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(
+        min("pos_a").cast("long").as("start_a"),
+        (min("pos_a") - col("diag")).cast("long").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("len_tokens"))
+      .filter(col("len_tokens") >= minRun)
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+  }
+
+  /** Persist a [[NearDupIndex]] as parquet tables — the cross-SESSION
+    * form of the build-serve split (the session cache amortizes within
+    * a driver; a 100 TB build amortizes across drivers by living on
+    * disk, the same stance as the IVF index's disk round-trip). */
+  def writeNearDupIndex(idx: NearDupIndex, dir: String): Unit = {
+    idx.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    idx.clusters.write.mode("overwrite").parquet(s"$dir/clusters")
+  }
+
+  /** Reload a persisted [[NearDupIndex]]; every `-FromIndex` consumer
+    * serves from the reloaded tables identically (spec-pinned). */
+  def readNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex =
+    NearDupIndex(
+      spark.read.parquet(s"$dir/pairs"),
+      spark.read.parquet(s"$dir/clusters"))
+
   /** Build-once SPAN index — [[spanPairs]]' output as a
     * checkpoint-backed artifact (the [[nearDupIndex]] pattern applied
     * to the span plane, the one dedup family that lacked it): at

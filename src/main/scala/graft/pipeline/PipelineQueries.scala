@@ -133,6 +133,17 @@ object PipelineQueries extends QueryPack {
         .select(col("total_tokens"), col("removed_tokens"),
           col("n_docs_affected"), col("coverage_bp"))
     }),
+    // incremental SPAN dedup: the new-crawl batch's shared token runs
+    // against the standing base — batch-vs-base positional joins only
+    // (never base-vs-base), df blacklist from the base corpus (the
+    // boilerplate authority); the per-ingest cost of span screening
+    "dedup_spans_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.spanPairsIncremental(
+        all.filter(col("doc_id") % 5 =!= 4),
+        all.filter(col("doc_id") % 5 === 4))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
     // incremental ingest dedup: every 5th doc plays the new crawl
     // batch, screened against the rest as the standing base corpus —
     // batch-vs-base joins only, never base-vs-base
@@ -726,6 +737,38 @@ object PipelineQueries extends QueryPack {
        |  FROM isl GROUP BY doc_a, doc_b, diag, isl
        |  HAVING count(*) + ${k - 1} >= $minRun)""".stripMargin
 
+  /** Incremental-span CTEs — semantics of
+    * [[Dedup.spanPairsIncremental]]: base/batch split of the
+    * positional shingles, df blacklist over BASE distinct docs,
+    * batch-vs-base hits, same islands machinery. */
+  private def spanIncrCtes(k: Int, minRun: Int): String =
+    s"""sh AS (${positionalShinglesSql(k)}),
+       |shb AS (SELECT * FROM sh WHERE doc_id % 5 <> 4),
+       |shn AS (SELECT * FROM sh WHERE doc_id % 5 = 4),
+       |cap AS (SELECT shingle FROM (
+       |          SELECT shingle, count(DISTINCT doc_id) AS df
+       |          FROM shb GROUP BY shingle)
+       |        WHERE df > ${Dedup.MaxShingleDf}),
+       |kb AS (SELECT shb.* FROM shb
+       |       WHERE shingle NOT IN (SELECT shingle FROM cap)),
+       |kn AS (SELECT shn.* FROM shn
+       |       WHERE shingle NOT IN (SELECT shingle FROM cap)),
+       |hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+       |         a.pos - b.pos AS diag
+       |  FROM kn a JOIN kb b ON a.shingle = b.shingle),
+       |isl AS (
+       |  SELECT *, pos_a - row_number()
+       |              OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(min(pos_a) AS BIGINT) AS start_a,
+       |         CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+       |         CAST(count(*) + ${k - 1} AS BIGINT) AS len_tokens
+       |  FROM isl GROUP BY doc_a, doc_b, diag, isl
+       |  HAVING count(*) + ${k - 1} >= $minRun)""".stripMargin
+
   /** Unrolled fixed-iteration spherical k-means CTEs — semantics of
     * [[Similarity.kmeansCentroids]] (seeded md5 init, integer centroid
     * sums, score DESC / cell ASC argmax) — ending in `cent2` (the
@@ -1301,6 +1344,11 @@ object PipelineQueries extends QueryPack {
     // DISTINCT docs per shingle — keep in sync with Dedup.spanPairs
     "dedup_spans" ->
       s"""WITH ${spanCtes(3, 10)}
+         |SELECT doc_a, doc_b, start_a, start_b, len_tokens
+         |FROM spans
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    "dedup_spans_incr" ->
+      s"""WITH ${spanIncrCtes(3, 10)}
          |SELECT doc_a, doc_b, start_a, start_b, len_tokens
          |FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,

@@ -297,6 +297,39 @@ class PipelineSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("spanPairsIncremental: batch-vs-base only — no base-base or batch-batch pairs") {
+    // base docs 1,2 share a 12-token run; batch docs 101,102 share one
+    // too (must NOT be reported); batch 101 shares a run with base 1
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val run2 = (1 to 12).map(i => s"s$i").mkString(" ")
+    def pad(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val base = Seq(
+      (1L, s"${pad("a", 5)} $run ${pad("b", 5)}", "en", "s", 1L),
+      (2L, s"${pad("c", 5)} $run ${pad("d", 5)}", "en", "s", 1L),
+      (3L, pad("e", 30), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (101L, s"${pad("f", 5)} $run ${pad("g", 3)} $run2", "en", "s", 1L),
+      (102L, s"$run2 ${pad("h", 10)}", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = Dedup.spanPairsIncremental(base, batch)
+      .select("doc_a", "doc_b", "len_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    // every reported pair is (batch doc, base doc)
+    assert(spans.forall { case (a, b, _) => a >= 100L && b < 100L }, spans.toString)
+    // 101 shares the run with BOTH base copies (1 and 2), length 12
+    assert(spans.contains((101L, 1L, 12L)) && spans.contains((101L, 2L, 12L)))
+    // the batch-internal run2 pair (101, 102) is NOT reported
+    assert(!spans.exists { case (a, b, _) => a == 101L && b == 102L })
+    // matches the inline spanPairs over the union restricted to
+    // cross-side pairs (ids ordered doc_a < doc_b there — flip)
+    val cross = Dedup.spanPairs(base.unionByName(batch))
+      .filter(col("doc_a") < 100 && col("doc_b") >= 100)
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("len_tokens"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == cross, s"incremental $spans != cross-side of inline $cross")
+  }
+
   test("spanIndex is build-once: cached instance, serve twins identical to train-inline") {
     Dedup.freeRetained()
     val d = planted
@@ -383,14 +416,13 @@ class PipelineSpec extends SparkSpec {
     val d = planted
     val idx = Dedup.nearDupIndex(d)
     val dir = java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
-    idx.pairs.write.parquet(s"$dir/pairs")
-    idx.clusters.write.parquet(s"$dir/clusters")
-    val pairs = spark.read.parquet(s"$dir/pairs")
-    val clusters = spark.read.parquet(s"$dir/clusters")
+    Dedup.writeNearDupIndex(idx, dir)
+    val reloaded = Dedup.readNearDupIndex(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
-    assert(rows(Dedup.clusterSizesFromIndex(d, clusters)) == rows(Dedup.clusterSizes(d)))
-    assert(rows(Curation.keepBestFromIndex(d, clusters)) == rows(Curation.keepBest(d)))
-    assert(rows(Dedup.sourceOverlapFromIndex(d, pairs)) == rows(Dedup.sourceOverlap(d)))
+    assert(rows(reloaded.pairs) == rows(idx.pairs) && rows(reloaded.pairs).nonEmpty)
+    assert(rows(Dedup.clusterSizesFromIndex(d, reloaded.clusters)) == rows(Dedup.clusterSizes(d)))
+    assert(rows(Curation.keepBestFromIndex(d, reloaded.clusters)) == rows(Curation.keepBest(d)))
+    assert(rows(Dedup.sourceOverlapFromIndex(d, reloaded.pairs)) == rows(Dedup.sourceOverlap(d)))
     Dedup.freeRetained()
   }
 
