@@ -38,6 +38,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((0L, 2L)), got.toString)
   }
 
+  test("negative and zero-straddling times: matches the naive theta-join") {
+    // bucket = trunc-toward-zero division, so bucket 0 spans (-W, W) —
+    // 2W-1 integers. Adjacency still holds (every bucket holds >= W
+    // integers, so a W-window can't skip a whole bucket); this pins it
+    // across the sign boundary where floor and trunc diverge.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(2000) - 1000).toLong))
+    val a = rows.toDF("key", "id_a", "t_a")
+    val b = rows.toDF("key", "id_b", "t_b")
+    val banded = RangeJoin.join(a, b, "key", "t_a", "t_b", W)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (k1, i1, t1) <- rows; (k2, i2, t2) <- rows
+      if k1 == k2 && i1 < i2 && math.abs(t2 - t1) <= W
+    } yield (i1, i2)).toSet
+    assert(banded == naive,
+      s"missing: ${naive -- banded}, extra: ${banded -- naive}")
+  }
+
+  test("inputs already carrying __bucket are rejected loudly") {
+    val a = Seq(("u", 1L, 10L, 0L)).toDF("key", "id_a", "t_a", "__bucket")
+    val b = Seq(("u", 2L, 20L)).toDF("key", "id_b", "t_b")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.join(a, b, "key", "t_a", "t_b", W)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("matches the naive theta-join on a random stream") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map(i =>
