@@ -695,6 +695,17 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.windowedReplay(s, dir)
         .orderBy("w_start", "event_type")
     },
+    // STREAMING sessionization under the oracle gate:
+    // flatMapGroupsWithState + event-time timeout over time-ordered
+    // micro-batches (StreamReplay.sessionReplay). The oracle is the
+    // batch gap-split session table minus each user's final session
+    // when the terminal watermark (max event time − 1 h) has not
+    // strictly passed its end + gap — exactly the Append-mode
+    // emission rule (close-by-successor OR close-by-timeout).
+    "stream_sessions" -> { (s, dir) =>
+      graft.streaming.StreamReplay.sessionReplay(s, dir)
+        .orderBy("user_id", "start_ms")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -962,6 +973,32 @@ object RelationalQueries extends QueryPack {
         |FROM events
         |GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    // batch gap-split sessions (ms plane, matching Timestamp.getTime
+    // truncation) minus still-open trailing sessions under the
+    // terminal watermark — the Append-mode emission rule; boundary is
+    // strict < (no end+gap == wm ties exist at any test sf, verified)
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |m AS (SELECT user_id, tms,
+        |         CASE WHEN lag(tms) OVER w IS NULL
+        |                OR tms - lag(tms) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |s AS (SELECT user_id, tms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |g AS (SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+        |             count(*) AS n_events
+        |      FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY user_id),
+        |wm AS (SELECT max(tms) - 3600000 AS w FROM e)
+        |SELECT g.user_id, CAST(g.start_ms AS BIGINT) AS start_ms,
+        |       CAST(g.end_ms AS BIGINT) AS end_ms,
+        |       CAST(g.n_events AS BIGINT) AS n_events
+        |FROM g JOIN mx ON g.user_id = mx.user_id, wm
+        |WHERE g.sid < mx.last_sid OR g.end_ms + 1800000 < wm.w
+        |ORDER BY g.user_id, g.start_ms""".stripMargin,
     // the streaming rollup shares the batch rollup's oracle
     "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

@@ -101,6 +101,85 @@ object StreamReplay {
     }
   }
 
+  /** Driver-visible STREAMING sessionization — flatMapGroupsWithState
+    * with EVENT-TIME TIMEOUT under the oracle gate (the third stateful
+    * streaming operator after [[stateReplay]]'s mapGroupsWithState and
+    * [[windowedReplay]]'s windowed aggregation). The events table is
+    * bucketed into `nBatches` TIME-ORDERED parquet files (bucket
+    * boundaries are equal slices of the [min, max] event-time range,
+    * so every batch's events precede the next batch's — the watermark
+    * never drops data and the replay is deterministic), streamed
+    * through [[LiveKV.sessionize]] (30-min-gap sessions, 1 h
+    * watermark), and drained Append-mode under Trigger.AvailableNow.
+    *
+    * What the final table contains — and what the ORACLE must
+    * replicate: a session is emitted either when a later event of the
+    * same user closes it (gap exceeded — emitted regardless of
+    * watermark), or when the event-time timeout fires (watermark
+    * passed lastEvent + gap; the trailing no-data micro-batch fires
+    * the last round of timers). So the streamed result is every batch
+    * session EXCEPT a user's final one when that session's
+    * lastEvent + gap has not been passed by the terminal watermark
+    * (max event time − delay). Timestamps are milliseconds
+    * (SessionEvent folds java.sql.Timestamp.getTime — µs truncated),
+    * matching DuckDB's epoch_ms().
+    *
+    * The memory sink + final read are bounded by the CLOSED-session
+    * count (≪ event count; production writes a parquet sink — the
+    * operator under test is identical). */
+  def sessionReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val e = ev.select(col("user_id"),
+        graft.Tables.eventTime(ev).as("ts_utc"),
+        graft.Tables.eventMicros(ev).as("tsu"))
+      val r = e.agg(min("tsu"), max("tsu")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max((hi - lo) / nBatches + 1, 1L)
+      val bucket = least(((col("tsu") - lo).cast("decimal(25,0)") / width).cast("long"),
+        lit(nBatches - 1L))
+      val t0 = System.currentTimeMillis()
+      (0 until nBatches).foreach { b =>
+        val dir = inDir.resolve(f"b$b%03d")
+        e.filter(bucket === b).select("user_id", "ts_utc").coalesce(1)
+          .write.mode("overwrite").parquet(dir.toString)
+        java.nio.file.Files.list(dir).forEach { p =>
+          if (!p.getFileName.toString.startsWith("_"))
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
+        }
+      }
+      val name = s"stream_sessions_${runCounter.incrementAndGet()}"
+      val src = spark.readStream
+        .schema("user_id LONG, ts_utc TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/b*")
+      val q = LiveKV.sessionize(src.as[LiveKV.SessionEvent])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(name).collect() // closed sessions — bounded
+      spark.catalog.dropTempView(name)
+      rows.toSeq
+        .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)))
+        .toDF("user_id", "start_ms", "end_ms", "n_events")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+
   /** Run the op log through the streaming path; return final
     * (key, value) state. Blocking (AvailableNow drains the source and
     * terminates). */

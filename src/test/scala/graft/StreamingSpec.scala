@@ -57,6 +57,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("StreamReplay.sessionReplay == batch sessions minus still-open trailing ones") {
+    val streamed = graft.streaming.StreamReplay.sessionReplay(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch sessions, computed independently in Scala: per-user sorted
+    // ms timestamps split at gaps > 30 min (the sessionize rule)
+    val ev = Tables.events(spark, sf0001)
+    val rows = ev.select(col("user_id"), Tables.eventMicros(ev).as("tsu"))
+      .as[(Long, Long)].collect()
+    val gapMs = 1800000L
+    val delayMs = 3600000L
+    val maxMs = rows.map(_._2 / 1000).max
+    val wm = maxMs - delayMs
+    def sessions(ts: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val sorted = ts.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = sorted.head; var last = sorted.head; var n = 1L
+      sorted.tail.foreach { t =>
+        if (t - last <= gapMs) { last = t; n += 1 }
+        else { out += ((start, last, n)); start = t; last = t; n = 1 }
+      }
+      out += ((start, last, n))
+      out.toSeq
+    }
+    val all = rows.groupBy(_._1).toSeq.flatMap { case (u, ts) =>
+      val ss = sessions(ts.map(_._2 / 1000).toSeq)
+      // every session except the user's last is closed by a later
+      // event; the last closes only if the terminal watermark passed
+      // its end + gap
+      ss.init.map { case (s, e, n) => (u, s, e, n) } ++
+        ss.lastOption.filter { case (_, e, _) => e + gapMs < wm }
+          .map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    val allLe = rows.groupBy(_._1).toSeq.flatMap { case (u, ts) =>
+      val ss = sessions(ts.map(_._2 / 1000).toSeq)
+      ss.init.map { case (s, e, n) => (u, s, e, n) } ++
+        ss.lastOption.filter { case (_, e, _) => e + gapMs <= wm }
+          .map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(streamed == all || streamed == allLe,
+      s"strict<: missing ${(all -- streamed).take(3)} extra ${(streamed -- all).take(3)}; " +
+        s"<=: missing ${(allLe -- streamed).take(3)} extra ${(streamed -- allLe).take(3)}")
+    info(s"boundary semantics: ${if (streamed == all) "end+gap < wm" else "end+gap <= wm"}" +
+      s" (sets ${if (all == allLe) "coincide" else "differ"} on this data)")
+  }
+
   test("retried ops across micro-batches apply exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Op]
