@@ -134,9 +134,13 @@ object StreamReplay {
     val inDir = root.resolve("in")
     try {
       val ev = graft.Tables.events(spark, sfDir)
+      // ONE eager checkpoint: the per-bucket writes below are
+      // coalesce(1) single-task jobs and would each re-scan and
+      // re-project the events table without it (the stateReplay fix)
       val e = ev.select(col("user_id"),
         graft.Tables.eventTime(ev).as("ts_utc"),
         graft.Tables.eventMicros(ev).as("tsu"))
+        .localCheckpoint(true)
       val r = e.agg(min("tsu"), max("tsu")).head()
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val width = math.max((hi - lo) / nBatches + 1, 1L)
@@ -153,6 +157,7 @@ object StreamReplay {
               java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
         }
       }
+      graft.pipeline.Dedup.freeCheckpoint(e) // buckets are on disk
       val name = s"stream_sessions_${runCounter.incrementAndGet()}"
       val src = spark.readStream
         .schema("user_id LONG, ts_utc TIMESTAMP")
