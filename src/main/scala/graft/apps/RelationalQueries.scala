@@ -695,6 +695,16 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.windowedReplay(s, dir)
         .orderBy("w_start", "event_type")
     },
+    // STREAM-STREAM interval join under the oracle gate: purchases
+    // matched to the same user's clicks within the prior 30 min, both
+    // sides watermarked streams over time-ordered micro-batches
+    // (StreamReplay.intervalJoinReplay) — inner-join emission is
+    // watermark-independent, so the drained result equals the plain
+    // batch join the oracle runs.
+    "stream_interval_join" -> { (s, dir) =>
+      graft.streaming.StreamReplay.intervalJoinReplay(s, dir)
+        .orderBy("purchase_id", "click_id")
+    },
     // STREAMING sessionization under the oracle gate:
     // flatMapGroupsWithState + event-time timeout over time-ordered
     // micro-batches (StreamReplay.sessionReplay). The oracle is the
@@ -973,6 +983,15 @@ object RelationalQueries extends QueryPack {
         |FROM events
         |GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    // the streamed inner interval join equals the batch join exactly
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // batch gap-split sessions (ms plane, matching Timestamp.getTime
     // truncation) minus still-open trailing sessions under the
     // terminal watermark — the Append-mode emission rule; boundary is

@@ -185,6 +185,90 @@ object StreamReplay {
     }
   }
 
+  /** Driver-visible STREAM-STREAM INTERVAL JOIN — the fourth stateful
+    * streaming family (after the fold, the windowed aggregation and
+    * sessionization): each purchase matched to the same user's clicks
+    * in the prior 30 minutes, both sides read as watermarked streams
+    * of the events table and inner-joined on a time-bound condition
+    * (the streaming twin of the batch [[graft.operators.RangeJoin]]
+    * shape ev_bursts uses).
+    *
+    * Determinism: an INNER interval join emits every match once both
+    * rows have arrived — the watermark bounds STATE, not emission —
+    * so the drained result is exactly the batch join, provided no
+    * needed row is evicted early. Time-ordered buckets guarantee
+    * that: both sources admit the same bucket per micro-batch
+    * (maxFilesPerTrigger=1 over identical files), so when a purchase
+    * in batch k (p_ts ≥ T_{k−1}) probes, the watermark is
+    * T_{k−1} − 1 h and a click is evicted only once the watermark
+    * passes c_ts + 30 min, i.e. c_ts < T_{k−1} − 90 min — strictly
+    * older than any click the purchase can need (≥ p_ts − 30 min ≥
+    * T_{k−1} − 30 min). Oracle: the plain batch join SQL. */
+  def intervalJoinReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.Tables.eventTime(ev).as("ts_utc"),
+        graft.Tables.eventMicros(ev).as("tsu"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .localCheckpoint(true)
+      val r = e.agg(min("tsu"), max("tsu")).head()
+      val (lo, _) = (r.getLong(0), r.getLong(1))
+      val width = math.max((r.getLong(1) - lo) / nBatches + 1, 1L)
+      val bucket = least(((col("tsu") - lo).cast("decimal(25,0)") / width).cast("long"),
+        lit(nBatches - 1L))
+      val t0 = System.currentTimeMillis()
+      (0 until nBatches).foreach { b =>
+        val dir = inDir.resolve(f"b$b%03d")
+        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc")
+          .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+        java.nio.file.Files.list(dir).forEach { p =>
+          if (!p.getFileName.toString.startsWith("_"))
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
+        }
+      }
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
+      def side(kind: String, prefix: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/b*")
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts_utc").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("purchase", "p")
+        .join(side("click", "c"),
+          expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+        .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+          col("p_user").as("user_id"))
+      val name = s"stream_interval_join_${runCounter.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(name).collect() // in-window pair count — bounded
+      spark.catalog.dropTempView(name)
+      rows.toSeq.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+        .toDF("purchase_id", "click_id", "user_id")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+
   /** Run the op log through the streaming path; return final
     * (key, value) state. Blocking (AvailableNow drains the source and
     * terminates). */

@@ -102,6 +102,22 @@ class StreamingSpec extends SparkSpec {
       s" (sets ${if (all == allLe) "coincide" else "differ"} on this data)")
   }
 
+  test("StreamReplay.intervalJoinReplay == batch interval join") {
+    val streamed = graft.streaming.StreamReplay.intervalJoinReplay(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf0001)
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      Tables.eventMicros(ev).as("tsu"))
+    val batch = e.filter(col("event_type") === "purchase").as("p")
+      .join(e.filter(col("event_type") === "click").as("c"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.tsu") >= col("p.tsu") - 1800000000L && col("c.tsu") <= col("p.tsu"))
+      .select(col("p.event_id"), col("c.event_id"), col("p.user_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"missing: ${(batch -- streamed).take(3)}, extra: ${(streamed -- batch).take(3)}")
+  }
+
   test("retried ops across micro-batches apply exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Op]
