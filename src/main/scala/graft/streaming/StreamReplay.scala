@@ -46,6 +46,31 @@ object StreamReplay {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` (which must both BUILD and DRAIN a streaming query)
+    * with `spark.sql.shuffle.partitions` = n, restoring the session
+    * value after. Stateful streaming operators take their STATE-STORE
+    * partition count from this conf at query planning, and every
+    * micro-batch pays a fixed per-partition state checkpoint cost —
+    * so the partition count must be sized to the STATE VOLUME, not to
+    * the session's batch-compute parallelism (a stream-stream join
+    * carries 4 state stores: at 32 partitions × 5 micro-batches that
+    * is 640 state commits for what is here kilobytes of state —
+    * measured 35 s of a 36 s query). At production state volumes the
+    * same knob goes UP instead; the point is that it is a deliberate
+    * state-layout choice, set per query. */
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  /** State-store partition count for the replay queries' stateful
+    * operators — kilobytes of state at any test sf (≤ 50 KV keys /
+    * bounded open sessions / a ~1.5 h join window). */
+  private val StatePartitions = 8
+
   /** Driver-visible STREAMING windowed aggregation — the second
     * streaming plane (stateful event-time aggregation, vs
     * [[stateReplay]]'s mapGroupsWithState) under the oracle gate: the
@@ -81,12 +106,14 @@ object StreamReplay {
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
       val name = s"stream_hourly_${runCounter.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", root.resolve("ck").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(spark, StatePartitions) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val schema = spark.table(name).schema
       val rows = spark.table(name).collect() // hours × types — bounded
       spark.catalog.dropTempView(name)
@@ -159,17 +186,19 @@ object StreamReplay {
       }
       graft.pipeline.Dedup.freeCheckpoint(e) // buckets are on disk
       val name = s"stream_sessions_${runCounter.incrementAndGet()}"
-      val src = spark.readStream
-        .schema("user_id LONG, ts_utc TIMESTAMP")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$inDir/b*")
-      val q = LiveKV.sessionize(src.as[LiveKV.SessionEvent])
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", root.resolve("ck").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(spark, StatePartitions) {
+        val src = spark.readStream
+          .schema("user_id LONG, ts_utc TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/b*")
+        val q = LiveKV.sessionize(src.as[LiveKV.SessionEvent])
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val rows = spark.table(name).collect() // closed sessions — bounded
       spark.catalog.dropTempView(name)
       rows.toSeq
@@ -233,28 +262,30 @@ object StreamReplay {
         }
       }
       graft.pipeline.Dedup.freeCheckpoint(e)
-      val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
-      def side(kind: String, prefix: String) = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$inDir/b*")
-        .filter(col("event_type") === kind)
-        .select(col("event_id").as(s"${prefix}_id"),
-          col("user_id").as(s"${prefix}_user"),
-          col("ts_utc").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-      val joined = side("purchase", "p")
-        .join(side("click", "c"),
-          expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
-        .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
-          col("p_user").as("user_id"))
       val name = s"stream_interval_join_${runCounter.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", root.resolve("ck").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(spark, StatePartitions) {
+        val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
+        def side(kind: String, prefix: String) = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/b*")
+          .filter(col("event_type") === kind)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts_utc").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+        val joined = side("purchase", "p")
+          .join(side("click", "c"),
+            expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+          .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+            col("p_user").as("user_id"))
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val rows = spark.table(name).collect() // in-window pair count — bounded
       spark.catalog.dropTempView(name)
       rows.toSeq.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
@@ -317,13 +348,15 @@ object StreamReplay {
       // only push every (clientId, reqId) pair through a second state
       // store for nothing — the operator under the gate is the
       // incremental fold; the dedup-in-stream path has its own specs
-      val q = LiveKV.foldStream(src.as[Op])
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", root.resolve("ck").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(spark, StatePartitions) {
+        val q = LiveKV.foldStream(src.as[Op])
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // 3. bounded final read: keys × batches rows, newest update wins
       val finalRows = spark.table(name)
         .groupBy("key").agg(max_by(col("value"), col("max_seq")).as("value"))
