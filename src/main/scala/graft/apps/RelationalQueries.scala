@@ -630,6 +630,60 @@ object RelationalQueries extends QueryPack {
           |GROUP BY c_nationkey
           |ORDER BY c_nationkey""".stripMargin)
     },
+    // TPC-H Q7: volume shipping between two nations — the two-sided
+    // nation-pair disjunction over a 5-table join, grouped by
+    // (supplier nation, customer nation, year). Breadth row: plain
+    // hash joins + aggregate; nation joined twice under aliases.
+    "q7_volume" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |       round(sum(volume), 2) AS revenue
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+          |             l_extendedprice * (1 - l_discount) AS volume
+          |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |        AND c_custkey = o_custkey
+          |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    },
+    // TPC-H Q10: returned-item top customers — revenue lost to
+    // returns in one quarter, per customer with their nation.
+    "q10_returns" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       c_acctbal, n_name
+          |FROM customer, orders, lineitem, nation
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)
+    },
+    // TPC-H Q14: promo revenue share — conditional aggregate ratio
+    // over one month's part-joined lineitems.
+    "q14_promo" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+          |                              THEN l_extendedprice * (1 - l_discount)
+          |                              ELSE 0 END)
+          |             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+          |FROM lineitem, part
+          |WHERE l_partkey = p_partkey
+          |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+          |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)
+    },
     // TPC-H Q2 shape: CORRELATED SCALAR aggregate subquery — rows
     // matching their group's min, correlation by equality on
     // l_partkey. RewriteCorrelatedScalarSubquery turns it into a
@@ -843,6 +897,43 @@ object RelationalQueries extends QueryPack {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount)
+        |                              ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "q2_min_price" ->
       """SELECT p_partkey, p_name, l_suppkey, l_extendedprice
         |FROM part, lineitem
