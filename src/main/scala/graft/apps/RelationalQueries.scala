@@ -722,11 +722,15 @@ object RelationalQueries extends QueryPack {
     },
     // TPC-H Q11 shape: scalar aggregate subquery in HAVING — suppliers
     // holding more than 1.05% of total revenue. Exact INTEGER
-    // arithmetic end to end (per-row cents quantization, then
-    // cross-multiplied threshold — sum·10000 > total·105), because a
-    // raw double sum comparison is summation-order-dependent between
-    // engines. The scalar subquery computes once and broadcasts as a
-    // literal; both aggregates partial-aggregate.
+    // arithmetic end to end (per-row cents quantization; threshold =
+    // floor(total·105/10000), exactly equivalent to the cross-multiply
+    // sum·10000 > total·105 for non-negative integer sums but with the
+    // big multiply confined to the 1-row subquery — total·105 fits
+    // BIGINT to ~sf800, where sum·10000 per supplier overflowed around
+    // sf100 under ANSI), because a raw double sum comparison is
+    // summation-order-dependent between engines. The scalar subquery
+    // computes once and broadcasts as a literal; both aggregates
+    // partial-aggregate.
     "q11_value_share" -> { (s, dir) =>
       Tables.registerViews(s, dir)
       s.sql(
@@ -738,7 +742,7 @@ object RelationalQueries extends QueryPack {
           |SELECT l_suppkey, sum(rev_c) AS value_c
           |FROM r
           |GROUP BY l_suppkey
-          |HAVING sum(rev_c) * 10000 > (SELECT sum(rev_c) * 105 FROM r)
+          |HAVING sum(rev_c) > (SELECT sum(rev_c) * 105 div 10000 FROM r)
           |ORDER BY value_c DESC, l_suppkey""".stripMargin)
     },
     // STREAMING windowed aggregation under the oracle gate: the events
@@ -747,6 +751,18 @@ object RelationalQueries extends QueryPack {
     // batch ev_hourly rollup it shares an oracle with.
     "stream_hourly" -> { (s, dir) =>
       graft.streaming.StreamReplay.windowedReplay(s, dir)
+        .orderBy("w_start", "event_type")
+    },
+    // LATE / OUT-OF-ORDER data under the streaming gate: the same 1 h
+    // rollup as stream_hourly, but Append-mode with a 1 h watermark
+    // and the third time slice delivered LAST — after the fourth has
+    // advanced the watermark past all of it, so every slice-2 row is
+    // dropped by the watermark filter (StreamReplay.windowedLateReplay;
+    // boundary semantics pinned by StreamingBoundarySpec). The oracle
+    // models the drop + emit rule: rollup of on-time slices only,
+    // restricted to windows strictly below the terminal watermark.
+    "stream_hourly_late" -> { (s, dir) =>
+      graft.streaming.StreamReplay.windowedLateReplay(s, dir)
         .orderBy("w_start", "event_type")
     },
     // STREAM-STREAM interval join under the oracle gate: purchases
@@ -961,7 +977,7 @@ object RelationalQueries extends QueryPack {
         |SELECT l_suppkey, CAST(sum(rev_c) AS BIGINT) AS value_c
         |FROM r
         |GROUP BY l_suppkey
-        |HAVING sum(rev_c) * 10000 > (SELECT sum(rev_c) * 105 FROM r)
+        |HAVING sum(rev_c) > (SELECT sum(rev_c) * 105 // 10000 FROM r)
         |ORDER BY value_c DESC, l_suppkey""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_nationkey, count(*) AS numcust,
@@ -1109,6 +1125,26 @@ object RelationalQueries extends QueryPack {
         |FROM g JOIN mx ON g.user_id = mx.user_id, wm
         |WHERE g.sid < mx.last_sid OR g.end_ms + 1800000 < wm.w
         |ORDER BY g.user_id, g.start_ms""".stripMargin,
+    // the watermark drop/emit rule modeled in SQL (keep in sync with
+    // StreamReplay.windowedLateReplay): slice index = (tsu - lo) //
+    // ((hi - lo) // 4 + 1) exactly as the Scala bucket column; slice 2
+    // arrives after the watermark passed it -> dropped (strict
+    // ts < wm, vacuous margin); emitted windows are those at or below
+    // the terminal watermark hi_ms - 1 h (NON-strict end <= wm, the
+    // boundary StreamingBoundarySpec pins empirically). Integer µs/ms
+    // arithmetic throughout — no float boundary ambiguity.
+    "stream_hourly_late" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu, ts, event_type, value FROM events),
+        |b AS (SELECT min(tsu) AS lo, max(tsu) AS hi FROM e),
+        |ontime AS (SELECT e.* FROM e, b
+        |           WHERE (e.tsu - b.lo) // ((b.hi - b.lo) // 4 + 1) <> 2),
+        |agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+        |               event_type, count(*) AS n, round(sum(value), 2) AS total
+        |        FROM ontime GROUP BY w_start, event_type)
+        |SELECT a.w_start, a.event_type, a.n, a.total
+        |FROM agg a, b
+        |WHERE epoch_ms(a.w_start) + 3600000 <= b.hi // 1000 - 3600000
+        |ORDER BY a.w_start, a.event_type""".stripMargin,
     // the streaming rollup shares the batch rollup's oracle
     "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

@@ -45,12 +45,14 @@ object Curation {
     * source X hold" from without a full scan. All arithmetic exact:
     * u_i = (h32+1)/2^32 for 32 md5 bits, so q_i = w_i * 2^32 div
     * (h32+1) is a pure long for any weight under 2^31 — weights are
-    * saturated at 2^31−1 before the multiply (ENFORCED, not just
-    * documented: under ANSI mode an overflow would abort the whole
-    * job), so a pathological multi-GB doc degrades to a
-    * near-guaranteed-inclusion priority instead of failing the run;
-    * est_w still uses the true weight, so subset-sum estimates over
-    * sampled items stay exact. 32 hash bits keep u's granularity at
+    * over 2^31−1 short-circuit to priority = Long.MaxValue (ENFORCED,
+    * not just documented: under ANSI mode an overflow would abort the
+    * whole job), so a pathological multi-GB doc is force-INCLUDED —
+    * its inclusion probability is exactly 1, preserving the DLT
+    * estimator's exact unbiasedness (a saturated-weight priority
+    * could fall below tau and understate inclusion); est_w still uses
+    * the true weight, so subset-sum estimates over sampled items stay
+    * exact. 32 hash bits keep u's granularity at
     * 2^-32 — ample for any sample size this serves — and every engine
     * replays the same sample. Top-(k+1) is a distributed TakeOrdered
     * (never a global sort); only the k+1 survivors see the
@@ -61,7 +63,8 @@ object Curation {
       .withColumn("h32",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
       .withColumn("priority",
-        expr(s"least(weight, ${(1L << 31) - 1}) * ${1L << 32} div (h32 + 1)"))
+        expr(s"CASE WHEN weight > ${(1L << 31) - 1} THEN ${Long.MaxValue}L " +
+          s"ELSE weight * ${1L << 32} div (h32 + 1) END"))
       .orderBy(desc("priority"), asc("doc_id"))
       .limit(k + 1)
     // tau is the (k+1)-th priority; when the sample IS the population

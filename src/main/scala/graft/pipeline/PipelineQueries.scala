@@ -1566,14 +1566,15 @@ object PipelineQueries extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // priority sampling — keep in sync with Curation.prioritySample
     // (k=100; tau = the 101st priority; est_w = max(weight, tau);
-    // priority weight saturated at 2^31−1 so the multiply never
-    // overflows BIGINT)
+    // weights over 2^31−1 force-include at priority Long.MaxValue so
+    // the multiply never overflows BIGINT and inclusion stays exact)
     "pipeline_reservoir" -> {
       s"""WITH k0 AS (SELECT doc_id, source, n_chars AS weight,
          |                   md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
          |p AS (SELECT doc_id, source, weight,
-         |             least(weight, ${(1L << 31) - 1}) * ${1L << 32}
-         |               // (${hex32Sql("hx")} + 1) AS priority
+         |             CASE WHEN weight > ${(1L << 31) - 1} THEN ${Long.MaxValue}
+         |             ELSE weight * ${1L << 32}
+         |               // (${hex32Sql("hx")} + 1) END AS priority
          |      FROM k0),
          |t AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
          |      FROM p QUALIFY rn <= 101),
