@@ -44,6 +44,22 @@ object KVQueries extends QueryPack {
     // shares its monoid with (graft.streaming.StreamReplay)
     "stream_state_replay" -> ((s, dir) =>
       graft.streaming.StreamReplay.stateReplay(ops(s, dir)).orderBy("key")),
+    // the PRODUCTION streaming sink under the gate: same replay, but
+    // written through LiveKV.stateTableSink (shard-partitioned
+    // incremental parquet state table, commit markers, per-shard GC)
+    // and read back from the on-disk table — the read path under the
+    // hash gate IS the state table, not a memory sink
+    "stream_state_table" -> ((s, dir) =>
+      graft.streaming.StreamReplay.stateTableReplay(ops(s, dir)).orderBy("key")),
+    // SKEW under the gate: the op log with a planted hot key (~70% of
+    // writes on "hot") folded by the two-phase SALTED replay — hot
+    // keys split across seq-bucket sub-folds, then merged in bucket
+    // order (the shape that survives a key taking most of the log at
+    // 100 TB). Oracle: the same fold semantics over the skewed key
+    // mapping — salted and plain folds agree by associativity.
+    "kv_state_skewed" -> ((s, dir) =>
+      KVEngine.replaySalted(OpLog.fromEventsSkewed(Tables.events(s, dir)))
+        .orderBy("key")),
   )
 
   /** DuckDB mirror of [[OpLog.fromEvents]] + [[KVEngine.dedup]] —
@@ -63,7 +79,46 @@ object KVQueries extends QueryPack {
       |    FROM ops)
       |  WHERE rn = 1)""".stripMargin
 
+  /** [[OPS_SQL]] with the planted hot key — keep in sync with
+    * [[OpLog.fromEventsSkewed]]. */
+  private val SKEWED_OPS_SQL =
+    """WITH ops AS (
+      |  SELECT event_id AS seq, user_id AS client_id, event_id % 200 AS req_id,
+      |         CASE WHEN event_type = 'signup' THEN 'put'
+      |              WHEN event_type = 'view' THEN 'get'
+      |              ELSE 'append' END AS kind,
+      |         CASE WHEN user_id % 10 < 7 THEN 'hot'
+      |              ELSE CAST(user_id % 50 AS VARCHAR) END AS key,
+      |         CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value
+      |  FROM events),
+      |dedup AS (
+      |  SELECT seq, client_id, req_id, kind, key, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY client_id, req_id ORDER BY seq) AS rn
+      |    FROM ops)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** The seq-ordered per-key fold (put anchors, appends after the last
+    * put concatenate in seq order) as a SQL tail over a `dedup` CTE —
+    * the DuckDB mirror of the segment monoid every replay shares. */
+  private val FOLD_TAIL =
+    """writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+      |anchor AS (SELECT key, max(CASE WHEN kind = 'put' THEN seq END) AS put_seq
+      |           FROM writes GROUP BY key)
+      |SELECT w.key AS key,
+      |       coalesce(string_agg(
+      |         CASE WHEN (w.kind = 'put' AND w.seq = a.put_seq)
+      |                OR (w.kind = 'append' AND (a.put_seq IS NULL OR w.seq > a.put_seq))
+      |              THEN w.value END, '' ORDER BY w.seq), '') AS value
+      |FROM writes w JOIN anchor a ON w.key = a.key
+      |GROUP BY w.key ORDER BY w.key""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // the state-table sink folds each micro-batch with applyIncrement
+    // (same segment monoid) — the oracle IS the batch fold
+    "stream_state_table" -> s"$OPS_SQL,\n$FOLD_TAIL",
+    // salted == plain fold by associativity; the oracle folds the
+    // skewed key mapping directly
+    "kv_state_skewed" -> s"$SKEWED_OPS_SQL,\n$FOLD_TAIL",
     "kv_oplog" ->
       s"""$OPS_SQL
          |SELECT seq, client_id, req_id, kind, key, value FROM ops ORDER BY seq""".stripMargin,

@@ -45,4 +45,24 @@ object OpLog {
         floor(col("value") * 100).cast("long").cast("string").as("value"))
       .as[Op]
   }
+
+  /** [[fromEvents]] with a PLANTED HOT KEY: clients whose id ends in
+    * 0-6 all write key "hot" (~70% of the log on one key — the zipfian
+    * head a real serving log develops), the rest keep their modular
+    * key. Retries stay key-consistent (key is a pure function of
+    * clientId), so the K4 dedup contract holds unchanged. This is the
+    * fixture for the skew-resistant salted fold
+    * ([[KVEngine.replaySalted]]): a plain per-key fold would serialize
+    * 70% of the log through one task at scale. Keep in sync with
+    * [[KVQueries.SKEWED_OPS_SQL]].
+    */
+  def fromEventsSkewed(events: DataFrame): Dataset[Op] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    fromEvents(events)
+      .withColumn("key",
+        when(col("clientId") % 10 < 7, lit("hot"))
+          .otherwise(col("key")))
+      .as[Op]
+  }
 }

@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
       s"strict<: missing ${(all -- streamed).take(3)} extra ${(streamed -- all).take(3)}")
   }
 
+  test("StreamReplay.stateTableReplay: state-table sink replay == batch replay") {
+    // the gated production-sink path: write through the
+    // shard-partitioned state table, read the on-disk table back
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
+    val batchState = KVEngine.replay(ops).as[(String, String)].collect().toMap
+    val streamed = graft.streaming.StreamReplay.stateTableReplay(ops)
+      .as[(String, String)].collect().toMap
+    assert(streamed == batchState && streamed.nonEmpty)
+  }
+
+  test("kv_state_skewed: salted fold over the planted hot key == plain fold") {
+    val ops = OpLog.fromEventsSkewed(Tables.events(spark, sf0001))
+    // the hot key must actually be hot (~70% of writes), or the skew
+    // evidence is vacuous
+    val writes = KVEngine.dedup(ops).filter(col("kind") =!= "get")
+    val hot = writes.filter(col("key") === "hot").count().toDouble / writes.count()
+    assert(hot > 0.5, s"hot key holds only ${hot * 100}%% of writes")
+    val salted = KVEngine.replaySalted(ops).as[(String, String)].collect().toMap
+    val plain = KVEngine.replay(OpLog.fromEventsSkewed(Tables.events(spark, sf0001)))
+      .as[(String, String)].collect().toMap
+    assert(salted == plain && salted.contains("hot"))
+  }
+
   test("StreamReplay.windowedLateReplay: late slice genuinely dropped, rule modeled") {
     val streamed = graft.streaming.StreamReplay.windowedLateReplay(spark, sf0001)
       .orderBy("w_start", "event_type").collect().toSeq
