@@ -653,6 +653,49 @@ object RelationalQueries extends QueryPack {
           |GROUP BY supp_nation, cust_nation, l_year
           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
     },
+    // TPC-H Q20: the hardest published decorrelation shape — a nested
+    // correlated IN whose subquery contains a CORRELATED SCALAR
+    // AGGREGATE over a second table (suppliers whose pre-1999 shipped
+    // stock of matched parts exceeds twice their post-1999 demand; the
+    // partsupp bridge is the per-(supplier, part) lineitem rollup
+    // since the testdata has no partsupp — same nesting, same
+    // decorrelation work). Historically this is the shape that
+    // silently plans as a per-row nested loop when the decorrelator
+    // gives up; Catalyst must produce semi joins + an aggregate-backed
+    // outer join (RewriteCorrelatedScalarSubquery), and PlanSpec pins
+    // the plan free of BroadcastNestedLoopJoin/CartesianProduct with
+    // the expected LeftSemi. Quantities ride as exact cents; the
+    // empty-group scalar stays NULL (TPC-H semantics — the comparison
+    // excludes, identically in both engines: the classic COUNT-bug
+    // surface).
+    "q20_excess_stock" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(QUERY_Q20)
+    },
+    // TPC-H Q8: national market share — the 8-table join-reorder
+    // stress (part, supplier, lineitem, orders, customer, nation ×2,
+    // region). Output is the exact integer cents pair (nation volume,
+    // total volume) per year; the ratio is presentation, the join
+    // order is the query. PlanSpec pins: hash joins only.
+    "q8_market_share" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(QUERY_Q8)
+    },
+    // TPC-H Q9: product-type profit by nation and year — 5-table join
+    // with a LIKE-filtered part dimension and two-sided arithmetic in
+    // the aggregate (supplycost surrogate: 60% of p_retailprice, in
+    // exact cents).
+    "q9_profit" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(QUERY_Q9)
+    },
+    // TPC-H Q12: shipmode/priority matrix — the late-shipment bucket
+    // (no l_shipmode/l_receiptdate in the testdata: LATE = shipped
+    // 60+ days after ordering) × order-priority class counts.
+    "q12_late_lines" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(QUERY_Q12)
+    },
     // TPC-H Q10: returned-item top customers — revenue lost to
     // returns in one quarter, per customer with their nation.
     "q10_returns" -> { (s, dir) =>
@@ -800,7 +843,87 @@ object RelationalQueries extends QueryPack {
     },
   )
 
+  /** Q20/Q8/Q9/Q12 as single SQL texts shared verbatim by the Spark
+    * side (spark.sql over registered views) and the DuckDB oracle —
+    * identical by construction, so the gate tests the ENGINES, not
+    * two transcriptions. Portability: EXTRACT(YEAR), INTERVAL n DAY,
+    * TIMESTAMP literals, round, CAST(... AS BIGINT/INTEGER) behave
+    * identically; every aggregate is exact integer cents. */
+  private val QUERY_Q20 =
+    """SELECT s_suppkey, s_name
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |  AND s_suppkey IN (
+      |    SELECT ps_suppkey FROM (
+      |      SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+      |             CAST(round(sum(l_quantity) * 100) AS BIGINT) AS avail_c
+      |      FROM lineitem
+      |      WHERE l_shipdate < TIMESTAMP '1999-01-01'
+      |      GROUP BY l_suppkey, l_partkey) ps
+      |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+      |                         WHERE p_name LIKE 'small%')
+      |      AND avail_c > 2 * (SELECT CAST(round(sum(l2.l_quantity) * 100) AS BIGINT)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = ps_partkey
+      |                           AND l2.l_suppkey = ps_suppkey
+      |                           AND l2.l_shipdate >= TIMESTAMP '1999-01-01'))
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val QUERY_Q8 =
+    """SELECT o_year,
+      |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END)
+      |            AS BIGINT) AS nation_c,
+      |       CAST(sum(vol_c) AS BIGINT) AS total_c
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_c,
+      |             n2.n_name AS supp_nation
+      |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |        AND r_name = 'AMERICA'
+      |        AND s_nationkey = n2.n_nationkey
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01'
+      |        AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  private val QUERY_Q9 =
+    """SELECT nation, o_year, CAST(sum(rev_c - cost_c * qty) AS BIGINT) AS profit_c
+      |FROM (SELECT n_name AS nation,
+      |             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c,
+      |             CAST(round(p_retailprice * 60) AS BIGINT) AS cost_c,
+      |             CAST(round(l_quantity) AS BIGINT) AS qty
+      |      FROM part, supplier, lineitem, orders, nation
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%bolt%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private val QUERY_Q12 =
+    """SELECT l_bucket,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (SELECT o_orderpriority,
+      |             CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |                  THEN 'LATE' ELSE 'ONTIME' END AS l_bucket
+      |      FROM orders, lineitem
+      |      WHERE o_orderkey = l_orderkey
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01') t
+      |GROUP BY l_bucket
+      |ORDER BY l_bucket""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q20_excess_stock" -> QUERY_Q20,
+    "q8_market_share" -> QUERY_Q8,
+    "q9_profit" -> QUERY_Q9,
+    "q12_late_lines" -> QUERY_Q12,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

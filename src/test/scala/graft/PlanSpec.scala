@@ -471,6 +471,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q20: nested correlated IN + correlated scalar agg decorrelates to hash joins") {
+    // the shape that historically defeats decorrelators: IN over a
+    // derived table whose WHERE holds a correlated scalar aggregate.
+    // A give-up plans per-outer-row subquery execution (nested loop);
+    // the pinned plan is semi joins + an aggregate-backed outer join
+    val p = plan("q20_excess_stock")
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"q20 failed to decorrelate — nested loop join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"q20 produced a cartesian join:\n$s")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    }
+    // the two INs decorrelate to semi joins; the correlated scalar
+    // agg decorrelates to an aggregate-backed LeftOuter which
+    // EliminateOuterJoin then legally reduces to Inner — the
+    // `avail_c > 2 * (scalar)` comparison is null-rejecting, so the
+    // NULL-on-empty rows are filtered either way (observed plan:
+    // Inner + LeftSemi ×3 — strictly better than the textbook outer)
+    assert(joins.count(_.contains("LeftSemi")) >= 2,
+      s"q20 expected semi joins from the nested IN decorrelation, got: $joins")
+    assert(joins.exists(_.contains("Inner")),
+      s"q20 expected the scalar-agg join (outer reduced to inner by the " +
+        s"null-rejecting comparison), got: $joins")
+  }
+
+  test("q8/q9/q12: multi-table join reorder plans stay hash-join-only") {
+    Seq("q8_market_share", "q9_profit", "q12_late_lines").foreach { q =>
+      val s = plan(q).toString
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q planned a non-hash join:\n$s")
+    }
+  }
+
   test("q19: OR-of-ANDs disjunction pushes per-side filters below the join") {
     // the mixed disjunction must not filter post-join only: Catalyst
     // extracts each side's common disjunct and pushes it into the scan
