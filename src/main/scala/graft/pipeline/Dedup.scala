@@ -1009,6 +1009,20 @@ object Dedup {
       spark.read.parquet(s"$dir/pairs"),
       spark.read.parquet(s"$dir/clusters"))
 
+  /** Persist a [[spanIndex]] span table as parquet — the
+    * cross-SESSION form of the span-plane build-serve split (the
+    * [[writeNearDupIndex]] stance): the positional shingle self-join
+    * is the single most expensive dedup build, and a restarted driver
+    * re-READS the pair table instead of re-running it; every
+    * [[removeSpansFromIndex]]-family consumer serves from the reloaded
+    * table bit-identically (the build is deterministic; spec-pinned).
+    */
+  def writeSpanIndex(spans: DataFrame, dir: String): Unit =
+    spans.write.mode("overwrite").parquet(dir)
+
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Build-once SPAN index — [[spanPairs]]' output as a
     * checkpoint-backed artifact (the [[nearDupIndex]] pattern applied
     * to the span plane, the one dedup family that lacked it): at

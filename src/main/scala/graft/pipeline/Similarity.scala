@@ -840,6 +840,57 @@ object Similarity {
     annPairsCache.getOrElseUpdate((emb.sparkSession, tag),
       Dedup.retain(annPairs(emb).localCheckpoint(true)))
 
+  /** Disk round-trips for the ANN/eigen build artifacts — the
+    * cross-SESSION half of the build-serve split
+    * ([[graft.pipeline.Dedup.writeNearDupIndex]] stance): each build
+    * below is hours of compute at 100 TB, and a restarted driver
+    * re-READS the tables instead of re-running Lloyd/power iteration.
+    * All artifacts are exact integer tables, so parquet round-trips
+    * them bit-identically and every `-FromIndex` serve twin returns
+    * identical rows from the reloaded frames (spec-pinned in
+    * PipelineSpec). Codebooks/centroids are tiny (k / PqM×PqK rows);
+    * the corpus-sized members (codes, cell assignment) are the
+    * compressed artifacts. At production scale the IVFPQ code table
+    * would be written `partitionBy("cell")` so serving
+    * partition-prunes to probed cells; the plain layout here keeps the
+    * round-tripped schema exactly the built schema. */
+  def writePcaIndex(mm: DataFrame, v1: DataFrame, dir: String): Unit = {
+    mm.write.mode("overwrite").parquet(s"$dir/scatter")
+    v1.write.mode("overwrite").parquet(s"$dir/v1")
+  }
+
+  /** Reload: (scatter matrix (j,k,m), first component (dim,v)) —
+    * the inputs of [[pcaTop2FromIndex]] / [[pcaProjectFromIndex]]. */
+  def readPcaIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/scatter"), spark.read.parquet(s"$dir/v1"))
+
+  def writePqIndex(cb: DataFrame, codes: DataFrame, dir: String): Unit = {
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"))
+
+  def writeIvfPqIndex(cent: DataFrame, cb: DataFrame, ccodes: DataFrame, dir: String): Unit = {
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    ccodes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"))
+
+  def writeIvfIndex(assign: DataFrame, cent: DataFrame, dir: String): Unit = {
+    assign.write.mode("overwrite").parquet(s"$dir/assign")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/assign"), spark.read.parquet(s"$dir/centroids"))
+
   private[pipeline] def clearIndexCaches(): Unit = {
     pqCache.clear()
     ivfPqCache.clear()

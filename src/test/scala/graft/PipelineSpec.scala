@@ -426,6 +426,58 @@ class PipelineSpec extends SparkSpec {
     Dedup.freeRetained()
   }
 
+  test("span index round-trips through parquet: reloaded spans serve identical removal rows") {
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_idx").toString
+    val spans = Dedup.spanIndex(d)
+    Dedup.writeSpanIndex(spans, dir)
+    val reloaded = Dedup.readSpanIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(reloaded) == rows(spans) && rows(reloaded).nonEmpty)
+    assert(rows(Dedup.removeSpansFromIndex(d, reloaded)) == rows(Dedup.removeSpans(d)))
+    Dedup.freeRetained()
+  }
+
+  test("pca artifacts round-trip through parquet: deflation + projection serve identically") {
+    val e = Tables.embeddings(spark, sf0001)
+    Dedup.freeRetained()
+    val mm = Similarity.scatterMatrixCached(e, "diskTag")
+    val v1 = Similarity.pcaTopCached(e, "diskTag")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_idx").toString
+    Similarity.writePcaIndex(mm, v1, dir)
+    val (rmm, rv1) = Similarity.readPcaIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.sortBy(_.toString)
+    assert(rows(rmm) == rows(mm) && rows(rv1) == rows(v1) && rows(rv1).nonEmpty)
+    assert(rows(Similarity.pcaTop2FromIndex(rmm, rv1)) == rows(Similarity.pcaTop2(e)))
+    assert(rows(Similarity.pcaProjectFromIndex(rv1, e)) ==
+      rows(Similarity.pcaProjectFromIndex(v1, e)))
+    Dedup.freeRetained()
+  }
+
+  test("pq/ivfpq/ivf indexes round-trip through parquet: serve twins identical from disk") {
+    val e = Tables.embeddings(spark, sf0001)
+    Dedup.freeRetained()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    val (cb, codes) = Similarity.pqIndexCached(e, "diskTag")
+    Similarity.writePqIndex(cb, codes, s"$dir/pq")
+    val (rcb, rcodes) = Similarity.readPqIndex(spark, s"$dir/pq")
+    assert(rows(Similarity.pqTopKFromIndex(e, rcb, rcodes, 0L to 9L, 5)) ==
+      rows(Similarity.pqTopKFromIndex(e, cb, codes, 0L to 9L, 5)))
+    val (cent, cb2, cc) = Similarity.ivfPqIndexCached(e, "diskTag")
+    Similarity.writeIvfPqIndex(cent, cb2, cc, s"$dir/ivfpq")
+    val (rcent, rcb2, rcc) = Similarity.readIvfPqIndex(spark, s"$dir/ivfpq")
+    assert(rows(Similarity.ivfPqTopKFromIndex(e, rcent, rcb2, rcc, 0L to 9L, 5)) ==
+      rows(Similarity.ivfPqTopKFromIndex(e, cent, cb2, cc, 0L to 9L, 5)))
+    val (assign, kcent) = Similarity.ivfKmeansIndexCached(e, "diskTag")
+    Similarity.writeIvfIndex(assign, kcent, s"$dir/ivf")
+    val (rassign, rkcent) = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    assert(rows(Similarity.ivfTopKNprobe(rassign, rkcent, 0L to 9L, 5, Similarity.KmeansNprobe)) ==
+      rows(Similarity.ivfTopKNprobe(assign, kcent, 0L to 9L, 5, Similarity.KmeansNprobe)))
+    Dedup.freeRetained()
+  }
+
   test("ccnetBuckets: per-language terciles split 6 distinct scores 2/2/2, head outscores tail") {
     // frequency ladder: 'a' dominates the corpus, so docs with more
     // 'a' mass have higher mean unigram log-prob
