@@ -696,6 +696,15 @@ object RelationalQueries extends QueryPack {
       Tables.registerViews(s, dir)
       s.sql(QUERY_Q12)
     },
+    // TPC-H Q15: top supplier by quarterly revenue — the VIEW query: a
+    // grouped derived table referenced twice (join back + scalar MAX
+    // over it). Catalyst must not recompute the aggregate per outer
+    // row; the scalar subquery is a 1-row broadcast. Exact cents, so
+    // the max-equality join has no float tie ambiguity.
+    "q15_top_supplier" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(QUERY_Q15)
+    },
     // TPC-H Q10: returned-item top customers — revenue lost to
     // returns in one quarter, per customer with their nation.
     "q10_returns" -> { (s, dir) =>
@@ -808,6 +817,17 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.windowedLateReplay(s, dir)
         .orderBy("w_start", "event_type")
     },
+    // LATE data through the stateful SESSIONIZATION family: same
+    // out-of-order delivery as stream_hourly_late, driven through
+    // flatMapGroupsWithState + event-time timeout — the late slice's
+    // rows are dropped before they reach any group state, so sessions
+    // form from the surviving events only (StreamReplay
+    // .sessionLateReplay). Oracle: the stream_sessions rule over the
+    // slice-filtered event set.
+    "stream_sessions_late" -> { (s, dir) =>
+      graft.streaming.StreamReplay.sessionLateReplay(s, dir)
+        .orderBy("user_id", "start_ms")
+    },
     // STREAM-STREAM interval join under the oracle gate: purchases
     // matched to the same user's clicks within the prior 30 min, both
     // sides watermarked streams over time-ordered micro-batches
@@ -919,11 +939,27 @@ object RelationalQueries extends QueryPack {
       |GROUP BY l_bucket
       |ORDER BY l_bucket""".stripMargin
 
+  private val QUERY_Q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                       AS BIGINT)) AS BIGINT) AS total_revenue_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_c
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q20_excess_stock" -> QUERY_Q20,
     "q8_market_share" -> QUERY_Q8,
     "q9_profit" -> QUERY_Q9,
     "q12_late_lines" -> QUERY_Q12,
+    "q15_top_supplier" -> QUERY_Q15,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
@@ -1242,6 +1278,38 @@ object RelationalQueries extends QueryPack {
         |      FROM s GROUP BY user_id, sid),
         |mx AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY user_id),
         |wm AS (SELECT max(tms) - 3600000 AS w FROM e)
+        |SELECT g.user_id, CAST(g.start_ms AS BIGINT) AS start_ms,
+        |       CAST(g.end_ms AS BIGINT) AS end_ms,
+        |       CAST(g.n_events AS BIGINT) AS n_events
+        |FROM g JOIN mx ON g.user_id = mx.user_id, wm
+        |WHERE g.sid < mx.last_sid OR g.end_ms + 1800000 < wm.w
+        |ORDER BY g.user_id, g.start_ms""".stripMargin,
+    // the sessions emission rule over the ON-TIME event set (slice 2
+    // dropped by the watermark before reaching group state — same
+    // slice arithmetic as stream_hourly_late); the watermark itself
+    // comes from ALL events (dropped rows still pass the watermark
+    // collector). Session plane is ms (Timestamp.getTime), slice
+    // plane is µs — both integer.
+    "stream_sessions_late" ->
+      """WITH e0 AS (SELECT user_id, epoch_ms(ts) AS tms, epoch_us(ts) AS tsu
+        |            FROM events),
+        |b AS (SELECT min(tsu) AS lo, max(tsu) AS hi FROM e0),
+        |e AS (SELECT user_id, tms FROM e0, b
+        |      WHERE (tsu - b.lo) // ((b.hi - b.lo) // 4 + 1) <> 2),
+        |m AS (SELECT user_id, tms,
+        |         CASE WHEN lag(tms) OVER w IS NULL
+        |                OR tms - lag(tms) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |s AS (SELECT user_id, tms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |g AS (SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+        |             count(*) AS n_events
+        |      FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY user_id),
+        |wm AS (SELECT max(tms) - 3600000 AS w FROM e0)
         |SELECT g.user_id, CAST(g.start_ms AS BIGINT) AS start_ms,
         |       CAST(g.end_ms AS BIGINT) AS end_ms,
         |       CAST(g.n_events AS BIGINT) AS n_events

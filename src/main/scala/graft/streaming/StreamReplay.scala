@@ -47,11 +47,12 @@ import org.apache.spark.sql.streaming.Trigger
   * body is self-contained, so it pays fixture prep — one
   * localCheckpoint of the projected input plus `nBatches` coalesce(1)
   * single-file parquet writes with mod-time pinning — before the
-  * stream starts. Measured once at sf0.1 (quiet machine, median of 3):
-  * prep is ~0.9 s of stream_hourly's total and a similar absolute
-  * share of the other replays; a reader comparing stream_hourly to the
-  * batch ev_hourly (~0.3 s) should attribute the first ~second to the
-  * harness, not to the streaming operator.
+  * stream starts. Measured at sf0.1 (median of 3, prep replicated
+  * standalone): prep is 1.0 s of windowedReplay's 3.6 s total in the
+  * 4-core test session, and the same absolute ~1 s share applies to
+  * every replay here; a reader comparing stream_hourly to the batch
+  * ev_hourly (~0.3 s benched) should attribute the first ~second to
+  * the harness, not to the streaming operator.
   */
 object StreamReplay {
 
@@ -235,25 +236,7 @@ object StreamReplay {
       val (e, lo, hi, bucket) = timeSliced(spark, sfDir,
         ev => Seq(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
           col("value"), graft.Tables.eventMicros(ev).as("tsu")), nSlices)
-      // slice 3 splits at its time midpoint: 3a advances the watermark
-      // past slice 2, 3b is the buffer batch that retires the
-      // one-batch watermark lag before slice 2 arrives
-      val width = (hi - lo) / nSlices + 1
-      val mid3 = lo + 3 * width + (hi - (lo + 3 * width)) / 2
-      val slices = Seq(
-        bucket === 0L, bucket === 1L,
-        bucket === 3L && col("tsu") < mid3,
-        bucket === 3L && col("tsu") >= mid3,
-        bucket === 2L)
-      // the drop must be a THEOREM on this data, not a hope: every
-      // slice-2 row is strictly below slice-3a's watermark (ms plane)
-      val m = e.agg(
-        max(when(slices(2), col("tsu"))).as("max3a"),
-        max(when(slices(4), col("tsu"))).as("max2")).head()
-      require(!m.isNullAt(0) && !m.isNullAt(1) &&
-        m.getLong(1) / 1000 < m.getLong(0) / 1000 - 3600000L,
-        s"slice-2 max ${m.get(1)} not strictly below slice-3a watermark " +
-          s"(${m.get(0)} - 1h): late-ness would be data-dependent")
+      val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
       writeBuckets(slices.map(s =>
         e.filter(s).select("ts_utc", "event_type", "value")), inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
@@ -280,6 +263,84 @@ object StreamReplay {
       val rows = spark.table(name).collect() // emitted windows grid — bounded
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally rmTree(root)
+  }
+
+  /** Arrival-order filters for the late replays — slices 0, 1, then
+    * slice 3 split at its time midpoint (3a advances the watermark
+    * past all of slice 2; 3b is the buffer batch that retires the
+    * one-batch late-filter lag), then slice 2 LAST, provably late.
+    * The drop must be a THEOREM on the data, not a hope: every
+    * slice-2 row is required strictly below slice-3a's watermark
+    * (ms plane), else this fails loudly. */
+  private def lateSliceFilters(e: DataFrame, lo: Long, hi: Long,
+      bucket: Column, nSlices: Int): Seq[Column] = {
+    val width = (hi - lo) / nSlices + 1
+    val mid3 = lo + 3 * width + (hi - (lo + 3 * width)) / 2
+    val slices = Seq(
+      bucket === 0L, bucket === 1L,
+      bucket === 3L && col("tsu") < mid3,
+      bucket === 3L && col("tsu") >= mid3,
+      bucket === 2L)
+    val m = e.agg(
+      max(when(slices(2), col("tsu"))).as("max3a"),
+      max(when(slices(4), col("tsu"))).as("max2")).head()
+    require(!m.isNullAt(0) && !m.isNullAt(1) &&
+      m.getLong(1) / 1000 < m.getLong(0) / 1000 - 3600000L,
+      s"slice-2 max ${m.get(1)} not strictly below slice-3a watermark " +
+        s"(${m.get(0)} - 1h): late-ness would be data-dependent")
+    slices
+  }
+
+  /** LATE data through the SESSIONIZATION family — the same
+    * out-of-order delivery as [[windowedLateReplay]] (slices 0, 1, 3a,
+    * 3b, then 2 provably late) driven through
+    * [[LiveKV.sessionize]]'s flatMapGroupsWithState + event-time
+    * timeout. The stateful operator's late filter drops every slice-2
+    * row before it reaches any group state (same pinned rules: lagged
+    * watermark — hence the 3b buffer batch — strict ts < wm), so the
+    * drained result is the gap-split session table of the ON-TIME
+    * slices only: users whose slice-2 events vanished get the session
+    * boundaries their remaining events imply (a session spanning the
+    * hole merges or splits purely by the 30-min gap rule on what
+    * survived), and the usual Append emission rule applies — every
+    * session except a user's last, which needs the terminal watermark
+    * strictly past end + gap (timers fire mid-stream too: the
+    * inter-slice jumps far exceed the gap, so most sessions close by
+    * timeout between batches; emitted either way). Oracle: the
+    * stream_sessions SQL over the slice-filtered event set, watermark
+    * from ALL events. */
+  def sessionLateReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nSlices = 4
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_late_")
+    val inDir = root.resolve("in")
+    try {
+      val (e, lo, hi, bucket) = timeSliced(spark, sfDir,
+        ev => Seq(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
+          graft.Tables.eventMicros(ev).as("tsu")), nSlices)
+      val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
+      writeBuckets(slices.map(s => e.filter(s).select("user_id", "ts_utc")), inDir)
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      val name = s"stream_sessions_late_${runCounter.incrementAndGet()}"
+      withShufflePartitions(spark, StatePartitions) {
+        val src = spark.readStream
+          .schema("user_id LONG, ts_utc TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/b*")
+        val q = LiveKV.sessionize(src.as[LiveKV.SessionEvent])
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val rows = spark.table(name).collect() // closed sessions — bounded
+      spark.catalog.dropTempView(name)
+      rows.toSeq
+        .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)))
+        .toDF("user_id", "start_ms", "end_ms", "n_events")
     } finally rmTree(root)
   }
 

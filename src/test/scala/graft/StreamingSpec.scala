@@ -150,6 +150,49 @@ class StreamingSpec extends SparkSpec {
       "late rows did not change any emitted window: the watermark drop is unobserved")
   }
 
+  test("StreamReplay.sessionLateReplay: late slice dropped before group state, rule modeled") {
+    val streamed = graft.streaming.StreamReplay.sessionLateReplay(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf0001)
+    val rows = ev.select(col("user_id"), Tables.eventMicros(ev).as("tsu"))
+      .as[(Long, Long)].collect()
+    val gapMs = 1800000L
+    val wm = rows.map(_._2 / 1000).max - 3600000L
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val width = (hi - lo) / 4 + 1
+    def slice(tsu: Long) = (tsu - lo) / width
+    def sessions(ts: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val sorted = ts.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = sorted.head; var last = sorted.head; var n = 1L
+      sorted.tail.foreach { t =>
+        if (t - last <= gapMs) { last = t; n += 1 }
+        else { out += ((start, last, n)); start = t; last = t; n = 1 }
+      }
+      out += ((start, last, n))
+      out.toSeq
+    }
+    val onTime = rows.filter(r => slice(r._2) != 2)
+    val model = onTime.groupBy(_._1).toSeq.flatMap { case (u, ts) =>
+      val ss = sessions(ts.map(_._2 / 1000).toSeq)
+      ss.init.map { case (s, e, n) => (u, s, e, n) } ++
+        ss.lastOption.filter { case (_, e, _) => e + gapMs < wm }
+          .map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(streamed == model,
+      s"missing ${(model -- streamed).take(3)} extra ${(streamed -- model).take(3)}")
+    // non-trivial: late rows exist and their loss changes the session
+    // table vs the full-data one
+    assert(rows.exists(r => slice(r._2) == 2), "late slice empty")
+    val full = rows.groupBy(_._1).toSeq.flatMap { case (u, ts) =>
+      val ss = sessions(ts.map(_._2 / 1000).toSeq)
+      ss.init.map { case (s, e, n) => (u, s, e, n) } ++
+        ss.lastOption.filter { case (_, e, _) => e + gapMs < wm }
+          .map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(streamed != full, "late rows did not change any session: drop unobserved")
+  }
+
   test("StreamReplay.intervalJoinReplay == batch interval join") {
     val streamed = graft.streaming.StreamReplay.intervalJoinReplay(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSet
