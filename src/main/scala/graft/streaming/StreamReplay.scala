@@ -117,14 +117,15 @@ object StreamReplay {
     * bounded open sessions / a ~1.5 h join window). */
   private val StatePartitions = 8
 
-  /** Checkpoint the events projection `cols` (which must include a
-    * `tsu` µs column), compute the [lo, hi] µs range, and return
-    * (frame, lo, hi, bucket-index column for `nBatches` equal time
-    * slices). Shared fixture step for every event-time replay. */
-  private def timeSliced(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      cols: DataFrame => Seq[Column], nBatches: Int): (DataFrame, Long, Long, Column) = {
-    val ev = graft.Tables.events(spark, sfDir)
-    val e = ev.select(cols(ev): _*).localCheckpoint(true)
+  /** Checkpoint the prepared events frame `e0` (projected — and
+    * filtered, where the replay has a row filter: filters belong
+    * BEFORE the checkpoint so the checkpoint holds only needed rows —
+    * which must carry a `tsu` µs column), compute the [lo, hi] µs
+    * range, and return (checkpointed frame, lo, hi, bucket-index
+    * column for `nBatches` equal time slices). Shared fixture step for
+    * every event-time replay. */
+  private def timeSliced(e0: DataFrame, nBatches: Int): (DataFrame, Long, Long, Column) = {
+    val e = e0.localCheckpoint(true)
     val r = e.agg(min("tsu"), max("tsu")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val width = math.max((hi - lo) / nBatches + 1, 1L)
@@ -154,8 +155,9 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_hourly_")
     val inDir = root.resolve("in")
     try {
-      val (e, _, _, bucket) = timeSliced(spark, sfDir,
-        ev => Seq(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, _, bucket) = timeSliced(
+        ev.select(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
           col("value"), graft.Tables.eventMicros(ev).as("tsu")), nBatches)
       writeBuckets((0 until nBatches).map(b =>
         e.filter(bucket === b).select("ts_utc", "event_type", "value")), inDir)
@@ -233,8 +235,9 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_late_")
     val inDir = root.resolve("in")
     try {
-      val (e, lo, hi, bucket) = timeSliced(spark, sfDir,
-        ev => Seq(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, lo, hi, bucket) = timeSliced(
+        ev.select(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
           col("value"), graft.Tables.eventMicros(ev).as("tsu")), nSlices)
       val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
       writeBuckets(slices.map(s =>
@@ -316,8 +319,9 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_late_")
     val inDir = root.resolve("in")
     try {
-      val (e, lo, hi, bucket) = timeSliced(spark, sfDir,
-        ev => Seq(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, lo, hi, bucket) = timeSliced(
+        ev.select(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
           graft.Tables.eventMicros(ev).as("tsu")), nSlices)
       val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
       writeBuckets(slices.map(s => e.filter(s).select("user_id", "ts_utc")), inDir)
@@ -377,8 +381,9 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
     val inDir = root.resolve("in")
     try {
-      val (e, _, _, bucket) = timeSliced(spark, sfDir,
-        ev => Seq(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, _, bucket) = timeSliced(
+        ev.select(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
           graft.Tables.eventMicros(ev).as("tsu")), nBatches)
       writeBuckets((0 until nBatches).map(b =>
         e.filter(bucket === b).select("user_id", "ts_utc")), inDir)
@@ -430,13 +435,14 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_")
     val inDir = root.resolve("in")
     try {
-      val (e, _, _, bucket) = timeSliced(spark, sfDir,
-        ev => Seq(col("event_id"), col("user_id"), col("event_type"),
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, _, bucket) = timeSliced(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
           graft.Tables.eventTime(ev).as("ts_utc"),
-          graft.Tables.eventMicros(ev).as("tsu")), nBatches)
-      val f = e.filter(col("event_type").isin("click", "purchase"))
+          graft.Tables.eventMicros(ev).as("tsu"))
+          .filter(col("event_type").isin("click", "purchase")), nBatches)
       writeBuckets((0 until nBatches).map(b =>
-        f.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc")),
+        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc")),
         inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
       val name = s"stream_interval_join_${runCounter.incrementAndGet()}"
