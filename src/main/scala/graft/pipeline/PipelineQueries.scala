@@ -234,6 +234,20 @@ object PipelineQueries extends QueryPack {
     // deterministic sharded epoch shuffle (training order, epoch 0)
     "pipeline_shuffle" -> ((s, d) =>
       Curation.epochShuffle(docs(s, d)).orderBy("doc_id")),
+    // the TRAINING-SHARD SINK under the gate: write the sharded epoch
+    // layout to disk (shard=N partitioned parquet — the unit a
+    // data-loader worker claims) and read the DIRECTORY back; the
+    // gated read path is the on-disk loader layout, not the declared
+    // plan (the stream_state_table stance). A stable per-corpus temp
+    // dir + overwrite mode keeps repeated passes bounded on disk.
+    "pipeline_shards" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_shards_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      Curation.writeTrainingShards(docs(s, d), dir)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
     // leakage-safe split: whole near-dup clusters land on one side of
     // the train/test fence (split keys on the cluster representative),
     // served from the build-once cluster map
@@ -345,6 +359,12 @@ object PipelineQueries extends QueryPack {
         .orderBy("probe_id", "rank")
     }),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
+    // SEMANTIC dedup (SemDeDup): within-cell epsilon-ball marking over
+    // the build-once k-means assignment — pairwise cosine among cell
+    // members only; drop iff a smaller-id in-cell neighbor sits at
+    // cos >= 0.3 (the deterministic, engine-replayable tiebreak)
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d), d).orderBy("vec_id")),
     "mm_kind_stats" -> ((s, d) => Multimodal.kindStats(docs(s, d)).orderBy("kind")),
     // Decode path: kind=image tries the REAL javax.imageio codec; the
     // synthetic payloads here are text bytes (no image header), so
@@ -969,6 +989,27 @@ object PipelineQueries extends QueryPack {
       |  GROUP BY doc_id, pos),
       |fps AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS fp
       |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Deterministic sharded epoch shuffle (epoch 0) — keep in sync with
+    * Curation.epochShuffle; shared by pipeline_shuffle (the declared
+    * plan) and pipeline_shards (the SINK round-trip: the same rows
+    * read back from the partitioned on-disk loader layout). */
+  private lazy val epochShuffleOracleSql: String =
+    s"""WITH tot AS (SELECT greatest(8,
+       |               CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+       |                 // ${Curation.TargetTokensPerBucket}) AS r
+       |             FROM documents),
+       |shn AS (SELECT min(CAST(power(2, g) AS BIGINT)) AS s
+       |        FROM generate_series(3, 50) AS t(g), tot
+       |        WHERE CAST(power(2, g) AS BIGINT) >= r),
+       |k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS key
+       |      FROM documents),
+       |s AS (SELECT doc_id, key,
+       |             ${hex48Sql("key")} % (SELECT s FROM shn) AS shard FROM k)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |                               ORDER BY key, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
 
   /** K-means IVF multi-probe oracle: Lloyd cells (kmeansCtes), probe
     * routing to KmeansNprobe nearest cells, exact-cosine scoring — keep
@@ -1741,22 +1782,9 @@ object PipelineQueries extends QueryPack {
     // from the corpus token count, rounded UP to a power of two;
     // power(2, g) and its BIGINT cast are IEEE-exact for g <= 50, so
     // the min-over-powers spelling avoids log2's rounding hazard)
-    "pipeline_shuffle" ->
-      s"""WITH tot AS (SELECT greatest(8,
-         |               CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
-         |                 // ${Curation.TargetTokensPerBucket}) AS r
-         |             FROM documents),
-         |shn AS (SELECT min(CAST(power(2, g) AS BIGINT)) AS s
-         |        FROM generate_series(3, 50) AS t(g), tot
-         |        WHERE CAST(power(2, g) AS BIGINT) >= r),
-         |k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS key
-         |      FROM documents),
-         |s AS (SELECT doc_id, key,
-         |             ${hex48Sql("key")} % (SELECT s FROM shn) AS shard FROM k)
-         |SELECT doc_id, shard,
-         |       CAST(row_number() OVER (PARTITION BY shard
-         |                               ORDER BY key, doc_id) AS BIGINT) AS pos
-         |FROM s ORDER BY doc_id""".stripMargin,
+    "pipeline_shuffle" -> epochShuffleOracleSql,
+    // the sink round-trip serves the same rows the shuffle declares
+    "pipeline_shards" -> epochShuffleOracleSql,
     // CCNet head/middle/tail terciles of the 1e4-quantized unigram LM
     // score, nearest-rank cutoffs per language — keep in sync with
     // Curation.ccnetBuckets / TextAnalysis.logProb
@@ -2309,6 +2337,25 @@ object PipelineQueries extends QueryPack {
     // serve-path variant: identical rows (deterministic build), same
     // unrolled-training oracle
     "sim_ivf_serve" -> ivfKmeansOracleSql,
+    // SemDeDup over the same unrolled Lloyd cells: within-cell pairs,
+    // epsilon-ball by id order — keep in sync with
+    // Similarity.semanticDedup (threshold = AnnThreshold)
+    "dedup_semantic" ->
+      s"""WITH qv AS ($QV2),
+         |$kmeansCtes,
+         |close AS (
+         |  SELECT a.vec_id, count(*) AS n_close, min(b.vec_id) AS rep_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(a.qd, b.qd)
+         |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |        >= ${Similarity.AnnThreshold}
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |       CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+         |       CAST(coalesce(c.rep_id, -1) AS BIGINT) AS rep_id,
+         |       CASE WHEN c.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
+         |FROM asg a LEFT JOIN close c ON a.vec_id = c.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "sim_centroids" ->
       s"""WITH qv AS ($QV),
          |pe AS (SELECT label, unnest(q) AS qi,

@@ -840,6 +840,46 @@ object Similarity {
     annPairsCache.getOrElseUpdate((emb.sparkSession, tag),
       Dedup.retain(annPairs(emb).localCheckpoint(true)))
 
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the coarse
+    * k-means quantizer, then WITHIN each cell mark every vector that
+    * sits inside an ε-ball of another — pairwise cosine over cell
+    * members only, never the corpus cross product (the published
+    * algorithm's shape: at 100 TB, k scales with N so cells stay
+    * ~constant-sized and the per-cell quadratic stays bounded; the
+    * clustering rides the build-once [[ivfKmeansIndexCached]]
+    * artifact, so the ONLY per-run cost is the within-cell join).
+    *
+    * Deterministic keep rule the oracle can replay: a vector is
+    * DROPPED iff some SMALLER-ID vector in its cell has cosine >=
+    * `minCos` (pairwise ε-ball by id order — the paper keeps one
+    * member per ball with a centroid-distance tiebreak; id order is
+    * the engine-replayable tiebreak, and the rule is per-pair, not
+    * transitive closure). Output per vector: (vec_id, cell, n_close =
+    * smaller-id in-ball neighbors, rep_id = smallest such neighbor or
+    * -1, status keep/drop). Cosines are doubles over exact integer
+    * dot products — bit-identical across engines. */
+  def semanticDedup(emb: DataFrame, tag: String, minCos: Double = AnnThreshold): DataFrame = {
+    val spark = emb.sparkSession
+    val (assign, _) = ivfKmeansIndexCached(emb, tag)
+    val a = assign.select(col("vec_id"), col("cell"), col("q"), col("n2"))
+    val close = a.as("a")
+      .join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .withColumn("cos",
+        dot(spark, col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_close"), min(col("b.vec_id")).as("rep_id"))
+    assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("rep_id"), lit(-1L)).as("rep_id"),
+        when(col("n_close").isNull, "keep").otherwise("drop").as("status"))
+  }
+
   /** Disk round-trips for the ANN/eigen build artifacts — the
     * cross-SESSION half of the build-serve split
     * ([[graft.pipeline.Dedup.writeNearDupIndex]] stance): each build

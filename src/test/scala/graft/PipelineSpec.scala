@@ -478,6 +478,37 @@ class PipelineSpec extends SparkSpec {
     Dedup.freeRetained()
   }
 
+  test("semanticDedup: scala replay of the epsilon-ball rule; drops observed both ways") {
+    val e = Tables.embeddings(spark, sf0001)
+    Dedup.freeRetained()
+    val out = Similarity.semanticDedup(e, "semTag")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // independent replay: collect the (bounded) assignment and apply
+    // the rule in plain Scala
+    val (assign, _) = Similarity.ivfKmeansIndexCached(e, "semTag")
+    val rows = assign.select("vec_id", "cell", "q", "n2")
+      .as[(Long, Long, Seq[Long], Long)].collect()
+    val byCell = rows.groupBy(_._2)
+    def cos(a: (Long, Long, Seq[Long], Long), b: (Long, Long, Seq[Long], Long)) = {
+      val dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble))
+    }
+    val model = rows.map { a =>
+      val close = byCell(a._2)
+        .filter(b => b._1 < a._1 && cos(a, b) >= Similarity.AnnThreshold)
+      a._1 -> (a._2,
+        close.size.toLong,
+        if (close.isEmpty) -1L else close.map(_._1).min,
+        if (close.isEmpty) "keep" else "drop")
+    }.toMap
+    assert(out == model)
+    val nDrop = out.values.count(_._4 == "drop")
+    assert(nDrop > 0 && nDrop < out.size,
+      s"degenerate fixture: $nDrop dropped of ${out.size}")
+    Dedup.freeRetained()
+  }
+
   test("ccnetBuckets: per-language terciles split 6 distinct scores 2/2/2, head outscores tail") {
     // frequency ladder: 'a' dominates the corpus, so docs with more
     // 'a' mass have higher mean unigram log-prob
