@@ -849,6 +849,15 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.sessionReplay(s, dir)
         .orderBy("user_id", "start_ms")
     },
+    // LATE data through the STREAM-STREAM join — the third event-time
+    // stateful family under disorder: both sides watermarked, the
+    // late slice dropped by BOTH input filters (per-kind lateness
+    // theorem — the join watermark is the min across sides), emission
+    // = the batch join over the surviving slices.
+    "stream_interval_join_late" -> { (s, dir) =>
+      graft.streaming.StreamReplay.intervalJoinLateReplay(s, dir)
+        .orderBy("purchase_id", "click_id")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1254,6 +1263,22 @@ object RelationalQueries extends QueryPack {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       p.user_id AS user_id
         |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // the batch join restricted to the on-time slices on both sides
+    // (slice arithmetic over the click+purchase-filtered event set —
+    // the range the replay buckets over)
+    "stream_interval_join_late" ->
+      """WITH e0 AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS tsu
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |b AS (SELECT min(tsu) AS lo, max(tsu) AS hi FROM e0),
+        |e AS (SELECT e0.* FROM e0, b
+        |      WHERE (e0.tsu - b.lo) // ((b.hi - b.lo) // 4 + 1) <> 2)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS user_id
+        |FROM e p JOIN e c
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts

@@ -445,34 +445,87 @@ object StreamReplay {
         e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc")),
         inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
-      val name = s"stream_interval_join_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
-        val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
-        def side(kind: String, prefix: String) = spark.readStream
-          .schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$inDir/b*")
-          .filter(col("event_type") === kind)
-          .select(col("event_id").as(s"${prefix}_id"),
-            col("user_id").as(s"${prefix}_user"),
-            col("ts_utc").as(s"${prefix}_ts"))
-          .withWatermark(s"${prefix}_ts", "1 hour")
-        val joined = side("purchase", "p")
-          .join(side("click", "c"),
-            expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
-          .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
-            col("p_user").as("user_id"))
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .option("checkpointLocation", root.resolve("ck").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val rows = spark.table(name).collect() // in-window pair count — bounded
-      spark.catalog.dropTempView(name)
-      rows.toSeq.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
-        .toDF("purchase_id", "click_id", "user_id")
+      drainIntervalJoin(spark, inDir, root,
+        s"stream_interval_join_${runCounter.incrementAndGet()}")
+    } finally rmTree(root)
+  }
+
+  /** Build + drain the purchase×click interval join over the bucket
+    * files under `inDir` — shared by the time-ordered and late
+    * replays. */
+  private def drainIntervalJoin(spark: org.apache.spark.sql.SparkSession,
+      inDir: java.nio.file.Path, root: java.nio.file.Path, name: String): DataFrame = {
+    import spark.implicits._
+    withShufflePartitions(spark, StatePartitions) {
+      val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
+      def side(kind: String, prefix: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/b*")
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts_utc").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("purchase", "p")
+        .join(side("click", "c"),
+          expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+        .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+          col("p_user").as("user_id"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val rows = spark.table(name).collect() // in-window pair count — bounded
+    spark.catalog.dropTempView(name)
+    rows.toSeq.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .toDF("purchase_id", "click_id", "user_id")
+  }
+
+  /** LATE data through the STREAM-STREAM join — the third event-time
+    * stateful family under disorder (after the windowed aggregation
+    * and sessionization): the same out-of-order slice delivery, both
+    * join sides watermarked. The join's watermark is the MIN across
+    * the two sides' watermark nodes (multipleWatermarkPolicy=min, the
+    * default), so the lateness theorem is checked PER KIND: every
+    * slice-2 row must sit strictly below BOTH kinds' slice-3a
+    * watermark — then both input filters drop all of slice 2 (same
+    * pinned lag/strictness rules), and among the surviving time-
+    * ordered batches no needed row is evicted early (the
+    * [[intervalJoinReplay]] eviction argument, unchanged). Drained
+    * result = the batch join over the on-time slices; pairs whose
+    * click fell in slice 2 are the observable loss. */
+  def intervalJoinLateReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val nSlices = 4
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_late_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, lo, hi, bucket) = timeSliced(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+          graft.Tables.eventTime(ev).as("ts_utc"),
+          graft.Tables.eventMicros(ev).as("tsu"))
+          .filter(col("event_type").isin("click", "purchase")), nSlices)
+      val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
+      // per-kind tightening: the global watermark after slice 3a is
+      // min over the two sides' maxes
+      val mk = e.agg(
+        max(when(slices(2) && col("event_type") === "purchase", col("tsu"))).as("p3a"),
+        max(when(slices(2) && col("event_type") === "click", col("tsu"))).as("c3a"),
+        max(when(slices(4), col("tsu"))).as("max2")).head()
+      require(!mk.isNullAt(0) && !mk.isNullAt(1) && !mk.isNullAt(2) &&
+        mk.getLong(2) / 1000 < math.min(mk.getLong(0), mk.getLong(1)) / 1000 - 3600000L,
+        s"slice-2 max ${mk.get(2)} not strictly below BOTH kinds' slice-3a " +
+          s"watermark (purchase ${mk.get(0)}, click ${mk.get(1)}, -1h): " +
+          "join lateness would be data-dependent")
+      writeBuckets(slices.map(s =>
+        e.filter(s).select("event_id", "user_id", "event_type", "ts_utc")), inDir)
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      drainIntervalJoin(spark, inDir, root,
+        s"stream_interval_join_late_${runCounter.incrementAndGet()}")
     } finally rmTree(root)
   }
 

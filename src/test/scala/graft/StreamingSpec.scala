@@ -209,6 +209,32 @@ class StreamingSpec extends SparkSpec {
       s"missing: ${(batch -- streamed).take(3)}, extra: ${(streamed -- batch).take(3)}")
   }
 
+  test("StreamReplay.intervalJoinLateReplay: pairs touching the late slice lost, rest exact") {
+    val streamed = graft.streaming.StreamReplay.intervalJoinLateReplay(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf0001)
+    val e0 = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      Tables.eventMicros(ev).as("tsu"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val r = e0.agg(min("tsu"), max("tsu")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val width = (hi - lo) / 4 + 1
+    def joinOf(src: org.apache.spark.sql.DataFrame) =
+      src.filter(col("event_type") === "purchase").as("p")
+        .join(src.filter(col("event_type") === "click").as("c"),
+          col("c.user_id") === col("p.user_id") &&
+            col("c.tsu") >= col("p.tsu") - 1800000000L && col("c.tsu") <= col("p.tsu"))
+        .select(col("p.event_id"), col("c.event_id"), col("p.user_id"))
+        .as[(Long, Long, Long)].collect().toSet
+    val slice = ((col("tsu") - lo).cast("decimal(25,0)") / width).cast("long")
+    val model = joinOf(e0.filter(slice =!= 2))
+    assert(streamed == model,
+      s"missing ${(model -- streamed).take(3)} extra ${(streamed -- model).take(3)}")
+    val full = joinOf(e0)
+    assert(model != full && streamed.nonEmpty,
+      "late slice removed no pairs: the drop is unobserved")
+  }
+
   test("retried ops across micro-batches apply exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Op]
