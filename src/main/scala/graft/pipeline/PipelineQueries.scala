@@ -359,6 +359,11 @@ object PipelineQueries extends QueryPack {
         .orderBy("probe_id", "rank")
     }),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
+    // ADC quantization-error audit: ADC vs exact cosine per probe over
+    // the whole corpus, 1e-6-quantized errors (the code-budget sizing
+    // knob; serves from the cached PQ index)
+    "sim_pq_err" -> ((s, d) =>
+      Similarity.pqAdcErrors(emb(s, d), d, 0L to 9L).orderBy("probe_id")),
     // SEMANTIC dedup (SemDeDup): within-cell epsilon-ball marking over
     // the build-once k-means assignment — pairwise cosine among cell
     // members only; drop iff a smaller-id in-cell neighbor sits at
@@ -2337,23 +2342,57 @@ object PipelineQueries extends QueryPack {
     // serve-path variant: identical rows (deterministic build), same
     // unrolled-training oracle
     "sim_ivf_serve" -> ivfKmeansOracleSql,
+    // ADC error audit: the unrolled PQ training + serve CTEs score
+    // every (probe, vector) pair; per-pair errors quantize to 1e-6
+    // BEFORE aggregation (exact integer rollup) — keep in sync with
+    // Similarity.pqAdcErrors
+    "sim_pq_err" ->
+      s"""WITH qv AS ($QV2),
+         |${pqCbCtes(Similarity.PqIters)},
+         |${pqServeCtes(Similarity.PqIters)},
+         |adc AS (SELECT l.probe_id, d.vec_id, l.pn2,
+         |               CAST(SUM(l.pdot) AS BIGINT) AS adot,
+         |               CAST(SUM(d.cn2) AS BIGINT) AS rn2
+         |        FROM pqcodes d JOIN pqlut l ON l.m = d.m AND l.code = d.code
+         |        WHERE d.vec_id <> l.probe_id
+         |        GROUP BY 1, 2, 3),
+         |adcs AS (SELECT probe_id, vec_id,
+         |                CAST(adot AS DOUBLE)
+         |                  / (sqrt(CAST(pn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS adc
+         |         FROM adc),
+         |ex AS (SELECT p.vec_id AS probe_id, v.vec_id,
+         |              list_dot_product(p.q, v.q)
+         |                / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) AS cos
+         |       FROM qv p JOIN qv v ON v.vec_id <> p.vec_id
+         |       WHERE p.vec_id < 10),
+         |errs AS (SELECT e.probe_id,
+         |                CAST(abs(round((a.adc - e.cos) * 1000000)) AS BIGINT) AS err_q
+         |         FROM ex e JOIN adcs a USING (probe_id, vec_id))
+         |SELECT probe_id, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(err_q) AS BIGINT) AS sum_abs_err_q,
+         |       CAST(max(err_q) AS BIGINT) AS max_abs_err_q
+         |FROM errs GROUP BY probe_id ORDER BY probe_id""".stripMargin,
     // SemDeDup over the same unrolled Lloyd cells: within-cell pairs,
     // epsilon-ball by id order — keep in sync with
     // Similarity.semanticDedup (threshold = AnnThreshold)
     "dedup_semantic" ->
       s"""WITH qv AS ($QV2),
          |$kmeansCtes,
+         |big AS (SELECT cell FROM asg GROUP BY cell
+         |        HAVING count(*) > ${Dedup.MaxBandBucket}),
          |close AS (
          |  SELECT a.vec_id, count(*) AS n_close, min(b.vec_id) AS rep_id
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |  WHERE list_dot_product(a.qd, b.qd)
+         |  WHERE a.cell NOT IN (SELECT cell FROM big)
+         |    AND list_dot_product(a.qd, b.qd)
          |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
          |        >= ${Similarity.AnnThreshold}
          |  GROUP BY a.vec_id)
          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
          |       CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
          |       CAST(coalesce(c.rep_id, -1) AS BIGINT) AS rep_id,
-         |       CASE WHEN c.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
+         |       CASE WHEN a.cell IN (SELECT cell FROM big) THEN 'mega'
+         |            WHEN c.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
          |FROM asg a LEFT JOIN close c ON a.vec_id = c.vec_id
          |ORDER BY a.vec_id""".stripMargin,
     "sim_centroids" ->

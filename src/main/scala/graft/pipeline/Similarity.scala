@@ -857,12 +857,24 @@ object Similarity {
     * the engine-replayable tiebreak, and the rule is per-pair, not
     * transitive closure). Output per vector: (vec_id, cell, n_close =
     * smaller-id in-ball neighbors, rep_id = smallest such neighbor or
-    * -1, status keep/drop). Cosines are doubles over exact integer
-    * dot products — bit-identical across engines. */
-  def semanticDedup(emb: DataFrame, tag: String, minCos: Double = AnnThreshold): DataFrame = {
+    * -1, status keep/drop/mega). Cosines are doubles over exact
+    * integer dot products — bit-identical across engines.
+    *
+    * Skew guard (the two-phase cap every other candidate generator
+    * carries): cells with more than `maxCell` members are EXCLUDED
+    * from the pairwise join — a degenerate quantizer (all mass in one
+    * cell) must not quietly run the corpus cross product. Their
+    * members report status "mega": membership is the signal, pairwise
+    * balls are not computed (re-cluster with larger k, the production
+    * response). The cap never binds at a healthy k ~ N/target. */
+  def semanticDedup(emb: DataFrame, tag: String, minCos: Double = AnnThreshold,
+      maxCell: Long = Dedup.MaxBandBucket): DataFrame = {
     val spark = emb.sparkSession
     val (assign, _) = ivfKmeansIndexCached(emb, tag)
+    val overCap = assign.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxCell).select("cell")
     val a = assign.select(col("vec_id"), col("cell"), col("q"), col("n2"))
+      .join(broadcast(overCap), Seq("cell"), "left_anti")
     val close = a.as("a")
       .join(a.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
@@ -873,11 +885,14 @@ object Similarity {
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(count(lit(1)).as("n_close"), min(col("b.vec_id")).as("rep_id"))
     assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(broadcast(overCap.select(col("cell").cast("long").as("cell"),
+        lit(true).as("is_mega"))), Seq("cell"), "left")
       .join(close, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_close"), lit(0L)).as("n_close"),
         coalesce(col("rep_id"), lit(-1L)).as("rep_id"),
-        when(col("n_close").isNull, "keep").otherwise("drop").as("status"))
+        when(col("is_mega"), "mega")
+          .when(col("n_close").isNull, "keep").otherwise("drop").as("status"))
   }
 
   /** Disk round-trips for the ANN/eigen build artifacts — the
@@ -969,6 +984,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
+  }
+
+  /** ADC quantization-error audit for the PQ plane — the knob that
+    * sizes PqM/PqK before a 100 TB run commits to a code budget (the
+    * dedup_minhash_err stance: measure the approximation, don't guess
+    * it): for each probe, ADC cosine vs exact cosine over EVERY
+    * corpus vector, each pair's error quantized to 1e-6 BEFORE
+    * aggregation — a rounded average of raw doubles is
+    * summation-order-dependent between engines, a sum of quantized
+    * longs is exact. Output per probe: candidate count, Σ|err| and
+    * max|err| in 1e-6 units. The ADC side serves from the cached
+    * [[pqIndexCached]] artifact; the exact side is the same
+    * probes-broadcast brute-force pass sim_topk prices. */
+  def pqAdcErrors(emb: DataFrame, tag: String, probeIds: Seq[Long]): DataFrame = {
+    val spark = emb.sparkSession
+    val (cb, codes) = pqIndexCached(emb, tag)
+    val qv = quantized(emb)
+    val lut = qv
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("n2").as("pn2"),
+        subspaces(col("q"), "psq").as("s"))
+      .select(col("probe_id"), col("pn2"), col("s.m").as("m"), col("s.psq").as("psq"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", dot(spark, col("psq"), col("cq")))
+      .select(col("probe_id"), col("pn2"), col("m"), col("code"), col("pdot"))
+    val adc = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"), col("pn2"))
+      .agg(sum("pdot").as("adot"), sum("cn2").as("rn2"))
+      .withColumn("adc_cos",
+        col("adot").cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("rn2").cast("double"))))
+      .select("probe_id", "vec_id", "adc_cos")
+    val probes = qv.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val exact = qv.select(col("vec_id"), col("q"), col("n2"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot(spark, col("pq"), col("q")).cast("double") /
+        (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .select("probe_id", "vec_id", "cos")
+    exact.join(adc, Seq("probe_id", "vec_id"))
+      .withColumn("err_q",
+        abs(round((col("adc_cos") - col("cos")) * 1e6, 0)).cast("long"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n"),
+        sum("err_q").as("sum_abs_err_q"),
+        max("err_q").as("max_abs_err_q"))
   }
 
   /** IVF x PQ — the composed 100 TB ANN shape (FAISS's IVFPQ layout):

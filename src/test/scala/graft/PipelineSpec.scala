@@ -506,6 +506,12 @@ class PipelineSpec extends SparkSpec {
     val nDrop = out.values.count(_._4 == "drop")
     assert(nDrop > 0 && nDrop < out.size,
       s"degenerate fixture: $nDrop dropped of ${out.size}")
+    // mega-cell guard: with a cap below every cell size, every vector
+    // reports membership-only (no pairwise balls computed)
+    val mega = Similarity.semanticDedup(e, "semTag", maxCell = 1L)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(mega.nonEmpty && mega.forall(r =>
+      r._5 == "mega" && r._3 == 0L && r._4 == -1L))
     Dedup.freeRetained()
   }
 
