@@ -416,6 +416,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic / sim_pq_err: serve from cached artifacts, bounded probe scans") {
+    // dedup_semantic reads the checkpointed k-means assignment (an
+    // ExistingRDD scan) — never re-runs Lloyd — and touches no parquet
+    // at all (the embedding columns ride the assignment artifact)
+    val sem = plan("dedup_semantic")
+    assert(collectAll(sem) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }.nonEmpty, s"dedup_semantic must read the cached assignment:\n$sem")
+    assert(collectAll(sem) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, s"dedup_semantic re-scanned parquet instead of the artifact:\n$sem")
+    assert(!sem.toString.contains("CartesianProduct") &&
+      !sem.toString.contains("BroadcastNestedLoopJoin"), sem.toString)
+    // sim_pq_err reads the checkpointed code table; its parquet scans
+    // are the exact-side corpus pass plus the probe lookups, probe
+    // filters pushed down
+    val err = plan("sim_pq_err")
+    assert(collectAll(err) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }.nonEmpty, s"sim_pq_err must read the cached code table:\n$err")
+    val probeScans = collectAll(err) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("PushedFilters", "").contains("In(vec_id") => f
+    }
+    assert(probeScans.nonEmpty, s"sim_pq_err probe scans lost the pushed id filter:\n$err")
+  }
+
   test("sim_ivf_topk: assignment is an aggregate (max_by), ranking is WindowGroupLimit-bounded") {
     val p = plan("sim_ivf_topk")
     val windows = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
