@@ -359,6 +359,11 @@ object PipelineQueries extends QueryPack {
         .orderBy("probe_id", "rank")
     }),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
+    // incremental IVF ingest: the last 100 vectors assigned against
+    // the quantizer trained on the first 400 only — the no-retrain
+    // append path (frozen centroids ride the cached base index)
+    "sim_ivf_append" -> ((s, d) =>
+      Similarity.ivfAppendAssign(emb(s, d), d, 400L).orderBy("vec_id")),
     // ADC quantization-error audit: ADC vs exact cosine per probe over
     // the whole corpus, 1e-6-quantized errors (the code-budget sizing
     // knob; serves from the cached PQ index)
@@ -2342,6 +2347,25 @@ object PipelineQueries extends QueryPack {
     // serve-path variant: identical rows (deterministic build), same
     // unrolled-training oracle
     "sim_ivf_serve" -> ivfKmeansOracleSql,
+    // incremental ingest: Lloyd trains over the BASE slice only (the
+    // qv CTE kmeansCtes consumes is the filtered base), then the new
+    // batch assigns against the frozen cent2 with the same
+    // score-DESC / cell-ASC argmax — keep in sync with
+    // Similarity.ivfAppendAssign / assignCells
+    "sim_ivf_append" ->
+      s"""WITH qvall AS ($QV2),
+         |qv AS (SELECT * FROM qvall WHERE vec_id < 400),
+         |$kmeansCtes,
+         |newd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+         |         FROM qvall WHERE vec_id >= 400)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+         |  SELECT n.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY list_dot_product(n.qd, c.cv)
+         |                      / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                    c.cell) AS rn
+         |  FROM newd n CROSS JOIN cent2 c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // ADC error audit: the unrolled PQ training + serve CTEs score
     // every (probe, vector) pair; per-pair errors quantize to 1e-6
     // BEFORE aggregation (exact integer rollup) — keep in sync with

@@ -986,6 +986,24 @@ object Similarity {
         round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
   }
 
+  /** Incremental IVF ingest — the index APPEND path: assign a NEW
+    * vector batch (`vec_id >= newMin`) against the FROZEN coarse
+    * quantizer trained on the base corpus (`vec_id < newMin`), riding
+    * the build-once [[ivfKmeansIndexCached]] artifact of the base.
+    * This is how an ANN index absorbs a crawl increment at 100 TB:
+    * O(batch × k) assignment work per ingest, NO retrain — appended
+    * codes land in existing cells (and cell-partitioned storage), and
+    * the quantizer is re-trained only when drift audits (the recall
+    * queries) say so. Mirrors the dedup plane's batch-vs-base
+    * incremental forms. Output: (vec_id, cell) for the new batch. */
+  def ivfAppendAssign(emb: DataFrame, tag: String, newMin: Long): DataFrame = {
+    val base = emb.filter(col("vec_id") < newMin)
+    val (_, cent) = ivfKmeansIndexCached(base, s"${tag}_base$newMin")
+    val newQ = quantized(emb.filter(col("vec_id") >= newMin))
+    assignCells(newQ, cent)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   /** ADC quantization-error audit for the PQ plane — the knob that
     * sizes PqM/PqK before a 100 TB run commits to a code budget (the
     * dedup_minhash_err stance: measure the approximation, don't guess
