@@ -364,6 +364,11 @@ object PipelineQueries extends QueryPack {
     // append path (frozen centroids ride the cached base index)
     "sim_ivf_append" -> ((s, d) =>
       Similarity.ivfAppendAssign(emb(s, d), d, 400L).orderBy("vec_id")),
+    // the append path's drift audit: per-cell base vs batch occupancy
+    // (integer basis points) — the evidence that triggers a quantizer
+    // re-train
+    "sim_ivf_drift" -> ((s, d) =>
+      Similarity.ivfAppendDrift(emb(s, d), d, 400L).orderBy("cell")),
     // ADC quantization-error audit: ADC vs exact cosine per probe over
     // the whole corpus, 1e-6-quantized errors (the code-budget sizing
     // knob; serves from the cached PQ index)
@@ -2366,6 +2371,32 @@ object PipelineQueries extends QueryPack {
          |                    c.cell) AS rn
          |  FROM newd n CROSS JOIN cent2 c)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // per-cell occupancy of base vs appended batch — keep in sync
+    // with Similarity.ivfAppendDrift
+    "sim_ivf_drift" ->
+      s"""WITH qvall AS ($QV2),
+         |qv AS (SELECT * FROM qvall WHERE vec_id < 400),
+         |$kmeansCtes,
+         |newd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+         |         FROM qvall WHERE vec_id >= 400),
+         |newasg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.qd, c.cv)
+         |                        / sqrt(CAST(c.cn2 AS DOUBLE)) DESC,
+         |                      c.cell) AS rn
+         |    FROM newd n CROSS JOIN cent2 c)
+         |  WHERE rn = 1),
+         |bc AS (SELECT cell, count(*) AS n_base FROM asg GROUP BY cell),
+         |nc AS (SELECT cell, count(*) AS n_new FROM newasg GROUP BY cell)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |       CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+         |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(coalesce(n_new, 0) * 10000
+         |              // (coalesce(n_base, 0) + coalesce(n_new, 0)) AS BIGINT)
+         |         AS new_share_bp
+         |FROM bc FULL OUTER JOIN nc USING (cell) ORDER BY cell""".stripMargin,
     // ADC error audit: the unrolled PQ training + serve CTEs score
     // every (probe, vector) pair; per-pair errors quantize to 1e-6
     // BEFORE aggregation (exact integer rollup) — keep in sync with

@@ -1004,6 +1004,28 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** Drift audit for the append path — the signal that decides WHEN
+    * [[ivfAppendAssign]]'s no-retrain contract expires: per-cell
+    * occupancy of the base index vs the appended batch, with the
+    * batch's share in basis points (exact integer arithmetic). A
+    * healthy ingest lands roughly proportionally; cells whose
+    * new-share runs far from the batch/corpus ratio are distribution
+    * drift — the production response is re-training the quantizer,
+    * and this table is the evidence that triggers it. */
+  def ivfAppendDrift(emb: DataFrame, tag: String, newMin: Long): DataFrame = {
+    val base = emb.filter(col("vec_id") < newMin)
+    val (assignBase, _) = ivfKmeansIndexCached(base, s"${tag}_base$newMin")
+    val baseCnt = assignBase
+      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n_base"))
+    val newCnt = ivfAppendAssign(emb, tag, newMin)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    baseCnt.join(newCnt, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("new_share_bp", expr("n_new * 10000 div (n_base + n_new)"))
+  }
+
   /** ADC quantization-error audit for the PQ plane — the knob that
     * sizes PqM/PqK before a 100 TB run commits to a code budget (the
     * dedup_minhash_err stance: measure the approximation, don't guess
