@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: (sfDir, outDir). Extra args are a BUILDER-ONLY
+    // name filter for iterating on a subset without the full sweep.
+    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
+    val only: Set[String] = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +35,10 @@ object Verify {
     // (name -> exception) and shout the count. The declared set and the
     // reported set may only diverge loudly.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,10 +52,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
     if (failed.nonEmpty) {
       System.err.println(
-        s"[verify] *** ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] *** ${failed.size}/${selected.size} queries FAILED: " +
           failed.keys.mkString(", ") + " (see _failed.json) ***")
     } else {
-      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+      System.err.println(s"[verify] all ${selected.size} queries dumped OK")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

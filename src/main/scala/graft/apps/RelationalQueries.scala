@@ -858,6 +858,24 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.intervalJoinLateReplay(s, dir)
         .orderBy("purchase_id", "click_id")
     },
+    // STREAM-STATIC enrichment join under the oracle gate: the
+    // purchase stream hash-joined per micro-batch against the static
+    // customer dimension (broadcast — stateless, no watermark), then
+    // rolled up by market segment in Complete mode (the stateful
+    // cross-batch accumulation). Oracle: the plain batch join+rollup.
+    "stream_static_join" -> { (s, dir) =>
+      graft.streaming.StreamReplay.staticJoinReplay(s, dir)
+        .orderBy("c_mktsegment")
+    },
+    // Bucketed CO-LOCATED join: lineitem ⋈ orders on orderkey with
+    // both sides stored bucketBy(orderkey) + sortBy — the persisted
+    // layout that removes both join-side shuffles AND sorts (build
+    // once at ingest, serve every join at read cost). hint("merge")
+    // keeps the gated plan the production SMJ plan; BucketingSpec pins
+    // zero join-side exchanges. Oracle: the plain parquet join.
+    "rel_bucket_join" -> { (s, dir) =>
+      graft.operators.BucketedTables.colocatedJoin(s, dir)
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1361,6 +1379,22 @@ object RelationalQueries extends QueryPack {
         |FROM agg a, b
         |WHERE epoch_ms(a.w_start) + 3600000 <= b.hi // 1000 - 3600000
         |ORDER BY a.w_start, a.event_type""".stripMargin,
+    // stateless broadcast join + Complete-mode rollup == the batch
+    // join+rollup, arrival-order independent; integer-cents exact
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    // the bucketed co-located join must equal the plain parquet join
+    "rel_bucket_join" ->
+      """SELECT o_orderpriority, l_linestatus, count(*) AS n_lines,
+        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_linestatus
+        |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
     // the streaming rollup shares the batch rollup's oracle
     "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

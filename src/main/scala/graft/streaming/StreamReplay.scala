@@ -410,6 +410,68 @@ object StreamReplay {
     } finally rmTree(root)
   }
 
+  /** Driver-visible STREAM-STATIC ENRICHMENT JOIN — the fifth
+    * streaming family under the gate (after the fold, the windowed
+    * aggregation, sessionization and the stream-stream join), and the
+    * single most common production streaming shape: a fact stream
+    * joined per micro-batch against a SLOW dimension table (purchases
+    * × customer → market segment), then rolled up statefully.
+    *
+    * The join itself is STATELESS — each micro-batch hash-joins
+    * against the static side with no state store and no watermark; the
+    * `broadcast` hint makes it a BroadcastHashJoin inside every
+    * micro-batch (the dimension ships to executors once per batch —
+    * at 100 TB/day stream scale the dimension is still dimension-
+    * sized, so broadcast stays the right strategy; a fact-sized
+    * "dimension" would instead become a stream-stream join). The
+    * Complete-mode segment rollup AFTER the join is where cross-batch
+    * state genuinely accumulates, so the replay exercises
+    * join-then-stateful-agg, not just the join. Determinism: stateless
+    * join + Complete-mode agg are arrival-order independent — the
+    * drained table equals the batch join+rollup (the oracle SQL)
+    * regardless of micro-batching; time-ordered buckets are kept only
+    * so the fixture shape matches the other replays. Exact arithmetic:
+    * purchase values fold as integer cents. Final read bounded by the
+    * segment domain (5 rows), never the event count. */
+  def staticJoinReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, _, bucket) = timeSliced(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"),
+            graft.Tables.eventMicros(ev).as("tsu")), nBatches)
+      writeBuckets((0 until nBatches).map(b =>
+        e.filter(bucket === b).select("user_id", "cents")), inDir)
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      val dim = broadcast(graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val src = spark.readStream
+        .schema("user_id LONG, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/b*")
+      val agg = src.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val name = s"stream_static_join_${runCounter.incrementAndGet()}"
+      withShufflePartitions(spark, StatePartitions) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val schema = spark.table(name).schema
+      val rows = spark.table(name).collect() // segment domain — bounded
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally rmTree(root)
+  }
+
   /** Driver-visible STREAM-STREAM INTERVAL JOIN — the fourth stateful
     * streaming family (after the fold, the windowed aggregation and
     * sessionization): each purchase matched to the same user's clicks

@@ -50,6 +50,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("rel_bucket_join serve plan: SMJ with zero join-side shuffles, exact qty cast") {
+    // the GATED serve path (operators.BucketedTables.colocatedJoin),
+    // not a spec-local rebuild: hint("merge") must hold the strategy
+    // at SMJ and the bucketed layout must feed it shuffle-free — the
+    // only allowed exchange is the final small-group agg's
+    val joined = graft.operators.BucketedTables.colocatedJoin(spark, sf0001)
+    assert(joined.count() > 0)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.collect { case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan) }.flatten
+    val executed = joined.queryExecution.executedPlan
+    val smjs = unwrap(executed).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    })
+    assert(smjs.nonEmpty, s"merge hint did not hold:\n$executed")
+    // the lever under test: NOTHING below the join repartitions — both
+    // sides are bucketed scans (the agg and final ORDER BY exchanges
+    // above the join are group-sized, not fact-sized)
+    val joinSideShuffles = smjs.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(joinSideShuffles.isEmpty,
+      s"expected co-located join, got ${joinSideShuffles.size} join-side shuffles:\n$executed")
+    assert(executed.toString.contains("Bucketed: true"),
+      s"join sides are not bucketed scans:\n$executed")
+    // the serve's sum(cast(l_quantity as long)) is exact only while
+    // quantities are integral — enforce the schema contract the query
+    // relies on
+    val nonIntegral = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") =!= col("l_quantity").cast("long").cast("double"))
+      .count()
+    assert(nonIntegral == 0, s"$nonIntegral non-integral l_quantity rows")
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap

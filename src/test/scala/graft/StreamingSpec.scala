@@ -57,6 +57,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("StreamReplay.staticJoinReplay: stream-static enrichment == batch join+rollup") {
+    val streamed = graft.streaming.StreamReplay.staticJoinReplay(spark, sf0001)
+      .orderBy("c_mktsegment").collect().toSeq
+    val batch = {
+      val ev = Tables.events(spark, sf0001)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      ev.join(Tables.customer(spark, sf0001)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("c_mktsegment").collect().toSeq
+    }
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("StreamReplay.sessionReplay == batch sessions minus still-open trailing ones") {
     val streamed = graft.streaming.StreamReplay.sessionReplay(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSet
