@@ -876,6 +876,14 @@ object RelationalQueries extends QueryPack {
     "rel_bucket_join" -> { (s, dir) =>
       graft.operators.BucketedTables.colocatedJoin(s, dir)
     },
+    // STATIC partition pruning over a date-partitioned fact layout:
+    // events written partitionBy(event_date) once (build, with the
+    // repartition(d) small-files fix), then a one-day rollup whose
+    // literal day predicate prunes the scan to a single directory at
+    // planning time (PlanSpec pins PartitionFilters + files read).
+    "ev_day_prune" -> { (s, dir) =>
+      graft.operators.PartitionedTables.dayRollup(s, dir)
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1395,6 +1403,14 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_linestatus
         |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
+    // the pruned one-day rollup must equal the full-scan day filter
+    "ev_day_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT CAST(min(ts) AS DATE) + 3 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the streaming rollup shares the batch rollup's oracle
     "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

@@ -591,4 +591,31 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(rec) { case b: BroadcastExchangeExec => b }.nonEmpty,
       "sim_ivf_recall lost its probe-side broadcasts")
   }
+
+  test("ev_day_prune: literal day predicate prunes the partitioned scan at planning time") {
+    val df = SparkEntry.queries("ev_day_prune")(spark, sf0001)
+    df.collect() // populate scan metrics
+    // descend through AQE wrappers: QueryStageExec children are not
+    // TreeNode children, so plain collect never reaches the scan
+    def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    })).flatMap(deep)
+    val scans = deep(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScan in ev_day_prune")
+    val scan = scans.head
+    // pruning is a PLANNING-time PartitionFilters entry on d, not a
+    // post-scan Filter over all 30 days
+    assert(scan.partitionFilters.exists(_.toString.contains("d#") ||
+      scan.partitionFilters.toString.contains("d#")),
+      s"no partition filter on d: ${scan.partitionFilters}")
+    // and the scan must READ one day's files, not the whole layout
+    // (the build writes repartition(d) -> one file per day, 30 days)
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles >= 1 && numFiles <= 2,
+      s"pruned scan read $numFiles files — pruning lost")
+  }
 }
