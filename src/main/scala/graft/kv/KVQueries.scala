@@ -51,6 +51,16 @@ object KVQueries extends QueryPack {
     // hash gate IS the state table, not a memory sink
     "stream_state_table" -> ((s, dir) =>
       graft.streaming.StreamReplay.stateTableReplay(ops(s, dir)).orderBy("key")),
+    // the IN-STREAM exactly-once gate (K4's streaming form) under the
+    // hash gate: raw ops (dupes included) through streaming
+    // dropDuplicates(clientId, reqId) across 4 seq-ordered micro-
+    // batches, rolled up per client on survivor-INSENSITIVE outputs
+    // (distinct-request count + max req id — identical whichever
+    // duplicate the state store admitted first). The fold-output
+    // replays keep dedup batch-side for exactly this reason; this
+    // query gates the dedup state store itself.
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamReplay.dedupReplay(ops(s, dir)).orderBy("client_id")),
     // SKEW under the gate: the op log with a planted hot key (~70% of
     // writes on "hot") folded by the two-phase SALTED replay — hot
     // keys split across seq-bucket sub-folds, then merged in bucket
@@ -128,6 +138,14 @@ object KVQueries extends QueryPack {
     "kv_ack" ->
       s"""$OPS_SQL
          |SELECT client_id, max(req_id) AS max_req_id FROM dedup
+         |GROUP BY client_id ORDER BY client_id""".stripMargin,
+    // streaming dropDuplicates admits exactly one row per
+    // (client_id, req_id) — the dedup CTE's pair set; the rollup is
+    // survivor-insensitive so either engine's pick hashes identically
+    "stream_dedup" ->
+      s"""$OPS_SQL
+         |SELECT client_id, count(*) AS n_reqs, max(req_id) AS max_req_id
+         |FROM dedup
          |GROUP BY client_id ORDER BY client_id""".stripMargin,
     "kv_state" ->
       s"""$OPS_SQL,

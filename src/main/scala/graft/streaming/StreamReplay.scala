@@ -631,6 +631,64 @@ object StreamReplay {
     } finally rmTree(root)
   }
 
+  /** The IN-STREAM exactly-once gate under the oracle gate — K4's
+    * streaming form. [[stateReplay]] deliberately dedups BATCH-side
+    * (its fold output depends on WHICH duplicate survives, and
+    * streaming dropDuplicates keeps first ARRIVAL — partition-order-
+    * dependent within a micro-batch); this replay gates the streaming
+    * dedup state store itself instead, on outputs that are SURVIVOR-
+    * INSENSITIVE: the raw op log (no batch-side dedup, gets included)
+    * streams through `dropDuplicates(clientId, reqId)` across 4
+    * seq-ordered micro-batches, and the drained pair set is rolled up
+    * per client as (n distinct requests, max request id) — functions
+    * of pair IDENTITY only, identical whichever duplicate the state
+    * store admitted first. Oracle: the same rollup over the dedup CTE
+    * (one row per pair by construction).
+    *
+    * The Append-mode memory sink holds one row per DISTINCT
+    * (clientId, reqId) — bounded by the client × reqId session domain
+    * (the reference's dedup table bound, src/kvraft/server.go:72-80),
+    * never the op count; production replaces it with the ack-table
+    * parquet sink. The per-client rollup is aggregated BEFORE the
+    * bounded driver read. */
+  def dedupReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+    val spark = ops.sparkSession
+    require(nBatches >= 1, "nBatches must be positive")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+    val inDir = root.resolve("in")
+    try {
+      val log = ops.toDF.localCheckpoint(true)
+      val maxSeqRow = log.agg(max("seq")).head()
+      val maxSeq = if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)
+      val width = math.max(maxSeq / nBatches + 1, 1L)
+      val bucket = least((col("seq").cast("decimal(25,0)") / width).cast("long"),
+        lit(nBatches - 1L))
+      writeBuckets((0 until nBatches).map(b => log.filter(bucket === b)), inDir)
+      graft.pipeline.Dedup.freeCheckpoint(log)
+      val name = s"stream_dedup_${runCounter.incrementAndGet()}"
+      withShufflePartitions(spark, StatePartitions) {
+        val src = spark.readStream
+          .schema(log.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/b*")
+        val q = src.dropDuplicates("clientId", "reqId")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val rollup = spark.table(name)
+        .groupBy(col("clientId").as("client_id"))
+        .agg(count(lit(1)).as("n_reqs"), max("reqId").as("max_req_id"))
+      val schema = rollup.schema
+      val rows = rollup.collect() // client domain — bounded
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally rmTree(root)
+  }
+
   /** Step 1 of the op-log replays, shared by [[stateReplay]] and
     * [[stateTableReplay]]: dedup the log batch-side, bucket the writes
     * by seq range into `nBatches` ordered files under `inDir` (see the

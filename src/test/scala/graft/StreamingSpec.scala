@@ -57,6 +57,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("StreamReplay.dedupReplay: in-stream dedup rollup == batch dedup; dupes genuinely present") {
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
+    val streamed = graft.streaming.StreamReplay.dedupReplay(ops)
+      .orderBy("client_id").collect().toSeq
+    val batch = KVEngine.dedup(ops)
+      .groupBy(col("clientId").as("client_id"))
+      .agg(count(lit(1)).as("n_reqs"), max(col("reqId")).as("max_req_id"))
+      .orderBy("client_id").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // the gate must not be vacuous: the raw log carries real duplicates
+    val raw = ops.count()
+    val pairs = ops.toDF.select("clientId", "reqId").distinct().count()
+    assert(pairs < raw, s"no duplicate (clientId, reqId) pairs in $raw ops")
+  }
+
   test("StreamReplay.staticJoinReplay: stream-static enrichment == batch join+rollup") {
     val streamed = graft.streaming.StreamReplay.staticJoinReplay(spark, sf0001)
       .orderBy("c_mktsegment").collect().toSeq
