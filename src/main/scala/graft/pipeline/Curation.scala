@@ -737,4 +737,46 @@ object Curation {
       .filter(col("pred_lang").isin(langs: _*) && col("quality") >= minQuality)
       .select(col("doc_id"), col("pred_lang"), col("quality"))
   }
+
+  /** Small-files COMPACTION — the lake-maintenance op every long-lived
+    * 100 TB table needs: streaming ingest and per-day partitions leave
+    * thousands of KB-sized parquet files whose per-file open/footer
+    * cost eventually dwarfs the data read; compaction rewrites them
+    * into files sized to `targetBytes`.
+    *
+    * The file count is derived from the ACTUAL on-disk byte size of
+    * the input layout (listing, not sampling), so the output sizing is
+    * exact for any compression ratio; `repartition(n)` round-robins
+    * rows for near-equal output sizes. This is the rewrite-all form —
+    * the production refinement rewrites only files below a size floor
+    * and leaves already-right-sized ones in place (same sizing
+    * arithmetic, a file-list filter on top); bin-packing by input file
+    * is deliberately NOT done row-wise here because round-robin gives
+    * tighter size variance than concatenating whole input files.
+    *
+    * Returns the output file count. Content preservation is gated by
+    * pipeline_compact (count + order-independent 48-bit content XOR,
+    * overflow-free at any corpus size); output sizing is pinned by
+    * PipelineSpec. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val totalBytes = parquetBytes(inDir)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Sum of data-file bytes under a parquet dir (skips _SUCCESS etc.). */
+  def parquetBytes(dir: String): Long = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size)
+        .sum
+    } finally s.close()
+  }
 }

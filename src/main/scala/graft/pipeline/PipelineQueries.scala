@@ -248,6 +248,34 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
         .orderBy("doc_id")
     }),
+    // small-files COMPACTION round-trip: documents fragmented into 32
+    // KB-sized files (the streaming-ingest pathology), compacted to
+    // files sized from the layout's actual bytes, and the compacted
+    // table gated on count + an order-independent 48-bit content XOR
+    // (file counts/sizes are pinned by PipelineSpec — not SQL facts)
+    "pipeline_compact" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_")
+      try {
+        val frag = root.resolve("frag").toString
+        val comp = root.resolve("comp").toString
+        docs(s, d).repartition(32).write.mode("overwrite").parquet(frag)
+        Curation.compact(s, frag, comp, targetBytes = 256 * 1024)
+        val r = s.read.parquet(comp).agg(
+          count(lit(1)).as("n_docs"),
+          expr("bit_xor(cast(conv(substring(md5(concat(" +
+            "cast(doc_id as string), ':', text)), 1, 12), 16, 10) as bigint))")
+            .as("content_x")).head()
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "content_x")
+      } finally {
+        // the result is already materialized driver-side (1 row);
+        // no symlinks under root — everything here was written by us
+        val w = java.nio.file.Files.walk(root)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+    }),
     // leakage-safe split: whole near-dup clusters land on one side of
     // the train/test fence (split keys on the cluster representative),
     // served from the build-once cluster map
@@ -1770,6 +1798,13 @@ object PipelineQueries extends QueryPack {
         |       CAST(least(64, n - start + 1) AS BIGINT) AS chunk_len,
         |       array_to_string(toks[start : start + 63], ' ') AS text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // compaction preserves content exactly: count + order-independent
+    // 48-bit XOR over (doc_id, text) — the layout facts (file counts,
+    // sizes) are PipelineSpec's, not SQL's
+    "pipeline_compact" ->
+      s"""SELECT count(*) AS n_docs,
+         |       bit_xor(${hex48Sql("md5(CAST(doc_id AS VARCHAR) || ':' || text)")}) AS content_x
+         |FROM documents""".stripMargin,
     // add-one-smoothed target/corpus unigram log-ratio, mean per doc —
     // keep in sync with Curation.importanceWeights (target lang 'en')
     "pipeline_dsir" ->

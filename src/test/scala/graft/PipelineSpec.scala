@@ -1769,6 +1769,37 @@ class PipelineSpec extends SparkSpec {
       s"the mislabeled doc must surface in the (de, en) cell: $m")
   }
 
+  test("Curation.compact: file count derived from real bytes, sizes near target, content exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
+    val frag = root.resolve("frag").toString
+    val comp = root.resolve("comp").toString
+    def files(dir: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    val docs = Tables.documents(spark, sf0001)
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    assert(files(frag).size == 32)
+    val target = 64L * 1024
+    val n = Curation.compact(spark, frag, comp, target)
+    val out = files(comp)
+    // sizing is exact arithmetic on the listed bytes, and compaction
+    // genuinely collapses the fragment count
+    val total = Curation.parquetBytes(frag)
+    assert(n == math.max(1L, (total + target - 1) / target).toInt)
+    assert(out.size == n && n < 32, s"n=$n")
+    // round-robin keeps sizes near target (encoding variance bounded)
+    assert(out.map(java.nio.file.Files.size).forall(_ <= 3 * target),
+      s"oversized compacted file: ${out.map(java.nio.file.Files.size)}")
+    // bit-exact content: same rows, nothing lost or duplicated
+    val back = spark.read.parquet(comp)
+    assert(back.count() == docs.count())
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
