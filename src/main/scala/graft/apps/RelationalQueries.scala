@@ -884,6 +884,15 @@ object RelationalQueries extends QueryPack {
     "ev_day_prune" -> { (s, dir) =>
       graft.operators.PartitionedTables.dayRollup(s, dir)
     },
+    // File-level MIN/MAX data skipping (zone map): events stored
+    // range-sorted on user_id with a file manifest; a point-user
+    // rollup prunes the manifest first and reads 1-2 of 16 files —
+    // the no-partition-column scan lever for high-cardinality keys
+    // (BucketingSpec pins the pruned file count). Key = min user + 42
+    // so the oracle models it in SQL.
+    "ev_skipping" -> { (s, dir) =>
+      graft.operators.SkippingIndex.gatedUserRollup(s, dir)
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1403,6 +1412,14 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_linestatus
         |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
+    // the zone-map-pruned rollup must equal the full-scan user filter
+    "ev_skipping" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events
+        |WHERE user_id = (SELECT min(user_id) + 42 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the pruned one-day rollup must equal the full-scan day filter
     "ev_day_prune" ->
       """SELECT event_type, count(*) AS n,

@@ -81,6 +81,49 @@ class BucketingSpec extends SparkSpec {
     assert(nonIntegral == 0, s"$nonIntegral non-integral l_quantity rows")
   }
 
+  test("bucketed point lookup prunes to one bucket (SelectedBucketsCount 1/8)") {
+    // the layout's second dividend: an equality predicate on the
+    // bucket column needs only hash(key)'s bucket — at 100 TB a point
+    // probe reads 1/N of the table without any index structure
+    val (li, _) = graft.operators.BucketedTables.orderkeyBucketed(spark, sf0001)
+    // autoBucketedScan disables bucketed reading (and with it bucket
+    // pruning) for plans with no exchange to eliminate — a point probe
+    // is exactly that plan, so turn the heuristic off for the probe
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val oldV = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table(li).filter(col("l_orderkey") === 42L)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning lost:\n$plan")
+    } finally spark.conf.set(key, oldV)
+  }
+
+  test("SkippingIndex: zone-map serve reads 1-2 of 16 files and equals the full scan") {
+    val ev = Tables.events(spark, sf0001)
+    // max user id: guaranteed present at ANY sf (min+42 may fall in an
+    // inter-zone gap at sf0.001 — the gated query probes it at gate
+    // scale, where it exists; the absent-key path is pinned below)
+    val uid = ev.agg(max("user_id")).head().getLong(0)
+    val (served, hitFiles) = graft.operators.SkippingIndex.userRollup(spark, sf0001, uid)
+    // range-disjoint files: a point key lives in one file (two only if
+    // it straddles a range boundary)
+    assert(hitFiles >= 1 && hitFiles <= 2, s"zone map pruned to $hitFiles files")
+    val full = ev.filter(col("user_id") === uid)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .orderBy("event_type")
+    assert(served.collect().toSeq == full.collect().toSeq && served.count() > 0)
+    // absent key (above every zone): the manifest proves it without
+    // touching a data file — 0 files read, empty result
+    val (absent, absentFiles) =
+      graft.operators.SkippingIndex.userRollup(spark, sf0001, uid + 1000)
+    assert(absentFiles == 0 && absent.isEmpty)
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap
