@@ -905,6 +905,63 @@ object RelationalQueries extends QueryPack {
           col("n"), col("total"))
         .orderBy("event_type", "bucket")
     },
+    // CDC MERGE (the lakehouse MERGE INTO): a synthetic change batch
+    // (upserts with bumped totals where orderkey%3=0, deletes where
+    // %9=0) applied to a base slice (orderkey%4<>0) of orders in one
+    // full-outer join keyed on orderkey — inserts, updates and
+    // deletes all land in a single shuffle (operators.MergeInto).
+    "rel_merge" -> { (s, dir) =>
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+      val base = ord.filter(col("o_orderkey") % 4 =!= 0)
+      val changes = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 100000L).as("cents"),
+          when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"))
+      graft.operators.MergeInto.merge(base, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    // Incremental view maintenance: the daily rollup served as
+    // merge(partial(base), partial(delta)) with OVERLAPPING groups
+    // (event_id%10 split, every (day,type) straddles the split) —
+    // merged == full recompute is the whole point; avg derived at
+    // finalize, never stored (operators.IncrementalAgg).
+    "ev_ivm" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val base = graft.operators.IncrementalAgg.partial(ev.filter(col("event_id") % 10 < 8))
+      val delta = graft.operators.IncrementalAgg.partial(ev.filter(col("event_id") % 10 >= 8))
+      graft.operators.IncrementalAgg.finalizeView(
+          graft.operators.IncrementalAgg.merge(Seq(base, delta)))
+        .orderBy("day", "event_type")
+    },
+    // HyperLogLog distinct users per event type: 256 exact-integer
+    // md5 registers per group (one partial-aggregating shuffle,
+    // mergeable by element-wise max) + the bias-corrected estimate
+    // (operators.HllSketch). The count-distinct that ships one fixed-
+    // size sketch instead of every distinct key.
+    "ev_hll" -> { (s, dir) =>
+      graft.operators.HllSketch.estimate(
+          graft.operators.HllSketch.registers(
+            Tables.events(s, dir), "event_type", "user_id"),
+          "event_type")
+        .orderBy("event_type")
+    },
+    // The HLL error audit: estimate vs exact distinct in integer
+    // basis points — the measurement that sizes p (same pattern as
+    // dedup_minhash_err / sim_pq_err).
+    "ev_hll_err" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val est = graft.operators.HllSketch.estimate(
+        graft.operators.HllSketch.registers(ev, "event_type", "user_id"), "event_type")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_est"), col("n_exact"),
+          expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"))
+        .orderBy("event_type")
+    },
   )
 
   /** Q20/Q8/Q9/Q12 as single SQL texts shared verbatim by the Spark
@@ -997,6 +1054,45 @@ object RelationalQueries extends QueryPack {
       |WHERE s_suppkey = supplier_no
       |  AND total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** 48-bit value of the first 12 hex chars of `hexCol` — exact in
+    * BIGINT, identical to Spark's conv(substring(hexCol,1,12),16,10)
+    * (the PipelineQueries nibble-sum idiom; DuckDB has no conv). */
+  private def hex48Sql(hexCol: String): String =
+    (0 until 12)
+      .map(i => s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)"
+        + s" * ${1L << (4 * (11 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB mirror of [[graft.operators.HllSketch]]: same 48-bit md5
+    * hash, same top-8-bit bucket / 40-bit rank split, same dense
+    * zero-filled 256-register grid, same exact-integer (v_zero,
+    * s_scaled) aggregate. Ends in an `agg(event_type, v_zero,
+    * s_scaled)` CTE. */
+  private val HLL_CTES =
+    s"""WITH hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hex FROM events),
+       |h AS (SELECT event_type, ${hex48Sql("hex")} AS h FROM hx),
+       |b AS (SELECT event_type, h // ${1L << 40} AS bucket,
+       |             41 - length(ltrim(bin(CAST(h % ${1L << 40} AS BIGINT)), '0')) AS rank
+       |      FROM h),
+       |rk AS (SELECT event_type, bucket, max(rank) AS reg FROM b GROUP BY event_type, bucket),
+       |grid AS (SELECT t.event_type, g.range AS bucket
+       |         FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN range(256) g),
+       |regs AS (SELECT grid.event_type, grid.bucket, coalesce(rk.reg, 0) AS reg
+       |         FROM grid LEFT JOIN rk ON grid.event_type = rk.event_type AND grid.bucket = rk.bucket),
+       |agg AS (SELECT event_type,
+       |               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |               CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INTEGER)) AS BIGINT) AS s_scaled
+       |        FROM regs GROUP BY event_type)""".stripMargin
+
+  /** The estimate over an `agg` row — the HllSketch double arithmetic
+    * in the same association order, round(.,6) before the floor to
+    * absorb libm ln() last-ulp differences. */
+  private val HLL_EST_SQL =
+    """CAST(floor(round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 1125899906842624.0 / s_scaled <= 640.0
+      |                       AND v_zero > 0
+      |                  THEN 256.0 * ln(256.0 / v_zero)
+      |                  ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 1125899906842624.0 / s_scaled END, 6)) AS BIGINT)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q20_excess_stock" -> QUERY_Q20,
@@ -1571,5 +1667,46 @@ object RelationalQueries extends QueryPack {
         |FROM (SELECT event_type, user_id % 10 AS bucket, value FROM events)
         |GROUP BY CUBE (event_type, bucket)
         |ORDER BY coalesce(event_type, 'ALL'), coalesce(CAST(bucket AS VARCHAR), 'ALL')""".stripMargin,
+    // MERGE semantics spelled out: full outer on the key, change row
+    // wins on 'U', 'D' rows vanish — the MergeInto operator verbatim
+    "rel_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) + 100000 AS cents,
+        |         CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |       CASE WHEN c.op = 'U' THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+        |       CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op = 'U'
+        |ORDER BY o_orderkey""".stripMargin,
+    // IVM's whole claim is merged-partials == recompute, so the oracle
+    // IS the one-shot recompute
+    "ev_ivm" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |                  CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT day, event_type, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(cents) AS min_cents, max(cents) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM e GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "ev_hll" ->
+      s"""$HLL_CTES
+         |SELECT event_type, v_zero, s_scaled, $HLL_EST_SQL AS n_est
+         |FROM agg ORDER BY event_type""".stripMargin,
+    "ev_hll_err" ->
+      s"""$HLL_CTES,
+         |est AS (SELECT event_type, $HLL_EST_SQL AS n_est FROM agg),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |       FROM events GROUP BY event_type)
+         |SELECT event_type, n_est, n_exact,
+         |       abs(n_est - n_exact) * 10000 // n_exact AS err_bp
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
   )
 }

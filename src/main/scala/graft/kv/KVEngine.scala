@@ -183,6 +183,48 @@ object KVEngine {
           .as("value"))
   }
 
+  /** SCD Type-2 history of the KV store: one row per WRITE with its
+    * validity interval — the data-plane form of the reference
+    * shardmaster's time-travel Query (src/shardmaster/server.go keeps
+    * every config version; Query(num) reads any of them). A put opens
+    * a fresh value; an append extends the current one; `valid_to` is
+    * the next write's seq (NULL = still current), so state-as-of-T is
+    * a pure interval filter — no replay.
+    *
+    * Distributed shape: everything runs on ONE HashPartitioning(key) —
+    * the segment counter, the running concat and the lead() all share
+    * the per-key sort, so Catalyst plans a single shuffle + sort. The
+    * running concat is a rows-frame collect_list/array_join (bounded
+    * by a key's writes-per-segment, the same bound the fold itself
+    * carries). At 100 TB this is the standing dimension-history table
+    * a MERGE-maintained lake keeps next to the live snapshot.
+    */
+  def scd2(ops: Dataset[Op]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("key").orderBy("seq")
+    val run = Window.partitionBy("key", "seg").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dedup(ops).filter(col("kind") =!= "get")
+      // seg bumps at each put: a segment is one put + its appends
+      // (seg 0 = appends before any put, matching the fold's
+      // null-anchor branch)
+      .withColumn("seg", sum(when(col("kind") === "put", 1).otherwise(0)).over(byKey))
+      .withColumn("value", array_join(collect_list("value").over(run), ""))
+      .withColumn("valid_to", lead("seq", 1).over(byKey))
+      .select(col("key"), col("seq").as("valid_from"), col("valid_to"), col("value"))
+  }
+
+  /** Time-travel point-in-time snapshot from the SCD2 history: state
+    * as-of seq T is the rows whose interval covers T. The open row
+    * (valid_to NULL) is the live state — [[replay]] restricted to
+    * seq <= T, property-tested equal. The broadcast probe keeps the
+    * filter a map-side scan of the history table.
+    */
+  def snapshotAt(history: DataFrame, t: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= t && (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("key"), col("value"))
+
   /** Point lookups pushed BELOW the fold: the fold is per-key and
     * duplicate (clientId, reqId) pairs always carry the same key, so
     * replaying only the probed keys' ops is equivalent to folding

@@ -70,6 +70,21 @@ object KVQueries extends QueryPack {
     "kv_state_skewed" -> ((s, dir) =>
       KVEngine.replaySalted(OpLog.fromEventsSkewed(Tables.events(s, dir)))
         .orderBy("key")),
+    // SCD TYPE-2 history (the shardmaster time-travel idea at the KV
+    // data plane): every write's validity interval on one key-
+    // partitioned window pass; the open rows ARE kv_state (spec-pinned)
+    "kv_scd2" -> ((s, dir) =>
+      KVEngine.scd2(ops(s, dir)).orderBy("key", "valid_from")),
+    // time-travel snapshot: state as-of T = mid-log seq, served as a
+    // pure interval filter over the SCD2 history — no replay. T comes
+    // from a 1-row max(seq) aggregate (bounded driver traffic, the
+    // replaySalted precedent).
+    "kv_snapshot" -> ((s, dir) => {
+      val o = ops(s, dir)
+      val row = o.agg(max("seq")).head()
+      val t = if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+      KVEngine.snapshotAt(KVEngine.scd2(o), t).orderBy("key")
+    }),
   )
 
   /** DuckDB mirror of [[OpLog.fromEvents]] + [[KVEngine.dedup]] —
@@ -176,6 +191,37 @@ object KVQueries extends QueryPack {
          |FROM (VALUES ('7'), ('23'), ('nokey')) p(key)
          |LEFT JOIN state s ON p.key = s.key
          |ORDER BY p.key""".stripMargin,
+    // DuckDB mirror of the SCD2 window pass: same segment counter,
+    // same rows-frame running concat, same lead() close
+    "kv_scd2" ->
+      s"""$OPS_SQL,
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |segs AS (SELECT *, sum(CASE WHEN kind = 'put' THEN 1 ELSE 0 END)
+         |                     OVER (PARTITION BY key ORDER BY seq) AS seg
+         |         FROM writes)
+         |SELECT key, seq AS valid_from,
+         |       lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+         |       string_agg(value, '') OVER (PARTITION BY key, seg ORDER BY seq
+         |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         |FROM segs ORDER BY key, valid_from""".stripMargin,
+    // snapshot-as-of: the interval filter over the same history at
+    // T = max(seq) // 2 — integer division truncates identically
+    "kv_snapshot" ->
+      s"""$OPS_SQL,
+         |writes AS (SELECT * FROM dedup WHERE kind <> 'get'),
+         |segs AS (SELECT *, sum(CASE WHEN kind = 'put' THEN 1 ELSE 0 END)
+         |                     OVER (PARTITION BY key ORDER BY seq) AS seg
+         |         FROM writes),
+         |hist AS (
+         |  SELECT key, seq AS valid_from,
+         |         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+         |         string_agg(value, '') OVER (PARTITION BY key, seg ORDER BY seq
+         |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         |  FROM segs),
+         |t AS (SELECT max(seq) // 2 AS t FROM ops)
+         |SELECT key, value FROM hist, t
+         |WHERE valid_from <= t.t AND (valid_to IS NULL OR valid_to > t.t)
+         |ORDER BY key""".stripMargin,
     "kv_shard_counts" ->
       s"""$OPS_SQL
          |SELECT ${Key2Shard.shardOfSql("key")} AS shard, count(*) AS n_keys

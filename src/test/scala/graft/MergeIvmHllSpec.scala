@@ -1,0 +1,166 @@
+package graft
+
+import graft.kv.{KVEngine, OpLog}
+import graft.operators.{HllSketch, IncrementalAgg, MergeInto}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+
+/** The round-10 maintenance plane: CDC MERGE, incremental view
+  * maintenance, the HLL distinct sketch, and SCD2 time travel. Each
+  * test pins the ALGEBRAIC property the operator's 100 TB story
+  * rests on (merge == recompute, sketch merges by max, history tiles
+  * the seq line), not just a golden output.
+  */
+class MergeIvmHllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ops = OpLog.fromEvents(Tables.events(spark, sf0001))
+
+  // ---------------------------------------------------------------- MERGE
+
+  test("MergeInto: insert, update, delete and no-op delete in one batch") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 99L, "U"),  // update
+      (4L, "d", 40L, "U"),  // insert
+      (3L, "c", 0L, "D"),   // delete
+      (9L, "x", 0L, "D"),   // delete of absent key: no-op
+    ).toDF("k", "s", "v", "op")
+    val out = MergeInto.merge(base, changes, Seq("k")).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "B", 99L), (4L, "d", 40L)))
+  }
+
+  test("MergeInto plans a single equi-join, never a nested loop") {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+    val base = ord.filter(col("o_orderkey") % 4 =!= 0)
+    val changes = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), (cents + 100000L).as("cents"),
+        when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"))
+    val merged = MergeInto.merge(base, changes, Seq("o_orderkey"))
+    merged.collect() // materialize so AQE settles the final plan
+    def bnlj(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect { case _: BroadcastNestedLoopJoinExec => 1 }.sum +
+        p.collect { case a: AdaptiveSparkPlanExec => bnlj(a.executedPlan) }.sum
+    assert(bnlj(merged.queryExecution.executedPlan) === 0)
+  }
+
+  test("MergeInto == drop-and-rebuild when changes carry the full truth") {
+    // applying (every key as 'U') onto any base must equal the changes
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = ord.filter(col("o_orderkey") % 2 === 0)
+    val changes = ord.withColumn("cents", col("cents") + 7L).withColumn("op", lit("U"))
+    val merged = MergeInto.merge(base, changes, Seq("o_orderkey"))
+    assert(merged.exceptAll(changes.drop("op")).isEmpty &&
+      changes.drop("op").exceptAll(merged).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- IVM
+
+  test("IncrementalAgg: merge(partial(a), partial(b)) == partial(a ∪ b), any split") {
+    val ev = Tables.events(spark, sf0001)
+    for (mod <- Seq(2, 7)) {
+      val a = ev.filter(col("event_id") % 10 < mod)
+      val b = ev.filter(col("event_id") % 10 >= mod)
+      val merged = IncrementalAgg.finalizeView(
+        IncrementalAgg.merge(Seq(IncrementalAgg.partial(a), IncrementalAgg.partial(b))))
+      val oneShot = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+      assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+        s"split at $mod diverged from recompute")
+    }
+  }
+
+  test("IncrementalAgg: folding a delta in twice must NOT equal once (merge is not idempotent)") {
+    // guards against a merge that silently dedups — partials are
+    // counts, double-folding must double-count
+    val ev = Tables.events(spark, sf0001)
+    val p = IncrementalAgg.partial(ev)
+    val twice = IncrementalAgg.merge(Seq(p, p))
+    val n1 = p.agg(sum("n")).as[Long].head()
+    val n2 = twice.agg(sum("n")).as[Long].head()
+    assert(n2 === 2 * n1)
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  test("HllSketch registers: dense 256 per group, ranks within [0, 41]") {
+    val ev = Tables.events(spark, sf0001)
+    val regs = HllSketch.registers(ev, "event_type", "user_id")
+    val perGroup = regs.groupBy("event_type").agg(
+      count(lit(1)).as("n"), min("reg").as("mn"), max("reg").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(perGroup.length === nTypes)
+    perGroup.foreach { case (t, n, mn, mx) =>
+      assert(n === 256, s"$t not dense")
+      assert(mn >= 0 && mx <= 41, s"$t rank out of range")
+    }
+  }
+
+  test("HllSketch registers merge by element-wise max (the 1000-executor fold)") {
+    val ev = Tables.events(spark, sf0001)
+    val a = HllSketch.registers(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+    val b = HllSketch.registers(ev.filter(col("event_id") % 2 =!= 0), "event_type", "user_id")
+    val folded = a.unionByName(b)
+      .groupBy("event_type", "bucket").agg(max("reg").as("reg"))
+    val whole = HllSketch.registers(ev, "event_type", "user_id")
+    assert(folded.exceptAll(whole).isEmpty && whole.exceptAll(folded).isEmpty)
+  }
+
+  test("HllSketch estimate lands within 3 sigma (~20%) of exact distinct") {
+    val ev = Tables.events(spark, sf0001)
+    val est = HllSketch.estimate(HllSketch.registers(ev, "event_type", "user_id"), "event_type")
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+    val rows = est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_est"), col("n_exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, e, x) =>
+      // p=8 -> se ~ 1.04/sqrt(256) = 6.5%; 3 sigma ~ 19.5%
+      assert(math.abs(e - x).toDouble / x <= 0.20, s"$t: est $e vs exact $x")
+    }
+  }
+
+  // ---------------------------------------------------------------- SCD2
+
+  test("SCD2 open rows ARE the live state (replay equivalence)") {
+    val hist = KVEngine.scd2(ops)
+    val open = hist.filter(col("valid_to").isNull).select("key", "value")
+    val live = KVEngine.replay(ops)
+    assert(open.exceptAll(live).isEmpty && live.exceptAll(open).isEmpty)
+  }
+
+  test("SCD2 snapshot at T == replay of the log truncated at T") {
+    val all = ops
+    val hist = KVEngine.scd2(all)
+    val maxSeq = all.agg(max("seq")).as[Long].head()
+    for (t <- Seq(maxSeq / 4, maxSeq / 2, maxSeq)) {
+      val snap = KVEngine.snapshotAt(hist, t)
+      val truncated = KVEngine.replay(all.filter(col("seq") <= t))
+      assert(snap.exceptAll(truncated).isEmpty && truncated.exceptAll(snap).isEmpty,
+        s"snapshot at $t diverged from truncated replay")
+    }
+  }
+
+  test("SCD2 intervals tile each key's seq line: contiguous, non-overlapping, one open row") {
+    val hist = KVEngine.scd2(ops).cache()
+    try {
+      // exactly one open (valid_to IS NULL) row per key
+      val opens = hist.groupBy("key")
+        .agg(sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"))
+        .filter(col("n_open") =!= 1)
+      assert(opens.isEmpty)
+      // every closed row's valid_to is exactly the next row's valid_from
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("valid_from")
+      val gaps = hist
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(gaps.isEmpty)
+    } finally hist.unpersist()
+  }
+}
