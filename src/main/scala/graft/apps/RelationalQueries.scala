@@ -962,6 +962,24 @@ object RelationalQueries extends QueryPack {
           expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"))
         .orderBy("event_type")
     },
+    // The IVM × HLL composition: per-day DISTINCT users maintained
+    // incrementally — the non-distributive measure exact IVM can't
+    // carry. Each slice sketches its own registers; the standing
+    // partial folds them by element-wise max (the register monoid),
+    // and the served estimate reads the merged 256-row-per-day table.
+    // At 100 TB: daily distincts over a year never rescan history —
+    // each day's delta ships 256 longs per group.
+    "ev_ivm_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val keyed = ev.select(to_date(Tables.eventTime(ev)).as("day"),
+        col("user_id"), col("event_id"))
+      val a = graft.operators.HllSketch.registers(
+        keyed.filter(col("event_id") % 10 < 8), "day", "user_id")
+      val b = graft.operators.HllSketch.registers(
+        keyed.filter(col("event_id") % 10 >= 8), "day", "user_id")
+      val merged = a.unionByName(b).groupBy("day", "bucket").agg(max("reg").as("reg"))
+      graft.operators.HllSketch.estimate(merged, "day").orderBy("day")
+    },
   )
 
   /** Q20/Q8/Q9/Q12 as single SQL texts shared verbatim by the Spark
@@ -1067,23 +1085,27 @@ object RelationalQueries extends QueryPack {
   /** DuckDB mirror of [[graft.operators.HllSketch]]: same 48-bit md5
     * hash, same top-8-bit bucket / 40-bit rank split, same dense
     * zero-filled 256-register grid, same exact-integer (v_zero,
-    * s_scaled) aggregate. Ends in an `agg(event_type, v_zero,
-    * s_scaled)` CTE. */
-  private val HLL_CTES =
-    s"""WITH hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hex FROM events),
-       |h AS (SELECT event_type, ${hex48Sql("hex")} AS h FROM hx),
-       |b AS (SELECT event_type, h // ${1L << 40} AS bucket,
+    * s_scaled) aggregate. Ends in an `agg(<grpName>, v_zero,
+    * s_scaled)` CTE; `grpExpr` is the group expression over events
+    * (the registers are group-invariant, so the same CTE chain serves
+    * any grouping). */
+  private def hllCtes(grpExpr: String, grpName: String): String =
+    s"""WITH hx AS (SELECT $grpExpr AS $grpName, md5(CAST(user_id AS VARCHAR)) AS hex FROM events),
+       |h AS (SELECT $grpName, ${hex48Sql("hex")} AS h FROM hx),
+       |b AS (SELECT $grpName, h // ${1L << 40} AS bucket,
        |             41 - length(ltrim(bin(CAST(h % ${1L << 40} AS BIGINT)), '0')) AS rank
        |      FROM h),
-       |rk AS (SELECT event_type, bucket, max(rank) AS reg FROM b GROUP BY event_type, bucket),
-       |grid AS (SELECT t.event_type, g.range AS bucket
-       |         FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN range(256) g),
-       |regs AS (SELECT grid.event_type, grid.bucket, coalesce(rk.reg, 0) AS reg
-       |         FROM grid LEFT JOIN rk ON grid.event_type = rk.event_type AND grid.bucket = rk.bucket),
-       |agg AS (SELECT event_type,
+       |rk AS (SELECT $grpName, bucket, max(rank) AS reg FROM b GROUP BY $grpName, bucket),
+       |grid AS (SELECT t.$grpName, g.range AS bucket
+       |         FROM (SELECT DISTINCT $grpName FROM hx) t CROSS JOIN range(256) g),
+       |regs AS (SELECT grid.$grpName, grid.bucket, coalesce(rk.reg, 0) AS reg
+       |         FROM grid LEFT JOIN rk ON grid.$grpName = rk.$grpName AND grid.bucket = rk.bucket),
+       |agg AS (SELECT $grpName,
        |               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
        |               CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INTEGER)) AS BIGINT) AS s_scaled
-       |        FROM regs GROUP BY event_type)""".stripMargin
+       |        FROM regs GROUP BY $grpName)""".stripMargin
+
+  private val HLL_CTES = hllCtes("event_type", "event_type")
 
   /** The estimate over an `agg` row — the HllSketch double arithmetic
     * in the same association order, round(.,6) before the floor to
@@ -1708,5 +1730,12 @@ object RelationalQueries extends QueryPack {
          |       abs(n_est - n_exact) * 10000 // n_exact AS err_bp
          |FROM est JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // register max-merge over any split == registers of the whole
+    // (max is the monoid), so the incremental side's oracle is simply
+    // the one-shot per-day sketch
+    "ev_ivm_distinct" ->
+      s"""${hllCtes("CAST(date_trunc('day', ts) AS DATE)", "day")}
+         |SELECT day, v_zero, s_scaled, $HLL_EST_SQL AS n_est
+         |FROM agg ORDER BY day""".stripMargin,
   )
 }

@@ -112,6 +112,17 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(folded.exceptAll(whole).isEmpty && whole.exceptAll(folded).isEmpty)
   }
 
+  test("IVM x HLL: incrementally merged day sketches == one-shot day sketch") {
+    val ev = Tables.events(spark, sf0001)
+    val keyed = ev.select(to_date(Tables.eventTime(ev)).as("day"),
+      col("user_id"), col("event_id"))
+    val a = HllSketch.registers(keyed.filter(col("event_id") % 10 < 8), "day", "user_id")
+    val b = HllSketch.registers(keyed.filter(col("event_id") % 10 >= 8), "day", "user_id")
+    val merged = a.unionByName(b).groupBy("day", "bucket").agg(max("reg").as("reg"))
+    val whole = HllSketch.registers(keyed, "day", "user_id")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("HllSketch estimate lands within 3 sigma (~20%) of exact distinct") {
     val ev = Tables.events(spark, sf0001)
     val est = HllSketch.estimate(HllSketch.registers(ev, "event_type", "user_id"), "event_type")
