@@ -893,6 +893,14 @@ object RelationalQueries extends QueryPack {
     "ev_skipping" -> { (s, dir) =>
       graft.operators.SkippingIndex.gatedUserRollup(s, dir)
     },
+    // Z-ORDER (Morton) layout: events clustered by interleaved
+    // (user_id, day) bits so per-file min/max stay tight on BOTH
+    // columns; the gated 3-day window reads only the files whose DAY
+    // zone overlaps — the probe a user-range sort cannot skip one
+    // file for (BucketingSpec pins both-dimension pruning).
+    "ev_zorder" -> { (s, dir) =>
+      graft.operators.ZOrderIndex.gatedDayWindowRollup(s, dir)
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1536,6 +1544,19 @@ object RelationalQueries extends QueryPack {
         |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
         |FROM events
         |WHERE user_id = (SELECT min(user_id) + 42 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the z-pruned window rollup must equal the full-scan day-window
+    // filter; day arithmetic in days-since-epoch integers both sides
+    "ev_zorder" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |                            CAST(date_trunc('day', min(ts)) AS DATE)) AS d0
+        |           FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events, d
+        |WHERE date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+        |      BETWEEN d.d0 + 10 AND d.d0 + 12
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // the pruned one-day rollup must equal the full-scan day filter

@@ -124,6 +124,50 @@ class BucketingSpec extends SparkSpec {
     assert(absentFiles == 0 && absent.isEmpty)
   }
 
+  test("ZOrderIndex: BOTH dimensions prune — the square-vs-stripe claim") {
+    val ev = Tables.events(spark, sf0001)
+    val (_, zones) = graft.operators.ZOrderIndex.eventsByZOrder(spark, sf0001)
+    val nFiles = zones.size
+
+    // dimension 1: a present point user reads a fraction of the files
+    val uid = ev.agg(max("user_id")).head().getLong(0)
+    val (served, uidFiles) = graft.operators.ZOrderIndex.userRollup(spark, sf0001, uid)
+    assert(uidFiles < nFiles, s"uid probe read all $nFiles files")
+    val fullU = ev.filter(col("user_id") === uid)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .orderBy("event_type")
+    assert(served.collect().toSeq == fullU.collect().toSeq && served.count() > 0)
+
+    // dimension 2: a 3-day window also reads a fraction — the probe a
+    // user-range stripe layout cannot skip one file for
+    val d0 = zones.map(_.minDay).min
+    val (dayServed, dayFiles) =
+      graft.operators.ZOrderIndex.dayWindowRollup(spark, sf0001, d0 + 10, d0 + 12)
+    assert(dayFiles < nFiles, s"day probe read all $nFiles files")
+    val dayCol = datediff(to_date(Tables.eventTime(ev)), lit("1970-01-01").cast("date"))
+    val fullD = ev.filter(dayCol >= d0 + 10 && dayCol <= d0 + 12)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .orderBy("event_type")
+    assert(dayServed.collect().toSeq == fullD.collect().toSeq && dayServed.count() > 0)
+
+    // negative control: the SAME day window against a single-column
+    // user-range STRIPE layout admits EVERY file — day is independent
+    // of user, so each uid stripe spans (nearly) all days. Model the
+    // 16 stripes as uid ntiles (what repartitionByRange produces) and
+    // check every stripe's day range covers the probe window.
+    val stripes = ev
+      .select(col("user_id"), dayCol.as("day"))
+      .withColumn("stripe", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy("user_id")))
+      .groupBy("stripe").agg(min("day").as("mn"), max("day").as("mx"))
+      .collect()
+    assert(stripes.length == 16 &&
+      stripes.forall(r => r.getInt(1) <= d0 + 10 && d0 + 12 <= r.getInt(2)),
+      "user-range stripes would have pruned the day window — control invalid")
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap
