@@ -50,4 +50,43 @@ class AqeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter: selective dim filter is injected into the fact side") {
+    // the third scan-reduction lever next to static partition pruning
+    // and zone maps: when a dimension carries a selective filter,
+    // InjectRuntimeFilter builds a bloom filter of the surviving join
+    // keys and applies might_contain() on the FACT side BEFORE its
+    // shuffle — at 100 TB that drops most fact rows at the scan/map
+    // stage instead of shuffling them to die in the join. Test scale
+    // only needs the application-side size gate lowered (10 GB default
+    // — the mechanism is the one that fires untouched in production).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val urgent = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(round(sum("l_quantity"), 2).as("qty"))
+      val hasBloom = joined.queryExecution.optimizedPlan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+      assert(hasBloom, s"no BloomFilterMightContain in:\n${joined.queryExecution.optimizedPlan}")
+      // the filter is a pure pruning aid — answers must be identical
+      val viaBloom = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(round(sum("l_quantity"), 2).as("qty"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(viaBloom == plain && viaBloom.nonEmpty)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
