@@ -901,6 +901,22 @@ object RelationalQueries extends QueryPack {
     "ev_zorder" -> { (s, dir) =>
       graft.operators.ZOrderIndex.gatedDayWindowRollup(s, dir)
     },
+    // Semi-structured plane: the JSON props column parsed with an
+    // EXPLICIT schema (from_json — one codegen'd parse per row,
+    // vs get_json_object's per-field re-parse) and rolled up on the
+    // extracted field. At 100 TB hot JSON fields get promoted to
+    // real columns at ingest; until then this is the scan shape:
+    // parse once, project the needed field, aggregate integer-exact.
+    "ev_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("from_json(props, 'k BIGINT').k").as("k"))
+        .groupBy("event_type")
+        .agg(count("k").as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          expr("sum(k) div count(k)").as("avg_k"))
+        .orderBy("event_type")
+    },
     // CUBE rollup over (event_type, user bucket) — grouping sets.
     "ev_cube" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -1546,6 +1562,13 @@ object RelationalQueries extends QueryPack {
         |WHERE user_id = (SELECT min(user_id) + 42 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, count(k) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       CAST(sum(k) AS BIGINT) // count(k) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the z-pruned window rollup must equal the full-scan day-window
     // filter; day arithmetic in days-since-epoch integers both sides
     "ev_zorder" ->
