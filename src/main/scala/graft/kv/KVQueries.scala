@@ -70,6 +70,13 @@ object KVQueries extends QueryPack {
     "kv_state_skewed" -> ((s, dir) =>
       KVEngine.replaySalted(OpLog.fromEventsSkewed(Tables.events(s, dir)))
         .orderBy("key")),
+    // Dedup-state EVICTION under the gate: dropDuplicatesWithinWatermark
+    // — bounded dedup state. Planted duplicates prove BOTH sides of
+    // the trade: a re-arrival after eviction is re-admitted (emitted
+    // twice), a within-delay duplicate stays suppressed. Margins make
+    // the outcomes watermark-lag-proof (see StreamReplay scaladoc).
+    "stream_dedup_evict" -> ((s, dir) =>
+      graft.streaming.StreamReplay.dedupEvictReplay(ops(s, dir)).orderBy("client_id")),
     // SCD TYPE-2 history (the shardmaster time-travel idea at the KV
     // data plane): every write's validity interval on one key-
     // partitioned window pass; the open rows ARE kv_state (spec-pinned)
@@ -191,6 +198,24 @@ object KVQueries extends QueryPack {
          |FROM (VALUES ('7'), ('23'), ('nokey')) p(key)
          |LEFT JOIN state s ON p.key = s.key
          |ORDER BY p.key""".stripMargin,
+    // the eviction gate's oracle never simulates the watermark: the
+    // fixture margins (require'd Spark-side) make each plant's fate a
+    // theorem, so the model is pure counting — every deduped pair
+    // emits once, plus one re-emission per re-admit plant (clients
+    // ≡ 0 mod 5 whose first request precedes w/2)
+    "stream_dedup_evict" ->
+      s"""$OPS_SQL,
+         |base AS (SELECT client_id, req_id, seq FROM dedup),
+         |p AS (SELECT max(seq) // 4 + 1 AS w FROM base),
+         |firsts AS (SELECT client_id, min(seq) AS s0 FROM base GROUP BY client_id),
+         |readmit AS (SELECT f.client_id FROM firsts f, p
+         |            WHERE f.client_id % 5 = 0 AND f.s0 < p.w // 2),
+         |counts AS (SELECT client_id, count(*) AS n_reqs FROM base GROUP BY client_id)
+         |SELECT c.client_id,
+         |       c.n_reqs + CASE WHEN r.client_id IS NULL THEN 0 ELSE 1 END AS n_emitted,
+         |       c.n_reqs
+         |FROM counts c LEFT JOIN readmit r ON c.client_id = r.client_id
+         |ORDER BY c.client_id""".stripMargin,
     // DuckDB mirror of the SCD2 window pass: same segment counter,
     // same rows-frame running concat, same lead() close
     "kv_scd2" ->

@@ -689,6 +689,116 @@ object StreamReplay {
     } finally rmTree(root)
   }
 
+  /** Dedup-state EVICTION under the oracle gate —
+    * `dropDuplicatesWithinWatermark`, the form whose state is BOUNDED
+    * (the reason in-stream dedup survives 100 TB: plain
+    * dropDuplicates keeps every key forever; the within-watermark
+    * variant expires a key once the watermark passes its event time +
+    * delay, trading unbounded memory for a re-admission window).
+    * Both sides of the trade are gated here:
+    *
+    *  - RE-ADMIT plants: for clients ≡ 0 (mod 5) whose first request
+    *    sits early in bucket 0, a duplicate of that (clientId, reqId)
+    *    pair arrives in the LAST micro-batch with a fresh event time.
+    *    By then the key's state has been evicted, so the pair is
+    *    emitted a SECOND time — n_emitted = n_reqs + 1.
+    *  - SUPPRESS plants: for clients ≡ 1 (mod 5), the same duplicate
+    *    shape arrives in the SAME batch at the SAME event time —
+    *    state present, duplicate dropped, n_emitted = n_reqs.
+    *
+    * The oracle never simulates the watermark: the time layout makes
+    * both outcomes THEOREMS under any of the engine's lag variants
+    * (the `require`s below), the same discipline as the *_late
+    * replays. Delay = w/8 s against bucket width w s: a re-admit
+    * plant expires once the watermark clears s0 + 2·delay ≤ w/2 +
+    * w/4 < m0 (the max event time of bucket 0 alone), so eviction is
+    * certain two full batches before the re-arrival even under the
+    * two-batch watermark lag StreamingBoundarySpec pins; the
+    * re-arrival's own event time is the corpus max, so it can never
+    * be filtered as late. The per-client rollup (emission count +
+    * distinct requests) is survivor-insensitive, as stream_dedup's.
+    */
+  def dedupEvictReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+    val spark = ops.sparkSession
+    require(nBatches == 4, "margin arithmetic below is written for 4 buckets")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_evict_")
+    val inDir = root.resolve("in")
+    try {
+      // one row per (clientId, reqId) batch-side: the planted rows are
+      // the ONLY duplicates the stream sees, so emission counts are
+      // exactly n_reqs + (1 per re-admitted plant)
+      val base = graft.kv.KVEngine.dedup(ops).toDF
+        .select(col("clientId"), col("reqId"), col("seq"))
+        .localCheckpoint(true)
+      val maxSeq = base.agg(max("seq")).head().getLong(0)
+      val w = maxSeq / 4 + 1
+      require(w / 8 >= 1, "log too small for a whole-second delay")
+      // eviction-margin theorem: every plant has s0 < w/2, so
+      // s0 + 2*delay < w/2 + w/4 — require bucket 0's max event time
+      // beyond that, making the plant's state expire on bucket 0's
+      // OWN watermark (two batches before the re-arrival)
+      val m0 = base.filter(col("seq") < w).agg(max("seq")).head().getLong(0)
+      require(m0 > w / 2 + w / 4 + 1,
+        s"bucket 0 too sparse for the eviction margin (m0=$m0, w=$w)")
+      val firsts = base.groupBy("clientId")
+        .agg(min("seq").as("s0"), min_by(col("reqId"), col("seq")).as("req0"))
+        .filter(col("s0") < w / 2)
+        .localCheckpoint(true) // client-domain-sized
+      val readmit = firsts.filter(col("clientId") % 5 === 0)
+        .select(col("clientId"), col("req0").as("reqId"), lit(maxSeq).as("seq"))
+      val suppress = firsts.filter(col("clientId") % 5 === 1)
+        .select(col("clientId"), col("req0").as("reqId"), col("s0").as("seq"))
+      require(readmit.count() > 0 && suppress.count() > 0,
+        "plant groups empty — the eviction gate would be vacuous")
+      val bucket = least((col("seq").cast("decimal(25,0)") / w).cast("long"),
+        lit(nBatches - 1L))
+      // seq + 1: this operator's late-drop is NON-STRICT (ts <= wm,
+      // pinned by StreamingBoundarySpec — aggregations drop strictly)
+      // and the initial watermark is epoch 0, so an event at exactly
+      // t=0 would be dropped in the FIRST batch; the uniform 1 s shift
+      // moves the whole layout off the origin without touching any
+      // margin
+      def withTs(df: DataFrame) =
+        df.withColumn("ets", timestamp_micros((col("seq") + 1) * 1000000L))
+      val frames = (0 until nBatches).map { b =>
+        val slice = base.filter(bucket === b)
+        val planted =
+          if (b == 0) slice.unionByName(suppress)
+          else if (b == nBatches - 1) slice.unionByName(readmit)
+          else slice
+        withTs(planted)
+      }
+      writeBuckets(frames, inDir)
+      graft.pipeline.Dedup.freeCheckpoint(base)
+      val name = s"stream_dedup_evict_${runCounter.incrementAndGet()}"
+      withShufflePartitions(spark, StatePartitions) {
+        val src = spark.readStream
+          .schema(frames.head.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$inDir/b*")
+        val q = src
+          .withWatermark("ets", s"${w / 8} seconds")
+          .dropDuplicatesWithinWatermark("clientId", "reqId")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // bounded final read: ≤ pair-domain + plants rows, rolled up
+      // per client BEFORE the collect (client-domain-sized)
+      val rollup = spark.table(name)
+        .groupBy(col("clientId").as("client_id"))
+        .agg(count(lit(1)).as("n_emitted"),
+          countDistinct("reqId").as("n_reqs"))
+      val schema = rollup.schema
+      val rows = rollup.collect()
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally rmTree(root)
+  }
+
   /** Step 1 of the op-log replays, shared by [[stateReplay]] and
     * [[stateTableReplay]]: dedup the log batch-side, bucket the writes
     * by seq range into `nBatches` ordered files under `inDir` (see the

@@ -25,7 +25,12 @@ import org.apache.spark.sql.streaming.Trigger
   *  3. flatMapGroupsWithState event-time timeout is STRICT: a timer at
   *     exactly the watermark does NOT fire (fires iff timeout < wm) —
   *     the boundary the stream_sessions oracle's `end + gap < wm`
-  *     predicate encodes.
+  *     predicate encodes;
+  *  4. dropDuplicatesWithinWatermark's input drop is NON-strict
+  *     (dropped iff ts <= wm) — the opposite boundary from fact 1's
+  *     aggregation filter — and the initial watermark is epoch 0, so
+  *     an event at exactly t=0 dies in the FIRST batch (the
+  *     dedupEvictReplay +1 s origin shift).
   */
 class StreamingBoundarySpec extends SparkSpec {
   import spark.implicits._
@@ -141,5 +146,37 @@ class StreamingBoundarySpec extends SparkSpec {
     val past = run(1000L + gap + delay + 1)
     assert(past.contains(1L),
       s"session NOT emitted when wm == lastEvent + gap + 1 ms: timeout rule drifted — $past")
+  }
+
+  test("dropDuplicatesWithinWatermark drop is NON-strict: ts == wm is dropped, even at epoch 0") {
+    // fact 4 (the asymmetry grows): the dedup-within-watermark input
+    // filter drops ts <= wm — where aggregations drop strictly
+    // (fact 1). Two consequences pinned here: a row at EXACTLY the
+    // watermark is dropped, and since the initial watermark is epoch
+    // 0, an event at exactly t=0 is dropped in the very first batch —
+    // why dedupEvictReplay shifts its layout +1 s off the origin.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val dedup = stream.toDS()
+      .select(timestamp_millis(col("value")).as("ts_utc"))
+      .withWatermark("ts_utc", "10 seconds")
+      .dropDuplicatesWithinWatermark("ts_utc")
+      .select(unix_millis(col("ts_utc")).as("ms"))
+    val name = s"dedup_wm_probe_${System.nanoTime()}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: epoch-0 row vs initial wm = 0 (tie) + a 1 ms survivor
+      // batch 2: walk wm to 30 000 - 10 000 = 20 000 ms
+      // batch 3: tie at exactly 20 000 (dropped) vs 20 001 (kept)
+      Seq(Seq(0L, 1L), Seq(30000L), Seq(20000L, 20001L)).foreach { b =>
+        stream.addData(b); q.processAllAvailable(); Thread.sleep(300)
+      }
+      val got = spark.table(name).as[Long].collect().toSet
+      assert(!got.contains(0L), s"epoch-0 row survived the initial watermark tie: $got")
+      assert(!got.contains(20000L), s"row at exactly wm survived — drop rule is strict now: $got")
+      assert(got.contains(1L) && got.contains(20001L) && got.contains(30000L),
+        s"rows past the watermark were lost: $got")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 }
