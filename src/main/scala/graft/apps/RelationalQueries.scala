@@ -929,6 +929,50 @@ object RelationalQueries extends QueryPack {
           col("n"), col("total"))
         .orderBy("event_type", "bucket")
     },
+    // The QUANTILE partial of the maintenance trio: per-type cent
+    // histograms built on two overlapping slices, vector-added, and
+    // served as p50/p90/p99 bin lower edges — fixed 256 rows per
+    // group however large history grows (operators.HistogramSketch).
+    "ev_hist_quantiles" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val c = ev.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      val (lo, hi) = graft.operators.HistogramSketch.centsRange(c)
+      val a = graft.operators.HistogramSketch.partial(
+        c.filter(col("event_id") % 10 < 8), "event_type", lo, hi)
+      val b = graft.operators.HistogramSketch.partial(
+        c.filter(col("event_id") % 10 >= 8), "event_type", lo, hi)
+      graft.operators.HistogramSketch.quantiles(
+          graft.operators.HistogramSketch.merge("event_type", Seq(a, b)),
+          "event_type", lo, hi)
+        .orderBy("event_type")
+    },
+    // The histogram's error audit: served quantile vs the exact CDF
+    // pick, in cents — deterministically bounded by one bin width
+    // (the served edge can only sit BELOW the exact quantile, inside
+    // its bin; MergeIvmHllSpec pins the bound).
+    "ev_hist_err" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val c = ev.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val (lo, hi) = graft.operators.HistogramSketch.centsRange(c)
+      val approx = graft.operators.HistogramSketch.quantiles(
+        graft.operators.HistogramSketch.partial(c, "event_type", lo, hi),
+        "event_type", lo, hi)
+      val wc = Window.partitionBy("event_type").orderBy("cents")
+      val cdf = c
+        .withColumn("cum", count(lit(1)).over(wc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val exs = Seq(50, 90, 99).map(q =>
+        min(when(col("cum") * 100 >= col("n") * q, col("cents"))).as(s"e$q"))
+      val exact = cdf.groupBy("event_type").agg(exs.head, exs.tail: _*)
+      approx.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          (col("e50") - col("p50")).as("d50"),
+          (col("e90") - col("p90")).as("d90"),
+          (col("e99") - col("p99")).as("d99"))
+        .orderBy("event_type")
+    },
     // CDC MERGE (the lakehouse MERGE INTO): a synthetic change batch
     // (upserts with bumped totals where orderkey%3=0, deletes where
     // %9=0) applied to a base slice (orderkey%4<>0) of orders in one
@@ -1130,6 +1174,25 @@ object RelationalQueries extends QueryPack {
        |        FROM regs GROUP BY $grpName)""".stripMargin
 
   private val HLL_CTES = hllCtes("event_type", "event_type")
+
+  /** DuckDB mirror of [[graft.operators.HistogramSketch]]: same
+    * data-driven cent range, same integer bin rule, same cumulative
+    * pick; ends in a `cum(event_type, bin, n, edge, cum, total)` CTE
+    * (and exposes `c(event_type, cents)` for the exact-CDF audit). */
+  private val HIST_CTES =
+    s"""WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+       |r AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+       |b AS (SELECT event_type, (cents - r.lo) * ${graft.operators.HistogramSketch.Bins}
+       |                         // (r.hi - r.lo + 1) AS bin
+       |      FROM c, r),
+       |h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin),
+       |e AS (SELECT h.event_type, h.bin, h.n,
+       |             r.lo + (h.bin * (r.hi - r.lo + 1)) // ${graft.operators.HistogramSketch.Bins} AS edge
+       |      FROM h, r),
+       |cum AS (SELECT event_type, bin, n, edge,
+       |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |               sum(n) OVER (PARTITION BY event_type) AS total
+       |        FROM e)""".stripMargin
 
   /** The estimate over an `agg` row — the HllSketch double arithmetic
     * in the same association order, round(.,6) before the floor to
@@ -1733,6 +1796,35 @@ object RelationalQueries extends QueryPack {
         |FROM (SELECT event_type, user_id % 10 AS bucket, value FROM events)
         |GROUP BY CUBE (event_type, bucket)
         |ORDER BY coalesce(event_type, 'ALL'), coalesce(CAST(bucket AS VARCHAR), 'ALL')""".stripMargin,
+    // histogram CTE chain shared by the quantile serve and its audit;
+    // merge == one-shot by the bin-count monoid, so the oracle is the
+    // one-shot per-type histogram
+    "ev_hist_quantiles" ->
+      s"""$HIST_CTES
+         |SELECT event_type,
+         |       min(CASE WHEN cum * 100 >= total * 50 THEN edge END) AS p50,
+         |       min(CASE WHEN cum * 100 >= total * 90 THEN edge END) AS p90,
+         |       min(CASE WHEN cum * 100 >= total * 99 THEN edge END) AS p99
+         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_hist_err" ->
+      s"""$HIST_CTES,
+         |q AS (SELECT event_type,
+         |             min(CASE WHEN cum * 100 >= total * 50 THEN edge END) AS p50,
+         |             min(CASE WHEN cum * 100 >= total * 90 THEN edge END) AS p90,
+         |             min(CASE WHEN cum * 100 >= total * 99 THEN edge END) AS p99
+         |      FROM cum GROUP BY event_type),
+         |x AS (SELECT event_type, cents,
+         |             count(*) OVER (PARTITION BY event_type ORDER BY cents) AS xcum,
+         |             count(*) OVER (PARTITION BY event_type) AS xn
+         |      FROM c),
+         |ex AS (SELECT event_type,
+         |              min(CASE WHEN xcum * 100 >= xn * 50 THEN cents END) AS e50,
+         |              min(CASE WHEN xcum * 100 >= xn * 90 THEN cents END) AS e90,
+         |              min(CASE WHEN xcum * 100 >= xn * 99 THEN cents END) AS e99
+         |       FROM x GROUP BY event_type)
+         |SELECT event_type, e50 - p50 AS d50, e90 - p90 AS d90, e99 - p99 AS d99
+         |FROM q JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // MERGE semantics spelled out: full outer on the key, change row
     // wins on 'U', 'D' rows vanish — the MergeInto operator verbatim
     "rel_merge" ->

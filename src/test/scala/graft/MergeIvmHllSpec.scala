@@ -137,6 +137,53 @@ class MergeIvmHllSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- histogram
+
+  test("HistogramSketch: merged slice histograms == one-shot histogram, any split") {
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val (lo, hi) = graft.operators.HistogramSketch.centsRange(c)
+    for (mod <- Seq(3, 7)) {
+      val a = graft.operators.HistogramSketch.partial(
+        c.filter(col("event_id") % 10 < mod), "event_type", lo, hi)
+      val b = graft.operators.HistogramSketch.partial(
+        c.filter(col("event_id") % 10 >= mod), "event_type", lo, hi)
+      val merged = graft.operators.HistogramSketch.merge("event_type", Seq(a, b))
+      val whole = graft.operators.HistogramSketch.partial(c, "event_type", lo, hi)
+      assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+        s"split at $mod diverged")
+    }
+  }
+
+  test("HistogramSketch quantile sits within ONE bin below the exact quantile — deterministic bound") {
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val (lo, hi) = graft.operators.HistogramSketch.centsRange(c)
+    val binWidth = (hi - lo + 1) / graft.operators.HistogramSketch.Bins + 1
+    val approx = graft.operators.HistogramSketch.quantiles(
+      graft.operators.HistogramSketch.partial(c, "event_type", lo, hi),
+      "event_type", lo, hi)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("cents")
+    val cdf = c.withColumn("cum", count(lit(1)).over(wc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val exs = Seq(50, 90, 99).map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("cents"))).as(s"e$q"))
+    val exact = cdf.groupBy("event_type").agg(exs.head, exs.tail: _*)
+    val rows = approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("e50") - col("p50"), col("e90") - col("p90"),
+        col("e99") - col("p99"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, d50, d90, d99) =>
+      Seq(d50, d90, d99).foreach { d =>
+        assert(d >= 0 && d <= binWidth + 1, s"$t: quantile error $d outside one bin ($binWidth)")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- SCD2
 
   test("SCD2 open rows ARE the live state (replay equivalence)") {
