@@ -60,6 +60,20 @@ class MergeIvmHllSpec extends SparkSpec {
       changes.drop("op").exceptAll(merged).isEmpty)
   }
 
+  test("MergeInto is idempotent: re-applying the same CDC batch changes nothing") {
+    // the property that makes MERGE retry-safe (at-least-once delivery
+    // of a change batch must not corrupt the base)
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = ord.filter(col("o_orderkey") % 2 === 0)
+    val changes = ord.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("cents", col("cents") + 5L)
+      .withColumn("op", when(col("o_orderkey") % 9 === 0, "D").otherwise("U"))
+    val once = MergeInto.merge(base, changes, Seq("o_orderkey")).localCheckpoint(true)
+    val twice = MergeInto.merge(once, changes, Seq("o_orderkey"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
   // ---------------------------------------------------------------- IVM
 
   test("IncrementalAgg: merge(partial(a), partial(b)) == partial(a ∪ b), any split") {
@@ -182,6 +196,41 @@ class MergeIvmHllSpec extends SparkSpec {
         assert(d >= 0 && d <= binWidth + 1, s"$t: quantile error $d outside one bin ($binWidth)")
       }
     }
+  }
+
+  // ---------------------------------------------------------------- standing tables
+
+  test("StandingTable: persisted delta folds across restarts == one-shot partial (agg, hll, hist)") {
+    val ev = Tables.events(spark, sf0001)
+    val a = ev.filter(col("event_id") % 10 < 8)
+    val b = ev.filter(col("event_id") % 10 >= 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_standing_").toString
+
+    // IncrementalAgg partial: two swaps, served view == recompute
+    graft.operators.StandingTable.updateAggPartial(s"$root/agg", a)
+    graft.operators.StandingTable.updateAggPartial(s"$root/agg", b)
+    val servedAgg = IncrementalAgg.finalizeView(spark.read.parquet(s"$root/agg"))
+    val oneShotAgg = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+    assert(servedAgg.exceptAll(oneShotAgg).isEmpty && oneShotAgg.exceptAll(servedAgg).isEmpty)
+
+    // HLL registers: two swaps == one-shot register table
+    graft.operators.StandingTable.updateHllRegisters(s"$root/hll", a, "event_type", "user_id")
+    graft.operators.StandingTable.updateHllRegisters(s"$root/hll", b, "event_type", "user_id")
+    val servedHll = spark.read.parquet(s"$root/hll")
+    val oneShotHll = HllSketch.registers(ev, "event_type", "user_id")
+    assert(servedHll.exceptAll(oneShotHll).isEmpty && oneShotHll.exceptAll(servedHll).isEmpty)
+
+    // histogram: two swaps == one-shot bin counts (shared range)
+    val c = ev.select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val (lo, hi) = graft.operators.HistogramSketch.centsRange(c)
+    graft.operators.StandingTable.updateHistogram(
+      s"$root/hist", c.filter(col("event_id") % 10 < 8), "event_type", lo, hi)
+    graft.operators.StandingTable.updateHistogram(
+      s"$root/hist", c.filter(col("event_id") % 10 >= 8), "event_type", lo, hi)
+    val servedHist = spark.read.parquet(s"$root/hist")
+    val oneShotHist = graft.operators.HistogramSketch.partial(c, "event_type", lo, hi)
+    assert(servedHist.exceptAll(oneShotHist).isEmpty && oneShotHist.exceptAll(servedHist).isEmpty)
   }
 
   // ---------------------------------------------------------------- SCD2
