@@ -233,6 +233,26 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(servedHist.exceptAll(oneShotHist).isEmpty && oneShotHist.exceptAll(servedHist).isEmpty)
   }
 
+  test("StandingTable swap recovers from crash remnants (stale .staging and .old dirs)") {
+    val ev = Tables.events(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash_").toString
+    val dir = s"$root/agg"
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 10 < 5))
+    // simulate a crash that left BOTH remnants behind: a half-written
+    // staging generation and a moved-aside old one
+    val staging = java.nio.file.Paths.get(dir + ".staging")
+    val old = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.createDirectory(staging)
+    java.nio.file.Files.write(staging.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectory(old)
+    // next fold must clear the remnants and land the correct result
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 10 >= 5))
+    val served = IncrementalAgg.finalizeView(spark.read.parquet(dir))
+    val oneShot = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+    assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty)
+    assert(!java.nio.file.Files.exists(staging) && !java.nio.file.Files.exists(old))
+  }
+
   // ---------------------------------------------------------------- SCD2
 
   test("SCD2 open rows ARE the live state (replay equivalence)") {

@@ -141,4 +141,81 @@ class StreamingChaosSpec extends SparkSpec {
       assert(got == expected, s"live state diverged (seed=$seed)")
     }
   }
+
+  test("dropDuplicatesWithinWatermark survives kill/restart: exactly-once modulo eviction") {
+    // the bounded-state dedup under restart chaos. Deterministic
+    // invariants that hold under ANY batching the engine picks:
+    //  - every pair emits at least once (no loss across restarts);
+    //  - a pair with NO planted duplicate emits exactly once (the
+    //    checkpoint + state store never double-emit on batch replay);
+    //  - a within-delay duplicate (same addData block — blocks are
+    //    never split across batches) is always suppressed;
+    //  - only the planted post-eviction duplicates may re-emit, and at
+    //    most once each (emission count in {1, 2}).
+    Seq(11L, 29L).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new Random(seed * 23)
+      val ckpt = Files.createTempDirectory(s"graft_chaos_evict_$seed").toString
+
+      val base = KVEngine.dedup(OpLog.fromEvents(Tables.events(spark, sf0001)))
+        .select(org.apache.spark.sql.functions.col("clientId"),
+          org.apache.spark.sql.functions.col("reqId"), org.apache.spark.sql.functions.col("seq"))
+        .as[(Long, Long, Long)].collect().sortBy(_._3).toVector
+      val maxSeq = base.last._3
+      val w = maxSeq / 4 + 1
+      // plants as in dedupEvictReplay: readmit dups re-arrive LAST
+      // with a fresh event time; suppress dups ride in-block
+      val firsts = base.groupBy(_._1).view.mapValues(_.minBy(_._3)).toMap
+      val readmit = firsts.collect {
+        case (c, (_, r, s0)) if c % 5 == 0 && s0 < w / 2 => (c, r, maxSeq)
+      }.toVector
+      val suppress = firsts.collect {
+        case (c, (_, r, s0)) if c % 5 == 1 && s0 < w / 2 => (c, r, s0)
+      }.toVector
+      assert(readmit.nonEmpty && suppress.nonEmpty)
+      val nBlocks = 6
+      val cut = (base.size + nBlocks - 1) / nBlocks
+      val blocks0 = base.grouped(cut).toVector
+      val blocks = blocks0.zipWithIndex.map { case (b, i) =>
+        val withSuppress = b ++ suppress.filter { case (_, _, s0) =>
+          b.exists(_._3 == s0) } // dup rides in its original's block
+        if (i == blocks0.size - 1) withSuppress ++ readmit else withSuppress
+      }
+
+      // per-batchId capture: a replayed batch after a kill OVERWRITES
+      // its slot instead of double-counting
+      val byBatch = new scala.collection.concurrent.TrieMap[Long, Seq[(Long, Long)]]()
+      val stops = (Vector.fill(2)(1 + rnd.nextInt(blocks.size)) :+ blocks.size).sorted
+      stops.foreach { upTo =>
+        val stream = MemoryStream[(Long, Long, Long)]
+        (0 until upTo).foreach(i => stream.addData(blocks(i)))
+        val q = stream.toDS()
+          .select(org.apache.spark.sql.functions.col("_1").as("clientId"),
+            org.apache.spark.sql.functions.col("_2").as("reqId"),
+            org.apache.spark.sql.functions.timestamp_micros(
+              (org.apache.spark.sql.functions.col("_3") + 1) * 1000000L).as("ets"))
+          .withWatermark("ets", s"${w / 8} seconds")
+          .dropDuplicatesWithinWatermark("clientId", "reqId")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            byBatch.put(id, batch.select("clientId", "reqId")
+              .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      val emitted = byBatch.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val pairs = base.map(t => (t._1, t._2)).toSet
+      val readmitPairs = readmit.map(t => (t._1, t._2)).toSet
+      pairs.foreach { p =>
+        val n = emitted.getOrElse(p, 0)
+        if (readmitPairs.contains(p))
+          assert(n >= 1 && n <= 2, s"seed=$seed readmit pair $p emitted $n times")
+        else
+          assert(n == 1, s"seed=$seed pair $p emitted $n times (expected exactly once)")
+      }
+    }
+  }
 }
