@@ -214,6 +214,32 @@ object KVEngine {
       .select(col("key"), col("seq").as("valid_from"), col("valid_to"), col("value"))
   }
 
+  /** Apply an LWW change batch to an SCD2 history — the dimension-
+    * maintenance MERGE (how a lakehouse keeps an SCD2 table current
+    * without rebuilding it): each change (key, seq, value) CLOSES the
+    * key's open interval at the change's seq and APPENDS a new open
+    * row. `changes` must be one row per key (LWW-compacted upstream)
+    * with seq beyond everything in `history` — the caller's batch
+    * boundary guarantees it, and the tiling invariant is spec-pinned.
+    *
+    * Shape: one key join (changes are dimension-sized and typically
+    * broadcast) + a union — the history is never rewritten, only its
+    * open edge. At 100 TB this, [[scd2]] (the from-scratch build) and
+    * [[snapshotAt]] (the read) are the three verbs of the dimension
+    * lifecycle.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame): DataFrame = {
+    val c = changes.select(col("key"), col("seq").as("c_seq"), col("value").as("c_value"))
+    val closed = history.join(c, Seq("key"), "left")
+      .select(col("key"), col("valid_from"),
+        when(col("valid_to").isNull && col("c_seq").isNotNull, col("c_seq"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        col("value"))
+    val fresh = c.select(col("key"), col("c_seq").as("valid_from"),
+      lit(null).cast("long").as("valid_to"), col("c_value").as("value"))
+    closed.unionByName(fresh)
+  }
+
   /** Time-travel point-in-time snapshot from the SCD2 history: state
     * as-of seq T is the rows whose interval covers T. The open row
     * (valid_to NULL) is the live state — [[replay]] restricted to

@@ -92,6 +92,22 @@ object KVQueries extends QueryPack {
       val t = if (row.isNullAt(0)) 0L else row.getLong(0) / 2
       KVEngine.snapshotAt(KVEngine.scd2(o), t).orderBy("key")
     }),
+    // dimension-maintenance MERGE: the first-half history + the
+    // second half's LWW put batch applied via scd2Apply — open rows
+    // close at the change seq, new generations append; the history is
+    // never rebuilt (spec pins tiling + the LWW overlay identity).
+    "kv_scd2_merge" -> ((s, dir) => {
+      val o = ops(s, dir)
+      val deduped = KVEngine.dedup(o)
+      val row = deduped.agg(max("seq")).head()
+      val t0 = if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+      val hist = KVEngine.scd2(o.filter(col("seq") <= t0))
+      val changes = deduped.toDF
+        .filter(col("seq") > t0 && col("kind") === "put")
+        .groupBy("key")
+        .agg(max("seq").as("seq"), max_by(col("value"), col("seq")).as("value"))
+      KVEngine.scd2Apply(hist, changes).orderBy("key", "valid_from")
+    }),
   )
 
   /** DuckDB mirror of [[OpLog.fromEvents]] + [[KVEngine.dedup]] —
@@ -247,6 +263,38 @@ object KVQueries extends QueryPack {
          |SELECT key, value FROM hist, t
          |WHERE valid_from <= t.t AND (valid_to IS NULL OR valid_to > t.t)
          |ORDER BY key""".stripMargin,
+    // scd2Apply mirrored: first-half history (same window chain as
+    // kv_scd2, filtered to seq <= t0), second-half LWW put batch
+    // (arg_max), open rows closed at the change seq, fresh open rows
+    // appended
+    "kv_scd2_merge" ->
+      s"""$OPS_SQL,
+         |t AS (SELECT max(seq) // 2 AS t0 FROM dedup),
+         |hw AS (SELECT d.* FROM dedup d, t WHERE d.seq <= t.t0 AND d.kind <> 'get'),
+         |segs AS (SELECT *, sum(CASE WHEN kind = 'put' THEN 1 ELSE 0 END)
+         |                     OVER (PARTITION BY key ORDER BY seq) AS seg
+         |         FROM hw),
+         |hist AS (
+         |  SELECT key, seq AS valid_from,
+         |         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+         |         string_agg(value, '') OVER (PARTITION BY key, seg ORDER BY seq
+         |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         |  FROM segs),
+         |c AS (SELECT key, max(seq) AS c_seq, arg_max(value, seq) AS c_value
+         |      FROM dedup d, t WHERE d.seq > t.t0 AND d.kind = 'put' GROUP BY key),
+         |closed AS (
+         |  SELECT h.key, h.valid_from,
+         |         CASE WHEN h.valid_to IS NULL AND c.c_seq IS NOT NULL THEN c.c_seq
+         |              ELSE h.valid_to END AS valid_to,
+         |         h.value
+         |  FROM hist h LEFT JOIN c ON h.key = c.key),
+         |fresh AS (SELECT key, c_seq AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         |                 c_value AS value
+         |          FROM c)
+         |SELECT key, valid_from, valid_to, value FROM closed
+         |UNION ALL
+         |SELECT key, valid_from, valid_to, value FROM fresh
+         |ORDER BY key, valid_from""".stripMargin,
     "kv_shard_counts" ->
       s"""$OPS_SQL
          |SELECT ${Key2Shard.shardOfSql("key")} AS shard, count(*) AS n_keys

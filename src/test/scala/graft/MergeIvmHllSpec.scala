@@ -274,6 +274,37 @@ class MergeIvmHllSpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply: merged history still tiles, open rows == LWW overlay") {
+    val all = ops
+    val deduped = KVEngine.dedup(all)
+    val t0 = deduped.agg(max("seq")).as[Long].head() / 2
+    val hist = KVEngine.scd2(all.filter(col("seq") <= t0))
+    val changes = deduped.toDF
+      .filter(col("seq") > t0 && col("kind") === "put")
+      .groupBy("key")
+      .agg(max("seq").as("seq"), max_by(col("value"), col("seq")).as("value"))
+      .localCheckpoint(true)
+    val merged = KVEngine.scd2Apply(hist, changes).cache()
+    try {
+      // tiling: exactly one open row per key, closed rows chain
+      val opens = merged.groupBy("key")
+        .agg(sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"))
+        .filter(col("n_open") =!= 1)
+      assert(opens.isEmpty)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("valid_from")
+      val gaps = merged
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(gaps.isEmpty)
+      // open rows = change values where present, else the old opens
+      val open = merged.filter(col("valid_to").isNull).select("key", "value")
+      val expected = hist.filter(col("valid_to").isNull).select("key", "value")
+        .join(changes.select(col("key"), col("value").as("c_value")), Seq("key"), "full_outer")
+        .select(col("key"), coalesce(col("c_value"), col("value")).as("value"))
+      assert(open.exceptAll(expected).isEmpty && expected.exceptAll(open).isEmpty)
+    } finally merged.unpersist()
+  }
+
   test("SCD2 intervals tile each key's seq line: contiguous, non-overlapping, one open row") {
     val hist = KVEngine.scd2(ops).cache()
     try {
