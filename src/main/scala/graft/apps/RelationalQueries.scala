@@ -805,6 +805,23 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.windowedReplay(s, dir)
         .orderBy("w_start", "event_type")
     },
+    // The PRODUCTION ingest loop: the events stream drained through
+    // foreachBatch, each micro-batch folding into the STANDING
+    // parquet partial (StandingTable.updateAggPartial — read, monoid
+    // merge, atomic swap), served from the on-disk table after the
+    // stream stops. Batching-independent by the partial's monoid, so
+    // the oracle is the one-shot daily rollup (== ev_ivm's).
+    "stream_ivm" -> { (s, dir) =>
+      graft.streaming.StreamReplay.ivmReplay(s, dir)
+    },
+    // SKETCH-IN-STATE: per-hour distinct users as HLL register arrays
+    // held in mapGroupsWithState group state, folded by element-wise
+    // max across micro-batches — fixed-size state per hour no matter
+    // the event volume (StreamReplay.hllReplay). Oracle: the one-shot
+    // per-hour sketch (max is batching-independent).
+    "stream_hll" -> { (s, dir) =>
+      graft.streaming.StreamReplay.hllReplay(s, dir)
+    },
     // LATE / OUT-OF-ORDER data under the streaming gate: the same 1 h
     // rollup as stream_hourly, but Append-mode with a 1 h watermark
     // and the third time slice delivered LAST — after the fourth has
@@ -1853,10 +1870,28 @@ object RelationalQueries extends QueryPack {
         |       min(cents) AS min_cents, max(cents) AS max_cents,
         |       CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
         |FROM e GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    // the streaming ingest loop serves the SAME standing view — the
+    // monoid makes it batching-independent, so the one-shot rollup is
+    // its oracle too
+    "stream_ivm" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |                  CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT day, event_type, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(cents) AS min_cents, max(cents) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM e GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     "ev_hll" ->
       s"""$HLL_CTES
          |SELECT event_type, v_zero, s_scaled, $HLL_EST_SQL AS n_est
          |FROM agg ORDER BY event_type""".stripMargin,
+    // the streaming register state folds by the same max monoid, so
+    // the one-shot per-hour sketch is its oracle
+    "stream_hll" ->
+      s"""${hllCtes("epoch_us(ts) // 3600000000", "hour")}
+         |SELECT hour, v_zero, s_scaled, $HLL_EST_SQL AS n_est
+         |FROM agg ORDER BY hour""".stripMargin,
     "ev_hll_err" ->
       s"""$HLL_CTES,
          |est AS (SELECT event_type, $HLL_EST_SQL AS n_est FROM agg),
