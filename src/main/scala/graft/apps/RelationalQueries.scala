@@ -223,6 +223,21 @@ object RelationalQueries extends QueryPack {
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+    // The BUILT-IN session operator: Catalyst's session_window (gap
+    // merging inside the aggregate — one user_id shuffle, no lag
+    // window pass) must produce exactly the lag-split sessions. Its
+    // gap boundary is NON-strict (an event at exactly start + gap
+    // merges — probed empirically), the same rule the lag-split's
+    // `gap > G` predicate encodes, so the two-plane oracle is shared.
+    "ev_session_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.select(col("user_id"), Tables.eventTime(ev).as("ts_utc"))
+        .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start"), col("n_events"))
+        .orderBy("user_id", "s_start")
+    },
     // Per-session table: ev_sessions' gap logic carried through to a
     // session_id (running sum of session starts) with per-session
     // duration and event count. The lag window, the running sum AND
@@ -1445,6 +1460,21 @@ object RelationalQueries extends QueryPack {
         |      FROM e)
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the built-in operator shares the lag-split rule (non-strict gap
+    // merge), so its oracle is the gap-split session table
+    "ev_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (SELECT user_id, tsu,
+        |             CASE WHEN lag(tsu) OVER w IS NULL
+        |                    OR tsu - lag(tsu) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |s AS (SELECT user_id, tsu,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu) AS sid
+        |      FROM m)
+        |SELECT user_id, min(tsu) AS s_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     "ev_session_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
         |m AS (SELECT user_id, tsu,

@@ -121,4 +121,37 @@ class EventsSpec extends SparkSpec {
     assert(r(3) == ((1L, 5000L))) // 1/2
     assert(r(4) == ((0L, 0L)))    // 0/1
   }
+
+  test("session_window gap boundary is NON-strict: an event at exactly start+gap merges") {
+    import spark.implicits._
+    // gap 10 s; events at 1 s, exactly 11 s (tie) and 36 s — the tie
+    // must merge into the first session (2,1), pinning the rule the
+    // ev_session_window oracle's `gap > G` predicate encodes
+    val df = Seq(1000L, 11000L, 36000L).toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"))
+    val out = df.groupBy(session_window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("session_window.start")).as("s"), col("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1000L, 2L), (36000L, 1L)),
+      s"session_window boundary drifted: $out")
+  }
+
+  test("built-in session_window == the lag-split sessions on real data") {
+    val ev = Tables.events(spark, sf0001)
+    val builtIn = ev.select(col("user_id"), Tables.eventTime(ev).as("ts_utc"))
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s_start"),
+        col("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("tsu")
+    val lagSplit = ev.select(col("user_id"), Tables.eventMicros(ev).as("tsu"))
+      .withColumn("new_s", when(lag("tsu", 1).over(w).isNull ||
+        col("tsu") - lag("tsu", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("tsu").as("s_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "s_start", "n_events")
+    assert(builtIn.exceptAll(lagSplit).isEmpty && lagSplit.exceptAll(builtIn).isEmpty)
+  }
 }
