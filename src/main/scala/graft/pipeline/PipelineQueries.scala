@@ -231,6 +231,18 @@ object PipelineQueries extends QueryPack {
     // oracle is a VALUES table)
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25Search(docs(s, d), Bm25Query).orderBy("doc_id")),
+    // INCREMENTAL text-index maintenance: the BM25 index as three
+    // mergeable tables built on two disjoint corpus slices and
+    // folded (tf/dl add, stats add; df derived at query time) — the
+    // search from the merged standing index must equal text_bm25's
+    // query-time scores exactly (same oracle).
+    "text_bm25_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val a = TextAnalysis.bm25IndexPartial(dd.filter(col("doc_id") % 10 < 8))
+      val b = TextAnalysis.bm25IndexPartial(dd.filter(col("doc_id") % 10 >= 8))
+      TextAnalysis.bm25SearchIndex(TextAnalysis.bm25IndexMerge(a, b), Bm25Query)
+        .orderBy("doc_id")
+    }),
     // deterministic sharded epoch shuffle (training order, epoch 0)
     "pipeline_shuffle" -> ((s, d) =>
       Curation.epochShuffle(docs(s, d)).orderBy("doc_id")),
@@ -1825,6 +1837,12 @@ object PipelineQueries extends QueryPack {
     // Okapi BM25, Lucene idf, contributions summed as 1e4-scaled longs
     // — keep in sync with TextAnalysis.bm25Search (k1=1.2, b=0.75)
     "text_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_hits, score FROM bm ORDER BY doc_id""".stripMargin,
+    // the merged standing index serves the same scores as the
+    // query-time path (the index tables are monoids under disjoint
+    // union), so the oracle is text_bm25's verbatim
+    "text_bm25_incr" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_hits, score FROM bm ORDER BY doc_id""".stripMargin,
     // sharded deterministic epoch shuffle — keep in sync with

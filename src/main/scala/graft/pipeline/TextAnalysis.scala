@@ -518,20 +518,69 @@ object TextAnalysis {
       .join(q, Seq("word"))
       .groupBy("word", "doc_id")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    bm25Score(tf, dl, n, k1, b)
+  }
+
+  /** The BM25 scoring tail over a (query-restricted) tf table + dl +
+    * corpus stats — shared by the query-time path ([[bm25Search]])
+    * and the standing-index serve ([[bm25SearchIndex]]) so the
+    * formula exists once. */
+  private def bm25Score(tfq: DataFrame, dl: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val df = tfq.groupBy("word").agg(count(lit(1)).as("df"))
     val avgdl = col("toktotal").cast("double") / col("n").cast("double")
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
-    tf
+    tfq
       .join(df, Seq("word"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(stats))
       .withColumn("contrib", idf * col("tf") * (lit(k1) + 1.0) / denom)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_hits"),
         round(sum(round(col("contrib") * 10000).cast("long")).cast("double") / 10000.0, 4)
           .as("score"))
+  }
+
+  /** The INCREMENTAL text index — IVM for retrieval: the BM25 index
+    * is three mergeable tables, (tf per word×doc, dl per doc, corpus
+    * stats), each a monoid under disjoint-corpus union (tf/dl rows
+    * are per-doc so disjoint batches just add; stats add
+    * component-wise). A new crawl batch folds in at O(batch) — the
+    * corpus is never re-tokenized — and a search from the standing
+    * index touches only the query terms' tf rows (word-keyed
+    * semi-join, exactly the text_bm25 plan shape) plus the doc-sized
+    * dl table. df is DERIVED from tf at query time, never stored —
+    * the avg-derived-at-finalize rule again.
+    */
+  def bm25IndexPartial(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = docs.select(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " "))).as("toktotal"))
+    (tf, dl, stats)
+  }
+
+  /** Fold two index partials (disjoint doc sets). */
+  def bm25IndexMerge(a: (DataFrame, DataFrame, DataFrame),
+      b: (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame, DataFrame) = {
+    val tf = a._1.unionByName(b._1).groupBy("word", "doc_id").agg(sum("tf").as("tf"))
+    val dl = a._2.unionByName(b._2)
+    val stats = a._3.unionByName(b._3)
+      .agg(sum("n").as("n"), sum("toktotal").as("toktotal"))
+    (tf, dl, stats)
+  }
+
+  /** Serve a query from the standing index. */
+  def bm25SearchIndex(index: (DataFrame, DataFrame, DataFrame), query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25SearchIndex needs at least one query term")
+    val spark = index._1.sparkSession
+    import spark.implicits._
+    val q = broadcast(query.distinct.toDF("word"))
+    bm25Score(index._1.join(q, Seq("word")), index._2, index._3, k1, b)
   }
 
   /** PII patterns shared by [[scrubPii]] and its DuckDB oracle — kept
