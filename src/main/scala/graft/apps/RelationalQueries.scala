@@ -1214,8 +1214,10 @@ object RelationalQueries extends QueryPack {
   private val HIST_CTES =
     s"""WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
        |r AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
-       |b AS (SELECT event_type, (cents - r.lo) * ${graft.operators.HistogramSketch.Bins}
-       |                         // (r.hi - r.lo + 1) AS bin
+       |b AS (SELECT event_type,
+       |             greatest(0, least(${graft.operators.HistogramSketch.Bins - 1},
+       |               (cents - r.lo) * ${graft.operators.HistogramSketch.Bins}
+       |               // (r.hi - r.lo + 1))) AS bin
        |      FROM c, r),
        |h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin),
        |e AS (SELECT h.event_type, h.bin, h.n,

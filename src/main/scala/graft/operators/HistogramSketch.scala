@@ -34,10 +34,15 @@ object HistogramSketch {
 
   /** The mergeable partial: per (group, bin) row counts over the
     * FIXED [lo, hi] range every partial must share. Input needs a
-    * `cents` column next to `groupCol`. */
+    * `cents` column next to `groupCol`. Values outside [lo, hi]
+    * SATURATE into the edge bins (greatest/least clamp) instead of
+    * producing out-of-range bins that would silently corrupt the
+    * cumulative shares when a later delta drifts past the standing
+    * range — saturation keeps every share correct and costs only
+    * edge-bin precision, the documented price of a fixed range. */
   def partial(df: DataFrame, groupCol: String, lo: Long, hi: Long): DataFrame =
     df.select(col(groupCol),
-        expr(s"(cents - $lo) * ${Bins} div ${hi - lo + 1}").as("bin"))
+        expr(s"greatest(0, least(${Bins - 1}, (cents - $lo) * ${Bins} div ${hi - lo + 1}))").as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("n"))
 
   /** Fold partials: vector addition on (group, bin). */

@@ -10,51 +10,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * disk; history is never rescanned.
   *
   * The swap is write-to-staging + directory rename (the classic
-  * Hadoop output-committer move): readers either see the old
-  * generation or the new one, never a half-written mix. At 100 TB the
-  * same three-step lifecycle is fronted by a table format's atomic
-  * snapshot commit (Delta/Iceberg) instead of a rename — the monoid
-  * merge, which is the part this module owns, is unchanged. The
-  * standing table is |groups|-sized (dimension-sized), so the
-  * single-directory swap is never the bottleneck the fact table's
-  * layout is.
+  * Hadoop output-committer move). A crash can land in any window, so
+  * every entry point first runs [[recover]], which makes the protocol
+  * total: if the live directory is MISSING, a complete `.staging`
+  * generation is promoted (the crash happened mid-swap, after the old
+  * generation moved aside — staging is complete by construction,
+  * because the staging write finishes before any move starts), else
+  * the moved-aside `.old` generation is restored (rollback). Either
+  * way a reader or the next fold sees exactly one intact generation —
+  * never emptiness, never a mix (spec-pinned with planted mid-swap
+  * states). At 100 TB the same three-step lifecycle is fronted by a
+  * table format's atomic snapshot commit (Delta/Iceberg) instead of a
+  * rename — the monoid merge, which is the part this module owns, is
+  * unchanged. The standing table is |groups|-sized (dimension-sized),
+  * so the single-directory swap is never the bottleneck the fact
+  * table's layout is.
   */
 object StandingTable {
 
-  /** Atomically replace `dir` with `df` (written to a staging sibling
-    * first). The moved-aside old generation is deleted last — a crash
-    * mid-swap leaves either generation intact on disk. */
-  def swapInto(df: DataFrame, dir: String): Unit = {
-    val path = java.nio.file.Paths.get(dir)
-    val staging = path.resolveSibling(path.getFileName.toString + ".staging")
-    val old = path.resolveSibling(path.getFileName.toString + ".old")
-    rmTree(staging); rmTree(old)
-    df.write.mode("overwrite").parquet(staging.toString)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.move(path, old)
-    java.nio.file.Files.move(staging, path)
-    rmTree(old)
-  }
+  private def p(dir: String) = java.nio.file.Paths.get(dir)
+  private def staging(dir: String) = p(dir).resolveSibling(p(dir).getFileName.toString + ".staging")
+  private def old(dir: String) = p(dir).resolveSibling(p(dir).getFileName.toString + ".old")
 
-  def readOrEmpty(spark: SparkSession, dir: String, like: DataFrame): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      spark.read.parquet(dir)
-    else like.limit(0)
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(rmTree(_)) finally s.close()
+  /** Make the on-disk state whole after any crash: promote a complete
+    * staging generation if the live dir vanished mid-swap, else
+    * restore the moved-aside old generation. No-op when the live dir
+    * exists. */
+  def recover(dir: String): Unit = {
+    val path = p(dir)
+    if (!java.nio.file.Files.exists(path)) {
+      if (java.nio.file.Files.exists(staging(dir)))
+        java.nio.file.Files.move(staging(dir), path) // complete the swap
+      else if (java.nio.file.Files.exists(old(dir)))
+        java.nio.file.Files.move(old(dir), path) // roll back
     }
-    java.nio.file.Files.deleteIfExists(p)
   }
+
+  /** Atomically replace `dir` with `df` (written to a staging sibling
+    * first; see the object scaladoc for the crash-window analysis). */
+  def swapInto(df: DataFrame, dir: String): Unit = {
+    recover(dir)
+    val path = p(dir)
+    graft.core.Fs.rmTreeNoFollow(staging(dir))
+    graft.core.Fs.rmTreeNoFollow(old(dir))
+    df.write.mode("overwrite").parquet(staging(dir).toString)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.move(path, old(dir))
+    java.nio.file.Files.move(staging(dir), path)
+    graft.core.Fs.rmTreeNoFollow(old(dir))
+  }
+
+  def readOrEmpty(spark: SparkSession, dir: String, like: DataFrame): DataFrame = {
+    recover(dir)
+    if (java.nio.file.Files.exists(p(dir))) spark.read.parquet(dir)
+    else like.limit(0)
+  }
+
+  // No localCheckpoint in the folds below: the staging write is the
+  // frames' single evaluation (the standing read completes while the
+  // live dir still exists, before any move), so caching the merged
+  // table would only pin dead blocks across the ingest loop.
 
   /** Fold a new batch of events into the standing [[IncrementalAgg]]
     * partial at `dir`. */
   def updateAggPartial(dir: String, delta: DataFrame): Unit = {
     val d = IncrementalAgg.partial(delta)
     val standing = readOrEmpty(delta.sparkSession, dir, d)
-    swapInto(IncrementalAgg.merge(Seq(standing, d)).localCheckpoint(true), dir)
+    swapInto(IncrementalAgg.merge(Seq(standing, d)), dir)
   }
 
   /** Fold a new batch's HLL registers into the standing register
@@ -65,7 +87,7 @@ object StandingTable {
     val standing = readOrEmpty(delta.sparkSession, dir, d)
     val merged = standing.unionByName(d)
       .groupBy(groupCol, "bucket").agg(max("reg").as("reg"))
-    swapInto(merged.localCheckpoint(true), dir)
+    swapInto(merged, dir)
   }
 
   /** Fold a new batch's histogram into the standing bin-count table
@@ -74,6 +96,6 @@ object StandingTable {
       lo: Long, hi: Long): Unit = {
     val d = HistogramSketch.partial(delta, groupCol, lo, hi)
     val standing = readOrEmpty(delta.sparkSession, dir, d)
-    swapInto(HistogramSketch.merge(groupCol, Seq(standing, d)).localCheckpoint(true), dir)
+    swapInto(HistogramSketch.merge(groupCol, Seq(standing, d)), dir)
   }
 }

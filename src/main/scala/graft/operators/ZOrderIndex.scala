@@ -109,11 +109,12 @@ object ZOrderIndex {
   }
 
   /** The gated form: a 3-day mid-table window, endpoints data-driven
-    * (min day + 10 .. + 12, one 1-row aggregate) so the oracle models
-    * the same window in SQL. */
+    * from the MANIFEST's own min (the zone stats exist precisely so no
+    * probe ever scans the table; min over file minima == the corpus
+    * min) so the oracle models the same window in SQL. */
   def gatedDayWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val (dir, _) = eventsByZOrder(spark, sfDir)
-    val d0 = spark.read.parquet(dir).agg(min("day")).head().getInt(0)
+    val (_, zones) = eventsByZOrder(spark, sfDir)
+    val d0 = zones.map(_.minDay).min
     dayWindowRollup(spark, sfDir, d0 + 10, d0 + 12)._1
   }
 }

@@ -66,19 +66,10 @@ object StreamReplay {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Recursively delete `p` WITHOUT following symlinks: the temp input
-    * dirs may symlink the real testdata table ([[windowedReplay]]'s
-    * legacy single-file path did; any table may become a
-    * directory-style parquet layout), so cleanup must treat a symlink
-    * as a leaf — NOFOLLOW_LINKS — or it would recurse into and delete
-    * the SOURCE data. Every Files.list stream is closed. */
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(rmTree(_)) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  /** Symlink-safe recursive delete — the shared [[graft.core.Fs]]
+    * helper (single definition; see its scaladoc for why NOFOLLOW). */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    graft.core.Fs.rmTreeNoFollow(p)
 
   /** Write each slice as ONE parquet file under `inDir/b00i` with
     * strictly increasing modification times (2 s apart — far above fs

@@ -233,6 +233,39 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(servedHist.exceptAll(oneShotHist).isEmpty && oneShotHist.exceptAll(servedHist).isEmpty)
   }
 
+  test("StandingTable recovers the MID-SWAP crash state (live dir missing)") {
+    val ev = Tables.events(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_midswap_").toString
+    val dir = s"$root/agg"
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 10 < 5))
+    val before = IncrementalAgg.finalizeView(spark.read.parquet(dir)).collect().toSeq
+
+    // crash window A: after move(dir -> .old), before move(.staging -> dir):
+    // staging holds the COMPLETE next generation, dir is absent
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 10 === 5))
+    val gen2 = spark.read.parquet(dir).collect().toSeq
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".staging"))
+    // a reader must promote staging and see generation 2, not emptiness
+    val served = graft.operators.StandingTable.readOrEmpty(spark, dir,
+      IncrementalAgg.partial(ev)).collect().toSeq
+    assert(served.toSet == gen2.toSet && served.nonEmpty)
+
+    // crash window B: dir absent, only .old present (rollback path)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".old"))
+    graft.operators.StandingTable.recover(dir)
+    assert(spark.read.parquet(dir).collect().toSet == gen2.toSet)
+
+    // and the next fold over the recovered state stays correct
+    graft.operators.StandingTable.updateAggPartial(dir,
+      ev.filter(col("event_id") % 10 >= 6))
+    val full = IncrementalAgg.finalizeView(spark.read.parquet(dir))
+    val oneShot = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+    assert(full.exceptAll(oneShot).isEmpty && oneShot.exceptAll(full).isEmpty)
+    assert(before.nonEmpty)
+  }
+
   test("StandingTable swap recovers from crash remnants (stale .staging and .old dirs)") {
     val ev = Tables.events(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft_swapcrash_").toString
