@@ -98,4 +98,24 @@ object StandingTable {
     val standing = readOrEmpty(delta.sparkSession, dir, d)
     swapInto(HistogramSketch.merge(groupCol, Seq(standing, d)), dir)
   }
+
+  /** Fold an LWW change batch (key, seq, value — one row per key,
+    * seqs beyond everything already in the history) into the standing
+    * SCD2 dimension at `dir` via
+    * [[graft.kv.KVEngine.scd2Apply]] — the persisted form of the
+    * dimension lifecycle: close the open interval, append the new
+    * generation, swap. An empty standing dir bootstraps to the
+    * changes themselves as all-open rows (scd2Apply on an empty
+    * history is exactly that). */
+  def updateScd2(dir: String, changes: DataFrame): Unit = {
+    val empty = changes.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("valid_from", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+    val standing = readOrEmpty(changes.sparkSession, dir, empty)
+    swapInto(graft.kv.KVEngine.scd2Apply(standing, changes), dir)
+  }
 }

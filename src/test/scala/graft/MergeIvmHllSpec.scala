@@ -233,6 +233,33 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(servedHist.exceptAll(oneShotHist).isEmpty && oneShotHist.exceptAll(servedHist).isEmpty)
   }
 
+  test("StandingTable.updateScd2: persisted change folds == in-memory scd2Apply chain") {
+    val all = ops
+    val deduped = KVEngine.dedup(all).toDF.localCheckpoint(true)
+    val maxSeq = deduped.agg(max("seq")).as[Long].head()
+    val (t1, t2) = (maxSeq / 3, 2 * maxSeq / 3)
+    def lwwPuts(loEx: Long, hiIn: Long) = deduped
+      .filter(col("seq") > loEx && col("seq") <= hiIn && col("kind") === "put")
+      .groupBy("key")
+      .agg(max("seq").as("seq"), max_by(col("value"), col("seq")).as("value"))
+      .localCheckpoint(true)
+    val (c1, c2, c3) = (lwwPuts(-1, t1), lwwPuts(t1, t2), lwwPuts(t2, maxSeq))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_standing_").toString
+    val dir = s"$root/dim"
+    graft.operators.StandingTable.updateScd2(dir, c1)
+    graft.operators.StandingTable.updateScd2(dir, c2)
+    graft.operators.StandingTable.updateScd2(dir, c3)
+    val persisted = spark.read.parquet(dir)
+    val inMemory = KVEngine.scd2Apply(KVEngine.scd2Apply(
+      KVEngine.scd2Apply(persisted.limit(0), c1), c2), c3)
+    assert(persisted.exceptAll(inMemory).isEmpty && inMemory.exceptAll(persisted).isEmpty)
+    // lifecycle invariants hold on the persisted table too
+    val opens = persisted.groupBy("key")
+      .agg(sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(opens.isEmpty && persisted.count() > 0)
+  }
+
   test("StandingTable recovers the MID-SWAP crash state (live dir missing)") {
     val ev = Tables.events(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft_midswap_").toString
