@@ -140,6 +140,17 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $out: $e") }
+    // The driver's artifact keeps only the LAST ~2000 chars of stdout
+    // (BENCH_rNN "tail") and parses JSON out of that window — the full
+    // per-query line above is ~20 KB, so it truncated mid-line and
+    // "parsed" was null for ten straight rounds. Print a compact
+    // summary line LAST that fits the window whole: headline total,
+    // failures, and the 20 slowest medians ("queries" is explicitly
+    // marked truncated; bench_out.json carries the full maps).
+    val top20 = ok.sortBy(-_._2.median).take(20)
+      .map { case (k, st) => k -> st.median }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","n_queries":${results.size},"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -908,6 +908,45 @@ object RelationalQueries extends QueryPack {
     "rel_bucket_join" -> { (s, dir) =>
       graft.operators.BucketedTables.colocatedJoin(s, dir)
     },
+    // RUNTIME bloom-filter join (InjectRuntimeFilter): a selective dim
+    // filter (urgent orders) is turned into a bloom filter of the
+    // surviving join keys and applied might_contain() on the FACT side
+    // BEFORE its shuffle — the scan-reduction lever that drops most
+    // fact rows at the map stage instead of shuffling them to die in
+    // the join. Size gates are production-tuned (10 GB), so at gate
+    // scale the confs are scoped to this query and the plan is
+    // REQUIREd to carry BloomFilterMightContain before the (bounded,
+    // ≤ #priorities rows) result is materialized under them — the
+    // driver's hash gate then proves the lever is answer-preserving.
+    // AqeSpec holds the plan-shape pin.
+    "rel_bloom_join" -> { (s, dir) =>
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority")
+        val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy("o_orderpriority")
+        require(joined.queryExecution.optimizedPlan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))),
+          "runtime bloom filter did not inject — the gated lever is not firing")
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(joined.collect().toSeq.asJava, joined.schema)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
     // STATIC partition pruning over a date-partitioned fact layout:
     // events written partitionBy(event_date) once (build, with the
     // repartition(d) small-files fix), then a one-day rollup whose
@@ -915,6 +954,15 @@ object RelationalQueries extends QueryPack {
     // planning time (PlanSpec pins PartitionFilters + files read).
     "ev_day_prune" -> { (s, dir) =>
       graft.operators.PartitionedTables.dayRollup(s, dir)
+    },
+    // MERGE × partition pruning (the lakehouse MERGE cost model): a
+    // 2-day CDC batch applied to the date-partitioned layout, the base
+    // scan pruned to the TOUCHED directories by the batch's own
+    // partition values (2 of 30 dirs; PlanSpec pins it). Output = the
+    // post-merge rollup of the touched slice — what a real MERGE
+    // rewrites. Oracle: the same merge spelled out over the full view.
+    "rel_merge_pruned" -> { (s, dir) =>
+      graft.operators.PartitionedTables.mergePruned(s, dir)
     },
     // File-level MIN/MAX data skipping (zone map): events stored
     // range-sorted on user_id with a file manifest; a point-user
@@ -1651,10 +1699,15 @@ object RelationalQueries extends QueryPack {
         |WHERE epoch_ms(a.w_start) + 3600000 <= b.hi // 1000 - 3600000
         |ORDER BY a.w_start, a.event_type""".stripMargin,
     // stateless broadcast join + Complete-mode rollup == the batch
-    // join+rollup, arrival-order independent; integer-cents exact
+    // join+rollup, arrival-order independent; integer-cents exact.
+    // Outer CAST: DuckDB's sum(BIGINT) returns HUGEINT, which the
+    // driver's arrow/pandas read renders as decimal128/float64 — the
+    // round-10 hash_match=false root cause (judge fetchall() saw ints
+    // and passed). Every integer-sum oracle must cast its OUTPUT back
+    // to BIGINT so both readers see int64.
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY c_mktsegment
@@ -1662,14 +1715,23 @@ object RelationalQueries extends QueryPack {
     // the bucketed co-located join must equal the plain parquet join
     "rel_bucket_join" ->
       """SELECT o_orderpriority, l_linestatus, count(*) AS n_lines,
-        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_linestatus
         |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
+    // the bloom-filtered join is a pure pruning aid — must equal the
+    // plain selective join
+    "rel_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the zone-map-pruned rollup must equal the full-scan user filter
     "ev_skipping" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events
         |WHERE user_id = (SELECT min(user_id) + 42 FROM events)
         |GROUP BY event_type
@@ -1688,7 +1750,7 @@ object RelationalQueries extends QueryPack {
         |                            CAST(date_trunc('day', min(ts)) AS DATE)) AS d0
         |           FROM events)
         |SELECT event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events, d
         |WHERE date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
         |      BETWEEN d.d0 + 10 AND d.d0 + 12
@@ -1697,11 +1759,33 @@ object RelationalQueries extends QueryPack {
     // the pruned one-day rollup must equal the full-scan day filter
     "ev_day_prune" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT CAST(min(ts) AS DATE) + 3 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the partition-pruned MERGE must equal the same merge spelled out
+    // over the full view: U rows win, D rows vanish, rollup the
+    // touched 2-day slice
+    "rel_merge_pruned" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
+        |ev AS (SELECT event_id, event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS cents,
+        |              CAST(ts AS DATE) AS d
+        |       FROM events),
+        |changes AS (SELECT event_id, event_type, cents + 1000 AS cents, ev.d AS d,
+        |                   CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op
+        |            FROM ev, d0
+        |            WHERE ev.d BETWEEN d0.d + 3 AND d0.d + 4 AND event_id % 10 = 0),
+        |base AS (SELECT * FROM ev WHERE d IN (SELECT DISTINCT d FROM changes)),
+        |merged AS (SELECT CASE WHEN c.op = 'U' THEN c.d ELSE b.d END AS d,
+        |                  CASE WHEN c.op = 'U' THEN c.event_type ELSE b.event_type END AS event_type,
+        |                  CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |           FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
+        |           WHERE c.op IS NULL OR c.op = 'U')
+        |SELECT d, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM merged GROUP BY d, event_type
+        |ORDER BY d, event_type""".stripMargin,
     // the streaming rollup shares the batch rollup's oracle
     "stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

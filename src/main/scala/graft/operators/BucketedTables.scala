@@ -17,44 +17,84 @@ import org.apache.spark.sql.functions._
   * `n` is sized to the target cluster (here 8 for local[32] testdata;
   * production uses thousands).
   *
-  * Build-serve split, like every expensive artifact in the shop: the
-  * bucketed write is the BUILD (cached per (session, sf dir) — a real
-  * lake writes fact tables bucketed at ingest, so the serve path never
-  * pays it), [[colocatedJoin]] is the SERVE. BucketingSpec holds the
-  * zero-join-side-shuffle plan pin; the driver's hash gate holds the
-  * result (rel_bucket_join, oracle = the plain parquet join).
+  * Build-serve split, PERSISTED cross-session via [[LayoutStore]]
+  * (round-11; the r10 temp-warehouse form lost the layout with the
+  * session): the bucketed files are written ONCE under the layout dir
+  * — a real lake writes fact tables bucketed at ingest — and every
+  * session (including a restarted driver) registers them with
+  * `CREATE TABLE ... USING PARQUET CLUSTERED BY ... SORTED BY ...
+  * INTO n BUCKETS LOCATION ...`, the external-bucketed-table DDL:
+  * Spark recovers each file's bucket id from its `_0000N` filename
+  * tag, so registration is metadata-only — ZERO rebuild jobs
+  * (BucketingSpec pins it). [[colocatedJoin]] is the SERVE.
+  * BucketingSpec holds the zero-join-side-shuffle plan pin; the
+  * driver's hash gate holds the result (rel_bucket_join, oracle = the
+  * plain parquet join).
   */
 object BucketedTables {
 
-  private val tableCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** (session, sfDir) -> (lineitem table name, orders table name).
-    * Session-scoped: catalog tables and their temp warehouse dirs live
-    * for the driver's lifetime, serving every later join at read cost
-    * (the build-once convention of Dedup.nearDupIndexCached). */
+  /** (session, sfDir) -> (lineitem table name, orders table name). The
+    * in-session memo over the persisted layout (catalog registration
+    * is idempotent but not free). */
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, String)]
+
+  /** Test hook: forget the in-session memo so a spec can prove the
+    * restart path (re-register from the persisted layout, zero
+    * rebuild). */
+  private[graft] def clearSessionCache(): Unit = cache.clear()
 
   /** Bucket count: sized to the join's target parallelism. The gate
     * data fits 8 buckets comfortably; at 100 TB this is thousands and
     * is chosen ONCE at ingest for the whole table lifetime. */
   val NumBuckets = 8
 
-  /** BUILD: write lineitem and orders bucketed+sorted by orderkey into
-    * a temp-dir warehouse and register them in the session catalog.
-    * Returns the two table names. Idempotent per (session, sfDir). */
+  /** Write `df` as bucketed+sorted files under `path` without keeping
+    * a catalog entry: saveAsTable through a throwaway EXTERNAL table
+    * name (bucketed writes are only reachable via the table API), then
+    * drop the name — the files and their bucket-id filename tags stay. */
+  private def writeBucketed(df: DataFrame, key: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"graft_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.bucketBy(NumBuckets, key).sortBy(key)
+      .option("path", path).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
+  /** Register the persisted bucketed files as an external table (any
+    * session — this is the restart path). Metadata-only: the DDL names
+    * the bucket spec; the data is never touched. */
+  private def register(spark: SparkSession, name: String, key: String,
+      path: java.nio.file.Path): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      val ddl = spark.read.parquet(path.toString).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($ddl) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+           |LOCATION '${path.toUri}'""".stripMargin)
+    }
+  }
+
+  /** BUILD once / reload thereafter: lineitem and orders bucketed+
+    * sorted by orderkey under the persisted layout, registered in this
+    * session's catalog. Returns the two table names (fingerprint-
+    * suffixed: a regenerated source publishes under a fresh name, so a
+    * stale layout can never serve). */
   def orderkeyBucketed(spark: SparkSession, sfDir: String): (String, String) =
     cache.getOrElseUpdate((spark, sfDir), {
-      val id = tableCounter.incrementAndGet()
-      val wh = java.nio.file.Files.createTempDirectory("graft_bucketed_wh_")
-      val li = s"graft_li_bucketed_$id"
-      val ord = s"graft_ord_bucketed_$id"
-      graft.Tables.lineitem(spark, sfDir)
-        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", wh.resolve(li).toString).saveAsTable(li)
-      graft.Tables.orders(spark, sfDir)
-        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", wh.resolve(ord).toString).saveAsTable(ord)
+      val live = LayoutStore.getOrBuild(
+        LayoutStore.layoutDir("bucketed", sfDir,
+          Seq("lineitem.parquet", "orders.parquet"))) { staging =>
+        writeBucketed(graft.Tables.lineitem(spark, sfDir), "l_orderkey",
+          staging.resolve("lineitem").toString)
+        writeBucketed(graft.Tables.orders(spark, sfDir), "o_orderkey",
+          staging.resolve("orders").toString)
+      }
+      val fp = live.getFileName.toString.takeWhile(_ != '.').split('-').last
+      val li = s"graft_li_bucketed_$fp"
+      val ord = s"graft_ord_bucketed_$fp"
+      register(spark, li, "l_orderkey", live.resolve("lineitem"))
+      register(spark, ord, "o_orderkey", live.resolve("orders"))
       (li, ord)
     })
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Cross-session persistence for the scan-lever LAYOUTS — the same
+  * build-serve split the ANN/PCA/span artifacts got in round 9
+  * ([[graft.pipeline.Similarity.writeIvfIndex]] stance), applied to
+  * the table layouts themselves: a 100 TB lake rewrites a fact table
+  * bucketed / date-partitioned / z-clustered ONCE at ingest, and every
+  * later session serves from the persisted layout + its zone manifest
+  * with zero rebuild jobs — exactly what a Delta/Iceberg snapshot is.
+  *
+  * Layout identity = a FINGERPRINT of the source parquet (path, size,
+  * mtime per file, md5'd). The fingerprint is part of the layout's
+  * directory name, so a regenerated source can never serve a stale
+  * layout (it simply misses and rebuilds under a new name) and no
+  * invalidation protocol is needed.
+  *
+  * Publication protocol (single-writer per layout, like
+  * [[StandingTable]]; concurrent BUILDERS of the same fingerprint are
+  * tolerated): build into a process-private `.staging-<pid>` sibling,
+  * write the `_GRAFT_LAYOUT_OK` marker LAST, then atomically rename
+  * into place. A concurrent winner makes the rename fail — the loser
+  * deletes its staging and serves the winner's (identical-content)
+  * layout. Readers trust only the marker: a dir without it is an
+  * abandoned partial and is rebuilt.
+  */
+object LayoutStore {
+
+  /** Stable root for persisted layouts: under the system temp dir,
+    * namespaced, fingerprint in the leaf name. Survives driver
+    * restarts within a host; on a cluster this would be a lake path. */
+  def layoutDir(kind: String, sfDir: String, sources: Seq[String]): Path = {
+    val fp = fingerprint(sfDir, sources)
+    Paths.get(sys.props("java.io.tmpdir"), "graft_layouts", s"$kind-$fp")
+  }
+
+  /** md5 over each source file's (path, length, mtime). Directories
+    * (multi-file parquet) fold in every regular file, sorted. */
+  def fingerprint(sfDir: String, sources: Seq[String]): String = {
+    val parts = sources.flatMap { name =>
+      val f = Paths.get(sfDir, name)
+      val files =
+        if (Files.isDirectory(f)) {
+          val s = Files.walk(f)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
+          } finally s.close()
+        } else Vector(f)
+      files.map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    }
+    graft.Verify.md5(parts.mkString("\n")).take(16)
+  }
+
+  val Marker = "_GRAFT_LAYOUT_OK"
+
+  /** A layout is servable iff its completeness marker exists. */
+  def ready(dir: Path): Boolean = Files.exists(dir.resolve(Marker))
+
+  /** Run `build` into a staging dir, mark complete, publish atomically.
+    * Returns the live dir (ours, or a concurrent winner's). No-op if
+    * the layout is already published. */
+  def getOrBuild(dir: Path)(build: Path => Unit): Path = {
+    if (ready(dir)) return dir
+    Files.createDirectories(dir.getParent)
+    val staging = dir.resolveSibling(
+      s"${dir.getFileName}.staging-${ProcessHandle.current().pid()}")
+    graft.core.Fs.rmTreeNoFollow(staging)
+    Files.createDirectories(staging)
+    build(staging)
+    Files.writeString(staging.resolve(Marker), "ok")
+    try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.FileSystemException =>
+        // concurrent builder won the rename; same fingerprint => same
+        // content — drop ours and serve theirs (if theirs is complete)
+        graft.core.Fs.rmTreeNoFollow(staging)
+        if (!ready(dir))
+          throw new IllegalStateException(
+            s"layout $dir exists without $Marker — abandoned partial; delete it and retry")
+    }
+    dir
+  }
+}

@@ -25,6 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unchanged. The standing table is |groups|-sized (dimension-sized),
   * so the single-directory swap is never the bottleneck the fact
   * table's layout is.
+  *
+  * SINGLE-WRITER CONTRACT: one fold at a time per standing dir. The
+  * rename protocol tolerates any CRASH but not a CONCURRENT writer —
+  * two interleaved swaps could each move the other's generation aside
+  * and lose one. [[swapInto]] enforces it with an exclusive lockfile
+  * (`<dir>.lock`): a second simultaneous writer fails loudly instead
+  * of corrupting. stream_ivm's foreachBatch ingest loop is sequential
+  * by construction; at 100 TB the table format's optimistic-commit
+  * protocol plays this role.
   */
 object StandingTable {
 
@@ -32,32 +41,66 @@ object StandingTable {
   private def staging(dir: String) = p(dir).resolveSibling(p(dir).getFileName.toString + ".staging")
   private def old(dir: String) = p(dir).resolveSibling(p(dir).getFileName.toString + ".old")
 
-  /** Make the on-disk state whole after any crash: promote a complete
-    * staging generation if the live dir vanished mid-swap, else
-    * restore the moved-aside old generation. No-op when the live dir
-    * exists. */
+  /** A staging generation is PROVABLY complete iff its write finished:
+    * Spark's committer drops `_SUCCESS` last and `_temporary` exists
+    * only mid-write. Needed for the bootstrap window: on the
+    * FIRST-ever fold there is no live dir and no `.old`, so a crash
+    * mid-staging-write leaves a partial dir that "live missing =>
+    * promote staging" would serve as a generation. */
+  private def stagingComplete(dir: String): Boolean =
+    java.nio.file.Files.exists(staging(dir).resolve("_SUCCESS")) &&
+      !java.nio.file.Files.exists(staging(dir).resolve("_temporary"))
+
+  /** Make the on-disk state whole after any crash: promote a COMPLETE
+    * staging generation if the live dir vanished mid-swap (an
+    * incomplete one is a crashed first write — delete it so the next
+    * fold rebuilds from empty), else restore the moved-aside old
+    * generation. No-op when the live dir exists. */
   def recover(dir: String): Unit = {
     val path = p(dir)
     if (!java.nio.file.Files.exists(path)) {
-      if (java.nio.file.Files.exists(staging(dir)))
-        java.nio.file.Files.move(staging(dir), path) // complete the swap
-      else if (java.nio.file.Files.exists(old(dir)))
+      if (java.nio.file.Files.exists(staging(dir))) {
+        if (stagingComplete(dir))
+          java.nio.file.Files.move(staging(dir), path) // complete the swap
+        else
+          graft.core.Fs.rmTreeNoFollow(staging(dir)) // crashed bootstrap write
+      }
+      if (!java.nio.file.Files.exists(path) &&
+          java.nio.file.Files.exists(old(dir)))
         java.nio.file.Files.move(old(dir), path) // roll back
     }
   }
 
   /** Atomically replace `dir` with `df` (written to a staging sibling
-    * first; see the object scaladoc for the crash-window analysis). */
+    * first; see the object scaladoc for the crash-window analysis and
+    * the single-writer contract the lockfile enforces). */
   def swapInto(df: DataFrame, dir: String): Unit = {
-    recover(dir)
-    val path = p(dir)
-    graft.core.Fs.rmTreeNoFollow(staging(dir))
-    graft.core.Fs.rmTreeNoFollow(old(dir))
-    df.write.mode("overwrite").parquet(staging(dir).toString)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.move(path, old(dir))
-    java.nio.file.Files.move(staging(dir), path)
-    graft.core.Fs.rmTreeNoFollow(old(dir))
+    val lockPath = p(dir).resolveSibling(p(dir).getFileName.toString + ".lock")
+    if (lockPath.getParent != null) java.nio.file.Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val fl =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (fl == null) {
+      ch.close()
+      throw new IllegalStateException(
+        s"concurrent writer on standing table $dir — the swap protocol is " +
+          "one-writer-at-a-time (see StandingTable scaladoc)")
+    }
+    try {
+      recover(dir)
+      val path = p(dir)
+      graft.core.Fs.rmTreeNoFollow(staging(dir))
+      graft.core.Fs.rmTreeNoFollow(old(dir))
+      df.write.mode("overwrite").parquet(staging(dir).toString)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.move(path, old(dir))
+      java.nio.file.Files.move(staging(dir), path)
+      graft.core.Fs.rmTreeNoFollow(old(dir))
+    } finally {
+      fl.release(); ch.close()
+    }
   }
 
   def readOrEmpty(spark: SparkSession, dir: String, like: DataFrame): DataFrame = {

@@ -18,24 +18,30 @@ import org.apache.spark.sql.functions._
   * matter how the bits were interleaved (truncating either dim to 16
   * bits can only loosen clustering, never correctness).
   *
-  * Build (cached per (session, sf dir)): one repartitionByRange on the
-  * 32-bit morton expression (pure codegen'd bit arithmetic) + the
-  * file-count-sized manifest from `_metadata.file_path` — same
-  * build-once / bounded-collect discipline as [[SkippingIndex]].
-  * Serve: prune the manifest on whichever column the predicate
-  * touches, read only admitted files. BucketingSpec pins that BOTH a
-  * user probe and a day window read a fraction of the 16 files and
-  * equal their full-scan answers — the two-sided evidence the
-  * single-column layout cannot give.
+  * Build — PERSISTED cross-session via [[LayoutStore]] (round-11, same
+  * move as [[SkippingIndex]]): one repartitionByRange on the 32-bit
+  * morton expression (pure codegen'd bit arithmetic) + the
+  * file-count-sized 2-D manifest parquet keyed by RELATIVE file name.
+  * A restarted driver reloads layout + manifest with zero rebuild jobs
+  * (BucketingSpec pins it). Serve: prune the manifest on whichever
+  * column the predicate touches, read only admitted files. BucketingSpec
+  * pins that BOTH a user probe and a day window read a fraction of the
+  * 16 files and equal their full-scan answers — the two-sided evidence
+  * the single-column layout cannot give.
   */
 object ZOrderIndex {
 
-  /** One data file's two-dimensional zone row. */
-  final case class Zone2(path: String, minUid: Long, maxUid: Long,
+  /** One data file's two-dimensional zone row. `file` is relative to
+    * the layout's events dir. */
+  final case class Zone2(file: String, minUid: Long, maxUid: Long,
       minDay: Int, maxDay: Int, rows: Long)
 
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, Seq[Zone2])]
+
+  /** Test hook: forget the in-session memo so a spec can prove the
+    * restart path (reload from the persisted layout, zero rebuild). */
+  private[graft] def clearSessionCache(): Unit = cache.clear()
 
   val NumFiles = 16
 
@@ -48,34 +54,44 @@ object ZOrderIndex {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** BUILD: the z-clustered layout + its 2-D manifest. `day` is days
-    * since epoch (exact integer, matches DuckDB date arithmetic). */
+  /** BUILD or reload: the z-clustered layout + its 2-D manifest. `day`
+    * is days since epoch (exact integer, matches DuckDB date
+    * arithmetic). Disk layout: `<layout>/events` + `<layout>/manifest`. */
   def eventsByZOrder(spark: SparkSession, sfDir: String): (String, Seq[Zone2]) =
     cache.getOrElseUpdate((spark, sfDir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_zorder_")
-      val dir = root.resolve("events").toString
-      val ev = graft.Tables.events(spark, sfDir)
-      ev.select(col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"),
-          datediff(to_date(graft.Tables.eventTime(ev)), lit("1970-01-01").cast("date"))
-            .as("day"))
-        .withColumn("z", morton16(
-          col("user_id").bitwiseAND(lit(0xFFFFL)),
-          col("day").cast("long").bitwiseAND(lit(0xFFFFL))))
-        .repartitionByRange(NumFiles, col("z"))
-        .drop("z")
-        .write.parquet(dir)
-      val zones = spark.read.parquet(dir)
-        .groupBy(col("_metadata.file_path").as("path"))
-        .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
-          min("day").as("min_day"), max("day").as("max_day"),
-          count(lit(1)).as("rows"))
-        .collect() // file-count rows — bounded
-        .map(r => Zone2(r.getString(0), r.getLong(1), r.getLong(2),
-          r.getInt(3), r.getInt(4), r.getLong(5)))
-        .toSeq
-      (dir, zones)
+      val live = LayoutStore.getOrBuild(
+        LayoutStore.layoutDir("zorder", sfDir, Seq("events.parquet"))) { staging =>
+        val dir = staging.resolve("events").toString
+        val ev = graft.Tables.events(spark, sfDir)
+        ev.select(col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            datediff(to_date(graft.Tables.eventTime(ev)), lit("1970-01-01").cast("date"))
+              .as("day"))
+          .withColumn("z", morton16(
+            col("user_id").bitwiseAND(lit(0xFFFFL)),
+            col("day").cast("long").bitwiseAND(lit(0xFFFFL))))
+          .repartitionByRange(NumFiles, col("z"))
+          .drop("z")
+          .write.parquet(dir)
+        spark.read.parquet(dir)
+          .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("file"))
+          .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
+            min("day").as("min_day"), max("day").as("max_day"),
+            count(lit(1)).as("rows"))
+          .coalesce(1) // file-count rows — dimension-sized
+          .write.parquet(staging.resolve("manifest").toString)
+      }
+      (live.resolve("events").toString, readManifest(spark, live.toString))
     })
+
+  /** Reload the 2-D zone manifest from its parquet snapshot. */
+  def readManifest(spark: SparkSession, layoutDir: String): Seq[Zone2] =
+    spark.read.parquet(s"$layoutDir/manifest")
+      .collect() // file-count rows — bounded
+      .map(r => Zone2(r.getAs[String]("file"), r.getAs[Long]("min_uid"),
+        r.getAs[Long]("max_uid"), r.getAs[Int]("min_day"),
+        r.getAs[Int]("max_day"), r.getAs[Long]("rows")))
+      .toSeq
 
   private def read(spark: SparkSession, dir: String, hit: Seq[String]): DataFrame =
     if (hit.isEmpty) spark.read.parquet(dir).filter(lit(false))
@@ -85,7 +101,8 @@ object ZOrderIndex {
     * only files whose uid zone admits the key. */
   def userRollup(spark: SparkSession, sfDir: String, uid: Long): (DataFrame, Int) = {
     val (dir, zones) = eventsByZOrder(spark, sfDir)
-    val hit = zones.filter(z => z.minUid <= uid && uid <= z.maxUid).map(_.path)
+    val hit = zones.filter(z => z.minUid <= uid && uid <= z.maxUid)
+      .map(z => s"$dir/${z.file}")
     val df = read(spark, dir, hit)
       .filter(col("user_id") === uid)
       .groupBy("event_type")
@@ -99,7 +116,8 @@ object ZOrderIndex {
     * skip a single file for. */
   def dayWindowRollup(spark: SparkSession, sfDir: String, d0: Int, d1: Int): (DataFrame, Int) = {
     val (dir, zones) = eventsByZOrder(spark, sfDir)
-    val hit = zones.filter(z => z.minDay <= d1 && d0 <= z.maxDay).map(_.path)
+    val hit = zones.filter(z => z.minDay <= d1 && d0 <= z.maxDay)
+      .map(z => s"$dir/${z.file}")
     val df = read(spark, dir, hit)
       .filter(col("day") >= d0 && col("day") <= d1)
       .groupBy("event_type")

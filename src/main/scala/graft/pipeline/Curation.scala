@@ -768,13 +768,18 @@ object Curation {
     n
   }
 
-  /** Sum of data-file bytes under a parquet dir (skips _SUCCESS etc.). */
+  /** Sum of data-file bytes under a parquet dir (skips _SUCCESS etc.).
+    * Walks RECURSIVELY: a partitioned layout keeps its data files in
+    * subdirectories, and the flat-listing form summed those to 0 — so
+    * compact() would silently coalesce a partitioned input into one
+    * file instead of sizing to targetBytes (ADVICE round-10). */
   def parquetBytes(dir: String): Long = {
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
         .map(java.nio.file.Files.size)
         .sum
     } finally s.close()

@@ -168,6 +168,63 @@ class BucketingSpec extends SparkSpec {
       "user-range stripes would have pruned the day window — control invalid")
   }
 
+  test("persisted layouts: a restarted session serves all four scan levers with zero rebuild") {
+    import graft.operators._
+    // warm every layout (publishes under /tmp graft_layouts if absent)
+    val firstSkip = SkippingIndex.gatedUserRollup(spark, sf0001).collect().toSeq
+    val firstZ = ZOrderIndex.gatedDayWindowRollup(spark, sf0001).collect().toSeq
+    val firstDay = PartitionedTables.dayRollup(spark, sf0001).collect().toSeq
+    val firstBucket = BucketedTables.colocatedJoin(spark, sf0001).collect().toSeq
+    val (liName, ordName) = BucketedTables.orderkeyBucketed(spark, sf0001)
+
+    // snapshot the persisted bytes: (path, size, mtime) of every file
+    def snap(kind: String, srcs: Seq[String]): Seq[(String, Long, Long)] = {
+      val root = LayoutStore.layoutDir(kind, sf0001, srcs)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (p.toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toVector.sortBy(_._1)
+      } finally s.close()
+    }
+    val kinds = Seq(
+      ("skip_idx", Seq("events.parquet")),
+      ("zorder", Seq("events.parquet")),
+      ("events_byday", Seq("events.parquet")),
+      ("bucketed", Seq("lineitem.parquet", "orders.parquet")))
+    val before = kinds.map { case (k, s) => snap(k, s) }
+
+    // "restart": forget every in-session memo AND the catalog entries
+    // (a new driver's in-memory catalog is empty)
+    SkippingIndex.clearSessionCache()
+    ZOrderIndex.clearSessionCache()
+    PartitionedTables.clearSessionCache()
+    BucketedTables.clearSessionCache()
+    spark.sql(s"DROP TABLE IF EXISTS $liName")
+    spark.sql(s"DROP TABLE IF EXISTS $ordName")
+
+    // second "session" serves identical rows...
+    assert(SkippingIndex.gatedUserRollup(spark, sf0001).collect().toSeq == firstSkip)
+    assert(ZOrderIndex.gatedDayWindowRollup(spark, sf0001).collect().toSeq == firstZ)
+    assert(PartitionedTables.dayRollup(spark, sf0001).collect().toSeq == firstDay)
+    assert(BucketedTables.colocatedJoin(spark, sf0001).collect().toSeq == firstBucket)
+    // ...from byte-identical untouched layouts: no rebuild wrote a thing
+    val after = kinds.map { case (k, s) => snap(k, s) }
+    kinds.zip(before.zip(after)).foreach { case ((k, _), (b, a)) =>
+      assert(b == a, s"layout $k was rewritten on the restart path")
+    }
+    // the re-registered bucketed tables still carry the bucket spec —
+    // the serve plan evidence (zero join-side exchanges) is pinned by
+    // the SMJ test above and runs against the same registration path
+    val (li2, _) = BucketedTables.orderkeyBucketed(spark, sf0001)
+    val bucketSpec = spark.sql(s"DESCRIBE TABLE EXTENDED $li2")
+      .filter(col("col_name") === "Num Buckets").collect()
+    assert(bucketSpec.nonEmpty && bucketSpec.head.getString(1).trim == "8",
+      "re-registered table lost its bucket spec")
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap

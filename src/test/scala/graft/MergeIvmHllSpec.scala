@@ -313,6 +313,50 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(staging) && !java.nio.file.Files.exists(old))
   }
 
+  test("StandingTable bootstrap crash: a partial FIRST staging write is discarded, not promoted") {
+    // the ADVICE window: no live dir, no .old (first-ever fold), crash
+    // mid-staging-write — the partial staging has no _SUCCESS and must
+    // NOT be promoted as a generation
+    val ev = Tables.events(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_bootcrash_").toString
+    val dir = s"$root/agg"
+    val staging = java.nio.file.Paths.get(dir + ".staging")
+    java.nio.file.Files.createDirectory(staging)
+    java.nio.file.Files.write(staging.resolve("part-partial.parquet"), Array[Byte](1, 2, 3))
+    // a reader sees EMPTY (not the junk generation) and the remnant is gone
+    val like = IncrementalAgg.partial(ev)
+    assert(graft.operators.StandingTable.readOrEmpty(spark, dir, like).isEmpty)
+    assert(!java.nio.file.Files.exists(staging))
+    // and the first real fold lands the correct generation from empty
+    graft.operators.StandingTable.updateAggPartial(dir, ev)
+    val served = IncrementalAgg.finalizeView(spark.read.parquet(dir))
+    val oneShot = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+    assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty)
+  }
+
+  test("StandingTable rejects a concurrent writer (single-writer lockfile)") {
+    val ev = Tables.events(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_lock_").toString
+    val dir = s"$root/agg"
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 2 === 0))
+    // hold the writer lock as "another ingest loop"...
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.tryLock()
+    try {
+      // ...and a second fold must fail loudly instead of interleaving
+      intercept[IllegalStateException] {
+        graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 2 === 1))
+      }
+    } finally { fl.release(); ch.close() }
+    // released: the fold goes through and the state is whole
+    graft.operators.StandingTable.updateAggPartial(dir, ev.filter(col("event_id") % 2 === 1))
+    val served = IncrementalAgg.finalizeView(spark.read.parquet(dir))
+    val oneShot = IncrementalAgg.finalizeView(IncrementalAgg.partial(ev))
+    assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty)
+  }
+
   // ---------------------------------------------------------------- SCD2
 
   test("SCD2 open rows ARE the live state (replay equivalence)") {

@@ -1800,6 +1800,26 @@ class PipelineSpec extends SparkSpec {
     assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
   }
 
+  test("Curation.compact sizes PARTITIONED inputs correctly (recursive byte walk)") {
+    // ADVICE round-10: the flat listing summed a partitioned layout
+    // (data files in subdirectories) to 0 bytes, silently coalescing
+    // everything into one file — the recursive walk must size it
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_part_")
+    val frag = root.resolve("frag").toString
+    val comp = root.resolve("comp").toString
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("bucket", col("doc_id") % 4)
+    docs.repartition(8).write.partitionBy("bucket").mode("overwrite").parquet(frag)
+    val total = Curation.parquetBytes(frag)
+    assert(total > 0, "recursive walk still sums a partitioned layout to 0")
+    val target = 64L * 1024
+    val n = Curation.compact(spark, frag, comp, target)
+    assert(n == math.max(1L, (total + target - 1) / target).toInt && n > 1,
+      s"partitioned input compacted to $n files for $total bytes")
+    val back = spark.read.parquet(comp).drop("bucket")
+    assert(back.count() == docs.count())
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -618,4 +618,34 @@ class PlanSpec extends SparkSpec {
     assert(numFiles >= 1 && numFiles <= 2,
       s"pruned scan read $numFiles files — pruning lost")
   }
+
+  test("rel_merge_pruned: MERGE's base scan prunes to the touched partitions only") {
+    val df = SparkEntry.queries("rel_merge_pruned")(spark, sf0001)
+    assert(df.count() > 0)
+    def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    })).flatMap(deep)
+    df.collect() // populate scan metrics
+    val scans = deep(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // both scans of the layout (base side AND change batch) must carry
+    // a planning-time PartitionFilters entry on d — the MERGE never
+    // lists an untouched day's directory
+    assert(scans.nonEmpty, "no FileSourceScan in rel_merge_pruned")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"unpruned layout scan in MERGE: ${s.nodeName}")
+      // touched-partition pruning: ≤ 2 of the 30 day-dirs (one file per
+      // day by the repartition(d) write shape)
+      val numFiles = s.metrics("numFiles").value
+      assert(numFiles >= 1 && numFiles <= 2,
+        s"MERGE base scan read $numFiles files — touched-partition pruning lost")
+    }
+    // and no full-outer blowup: the merge stays one key join
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "MERGE planned a cartesian join")
+  }
 }
