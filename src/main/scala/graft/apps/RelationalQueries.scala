@@ -908,6 +908,14 @@ object RelationalQueries extends QueryPack {
     "rel_bucket_join" -> { (s, dir) =>
       graft.operators.BucketedTables.colocatedJoin(s, dir)
     },
+    // MERGE × BUCKETED base (the other MergeInto layout lever, twin of
+    // rel_merge_pruned): the base side of the full-outer merge join
+    // reads the bucketBy(orderkey) layout and is NEVER shuffled — only
+    // the change batch repartitions to match (BucketingSpec pins the
+    // one-sided exchange). Oracle: the same merge over the plain view.
+    "rel_merge_bucketed" -> { (s, dir) =>
+      graft.operators.BucketedTables.mergeBucketed(s, dir)
+    },
     // RUNTIME bloom-filter join (InjectRuntimeFilter): a selective dim
     // filter (urgent orders) is turned into a bloom filter of the
     // surviving join keys and applied might_contain() on the FACT side
@@ -1719,6 +1727,24 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_linestatus
         |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
+    // the bucketed-base MERGE must equal the merge spelled out over
+    // the plain view: U rows win, D rows vanish, priority rollup
+    "rel_merge_bucketed" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority,
+        |                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |              FROM orders),
+        |changes AS (SELECT o_orderkey, o_orderpriority,
+        |                   CAST(floor(o_totalprice * 100) AS BIGINT) + 100000 AS cents,
+        |                   CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+        |            FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (SELECT CASE WHEN c.op = 'U' THEN c.o_orderpriority
+        |                       ELSE b.o_orderpriority END AS o_orderpriority,
+        |                  CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |           FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |           WHERE c.op IS NULL OR c.op = 'U')
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the bloom-filtered join is a pure pruning aid — must equal the
     // plain selective join
     "rel_bloom_join" ->

@@ -98,6 +98,32 @@ object BucketedTables {
       (li, ord)
     })
 
+  /** MERGE composed with the BUCKETED layout — [[MergeInto]]'s other
+    * documented lever, gated (rel_merge_bucketed; the partitioned
+    * twin is [[PartitionedTables.mergePruned]]): when the base table
+    * is stored bucketed on the merge key, the full-outer merge join
+    * takes the base's bucket distribution as-is and shuffles ONLY the
+    * change batch into matching partitions — at 100 TB the base (the
+    * dominant side by orders of magnitude) is never re-partitioned to
+    * be merged into. BucketingSpec pins the one-sided exchange: zero
+    * shuffles under the join's base side, exactly one under the
+    * changes side. Output = the post-merge priority rollup. */
+  def mergeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, ord) = orderkeyBucketed(spark, sfDir)
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val base = spark.table(ord)
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+    val changes = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (floor(col("o_totalprice") * 100).cast("long") + 100000L).as("cents"),
+        when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"))
+    MergeInto.merge(base, changes, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** SERVE: priority × status line rollup over the co-located join.
     * `hint("merge")` keeps the strategy a sort-merge join at ANY sf —
     * at gate scale orders would broadcast under the default threshold,

@@ -398,6 +398,14 @@ object PipelineQueries extends QueryPack {
       Similarity.ivfPqTopKFromIndex(emb(s, d), cent, cb, ccodes, 0L to 9L, 5)
         .orderBy("probe_id", "rank")
     }),
+    // the 100 TB serve shape: the code table persisted partitionBy(cell)
+    // (LayoutStore) and the probe reading ONLY its routed cells' dirs —
+    // partition pruning on the ANN index itself; identical scoring, so
+    // it shares the ivfpq oracle (PipelineSpec pins the pruned scan)
+    "sim_ivfpq_pruned" -> ((s, d) => {
+      Similarity.ivfPqTopKPruned(emb(s, d), d, 0L to 9L, 5)
+        .orderBy("probe_id", "rank")
+    }),
     "sim_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
     // incremental IVF ingest: the last 100 vectors assigned against
     // the quantizer trained on the first 400 only — the no-retrain
@@ -2321,6 +2329,7 @@ object PipelineQueries extends QueryPack {
     // serve-path variant: identical rows (deterministic build), same
     // unrolled-training oracle
     "sim_ivfpq_serve" -> ivfPqTopKOracleSql,
+    "sim_ivfpq_pruned" -> ivfPqTopKOracleSql,
     "sim_ivf_topk" ->
       s"""WITH qv AS ($QV2),
          |qd AS (SELECT vec_id, label, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd, n2 FROM qv),

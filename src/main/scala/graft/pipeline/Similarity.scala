@@ -1122,6 +1122,25 @@ object Similarity {
     } finally qv.unpersist(false)
   }
 
+  /** Multi-probe routing: each probe's `nprobe` best cells by centroid
+    * cosine (deterministic tie-break on cell id). Bounded: probes ×
+    * centroids cross join with the centroid table broadcast, output
+    * probes × nprobe rows. Shared by the from-index serve and the
+    * cell-partitioned pruned serve so both route identically. */
+  private def probeCellRouting(probes: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cscore"), asc("cell"))
+    probes
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore",
+        dot(spark, col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+  }
+
   /** IVFPQ top-k served from a prebuilt [[ivfPqIndex]]. */
   def ivfPqTopKFromIndex(emb: DataFrame, cent: DataFrame, cb: DataFrame,
       ccodes: DataFrame, probeIds: Seq[Long], k: Int = 5,
@@ -1131,15 +1150,7 @@ object Similarity {
     val probes = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(desc("cscore"), asc("cell"))
-    val probeCells = probes
-      .crossJoin(broadcast(cent))
-      .withColumn("cscore",
-        dot(spark, col("pq"), col("cv")).cast("double") / sqrt(col("cn2").cast("double")))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe)
-      .select(col("probe_id"), col("cell"))
+    val probeCells = probeCellRouting(probes, cent, nprobe)
     val lut = probes
       .select(col("probe_id"), col("pn2"), subspaces(col("pq"), "psq").as("s"))
       .select(col("probe_id"), col("pn2"), col("s.m").as("m"), col("s.psq").as("psq"))
@@ -1164,6 +1175,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(col("adc_cos"), 6).as("adc_cos"), col("rank"))
+  }
+
+  /** The IVFPQ index persisted CELL-PARTITIONED — the production
+    * layout the [[ivfPqIndex]] scaladoc promises ("write the code
+    * table once partitionBy(cell): serving then partition-prunes to
+    * the probed cells and reads only codes"), now built and gated
+    * (sim_ivfpq_pruned) instead of documented. Rides
+    * [[graft.operators.LayoutStore]] like the scan-lever layouts:
+    * fingerprint-named dir, atomic publish, restart served from disk.
+    * Centroids/codebook are dimension-sized single files; the
+    * corpus-sized code table is one directory per cell — at 100 TB a
+    * probe reads nprobe directories of PQ codes and nothing else. */
+  def ivfPqIndexPartitioned(emb: DataFrame, sfDir: String): (DataFrame, DataFrame, String) = {
+    val spark = emb.sparkSession
+    val live = graft.operators.LayoutStore.getOrBuild(
+      graft.operators.LayoutStore.layoutDir("ivfpq_cells", sfDir,
+        Seq("embeddings.parquet"))) { staging =>
+      val (cent, cb, ccodes) = ivfPqIndexCached(emb, sfDir)
+      cent.coalesce(1).write.parquet(staging.resolve("centroids").toString)
+      cb.coalesce(1).write.parquet(staging.resolve("codebook").toString)
+      ccodes.write.partitionBy("cell").parquet(staging.resolve("codes").toString)
+    }
+    (spark.read.parquet(live.resolve("centroids").toString),
+      spark.read.parquet(live.resolve("codebook").toString),
+      live.resolve("codes").toString)
+  }
+
+  /** Cell-PRUNED IVFPQ serve: route the probes (bounded cross join
+    * against the broadcast centroid table), COLLECT the distinct
+    * probed cells (≤ probes × nprobe — never corpus-sized), and scan
+    * only those cell directories of the persisted code table — the
+    * `cell IN (...)` literal lands in PartitionFilters at planning
+    * time (PipelineSpec pins files read ≤ probed cells). Scoring is
+    * [[ivfPqTopKFromIndex]] verbatim over the pruned scan, so results
+    * equal the unpruned serve bit-for-bit and share its oracle. */
+  def ivfPqTopKPruned(emb: DataFrame, sfDir: String, probeIds: Seq[Long],
+      k: Int = 5, nprobe: Int = KmeansNprobe): DataFrame = {
+    val spark = emb.sparkSession
+    val (cent, cb, codesPath) = ivfPqIndexPartitioned(emb, sfDir)
+    val probes = quantized(emb)
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val cells = probeCellRouting(probes, cent, nprobe)
+      .select("cell").distinct().collect().map(_.get(0)).toSeq // bounded
+    val codes = spark.read.parquet(codesPath).filter(col("cell").isin(cells: _*))
+    ivfPqTopKFromIndex(emb, cent, cb, codes, probeIds, k, nprobe)
   }
 
   /** Per-source embedding centroids + the source-pair cosine matrix —

@@ -168,6 +168,30 @@ class BucketingSpec extends SparkSpec {
       "user-range stripes would have pruned the day window — control invalid")
   }
 
+  test("rel_merge_bucketed: the MERGE's bucketed base side is never shuffled") {
+    // the MergeInto layout claim, pinned: a full-outer merge join over
+    // the bucketBy(orderkey) base takes the bucket distribution as-is;
+    // only the change batch repartitions to match
+    val df = graft.operators.BucketedTables.mergeBucketed(spark, sf0001)
+    assert(df.count() > 0)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.collect { case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan) }.flatten
+    val smjs = unwrap(df.queryExecution.executedPlan).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    })
+    assert(smjs.nonEmpty, s"no full-outer SMJ:\n${df.queryExecution.executedPlan}")
+    val j = smjs.head
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles(j.left).isEmpty,
+      s"bucketed MERGE base side was shuffled:\n${j.left}")
+    assert(j.left.toString.contains("Bucketed: true"),
+      s"MERGE base is not a bucketed scan:\n${j.left}")
+    assert(shuffles(j.right).size == 1,
+      s"expected exactly one changes-side shuffle:\n${j.right}")
+  }
+
   test("persisted layouts: a restarted session serves all four scan levers with zero rebuild") {
     import graft.operators._
     // warm every layout (publishes under /tmp graft_layouts if absent)

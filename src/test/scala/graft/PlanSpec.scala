@@ -416,6 +416,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivfpq_pruned: the persisted code table scan partition-prunes to probed cells") {
+    val df = SparkEntry.queries("sim_ivfpq_pruned")(spark, sf0001)
+    val rows = df.collect() // populate scan metrics
+    assert(rows.nonEmpty)
+    // the codes scan must be the cell-partitioned LAYOUT with a
+    // planning-time PartitionFilters entry, reading fewer files than
+    // the layout holds (only the probed cells' directories)
+    def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    })).flatMap(deep)
+    val codeScans = deep(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ivfpq_cells")) => f
+    }
+    assert(codeScans.nonEmpty, "pruned serve did not scan the persisted code layout")
+    val scan = codeScans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filter on the cell-partitioned code table: ${scan.metadata}")
+    val codesDir = new java.io.File(
+      scan.relation.location.rootPaths.head.toUri.getPath)
+    val totalCells = Option(codesDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val numFiles = scan.metrics("numFiles").value
+    assert(totalCells > 0 && numFiles < totalCells,
+      s"read $numFiles files of a $totalCells-cell layout — cell pruning lost")
+    // pruning is a pure scan aid: identical rows to the unpruned serve
+    val serve = SparkEntry.queries("sim_ivfpq_serve")(spark, sf0001).collect()
+    assert(rows.toSeq == serve.toSeq)
+  }
+
   test("dedup_semantic / sim_pq_err: serve from cached artifacts, bounded probe scans") {
     // dedup_semantic reads the checkpointed k-means assignment (an
     // ExistingRDD scan) — never re-runs Lloyd — and touches no parquet
