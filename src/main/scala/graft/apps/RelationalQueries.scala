@@ -963,6 +963,16 @@ object RelationalQueries extends QueryPack {
     "ev_day_prune" -> { (s, dir) =>
       graft.operators.PartitionedTables.dayRollup(s, dir)
     },
+    // DYNAMIC partition pruning: the qualifying days exist only after
+    // RUNNING the dim query (days with even total cents — a predicate
+    // on a non-join column), so the fact scan carries a
+    // DynamicPruningExpression that waits for the dim result before
+    // listing directories (REQUIREd in-plan; PlanSpec pins it). The
+    // third pruning flavor next to ev_day_prune's literal and
+    // rel_merge_pruned's collected touched-set.
+    "ev_dpp" -> { (s, dir) =>
+      graft.operators.PartitionedTables.dppRollup(s, dir)
+    },
     // MERGE × partition pruning (the lakehouse MERGE cost model): a
     // 2-day CDC batch applied to the date-partitioned layout, the base
     // scan pruned to the TOUCHED directories by the batch's own
@@ -1788,6 +1798,20 @@ object RelationalQueries extends QueryPack {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT CAST(min(ts) AS DATE) + 3 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the runtime-pruned join must equal the plain dim join: days
+    // whose integer cent total is even, joined back to the facts
+    "ev_dpp" ->
+      """WITH ev AS (SELECT event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents,
+        |                   CAST(ts AS DATE) AS d
+        |            FROM events),
+        |sel AS (SELECT d FROM (SELECT d, CAST(sum(cents) AS BIGINT) AS tot
+        |                       FROM ev GROUP BY d)
+        |        WHERE tot % 2 = 0)
+        |SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM ev JOIN sel USING (d)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // the partition-pruned MERGE must equal the same merge spelled out

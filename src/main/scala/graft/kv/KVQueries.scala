@@ -70,6 +70,57 @@ object KVQueries extends QueryPack {
     "kv_state_skewed" -> ((s, dir) =>
       KVEngine.replaySalted(OpLog.fromEventsSkewed(Tables.events(s, dir)))
         .orderBy("key")),
+    // AQE SKEW-JOIN under the gate (the RUNTIME twin of the manual
+    // salted fold above): the skewed op log (~70% of rows on key
+    // "hot") joined to its per-key dim — AQE splits the hot hash
+    // partition at runtime and mirrors the dim side into each split.
+    // The 256 MB production trigger can't fire at gate scale, so the
+    // thresholds are scoped to this query (AqeSpec documents the two
+    // test-scale preconditions) and the plan is REQUIREd to carry
+    // skew=true before the (≤ 3 kinds rows) result materializes —
+    // the gate then proves the split answer-preserving every round.
+    // Factor 1.2, not the 2.0 the row counts suggest: skew stats are
+    // COMPRESSED shuffle bytes, and the planted hot partition (6× the
+    // median's rows) lz4-compresses its constant key to under 2× the
+    // median's bytes — a real-world lesson (near-duplicate hot rows
+    // hide from byte-based skew detection; measured across
+    // sf0.001-0.1 × 4-32 cores, 1.2 trips everywhere).
+    "kv_skew_join" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // repartition(16): AQE splits at map-output granularity; the
+        // single-file scan would otherwise produce one mapper (at
+        // 100 TB the mapper count is in the thousands for free)
+        val skewed = OpLog.fromEventsSkewed(Tables.events(s, dir)).toDF
+          .repartition(16)
+        // materialized dim: OptimizeSkewedJoin pattern-matches
+        // SMJ(Sort(Stage), Sort(Stage)) — an inline distinct between
+        // sort and stage defeats the rule
+        val dim = skewed.select("key").distinct()
+          .withColumn("key_chars", length(col("key")).cast("long"))
+          .localCheckpoint(true)
+        val joined = skewed.join(dim, "key")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), sum("key_chars").as("key_chars"))
+          .orderBy("kind")
+        val rows = joined.collect()
+        require(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+          "AQE skew-join did not fire — the gated lever is not splitting")
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, joined.schema)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     // Dedup-state EVICTION under the gate: dropDuplicatesWithinWatermark
     // — bounded dedup state. Planted duplicates prove BOTH sides of
     // the trade: a re-arrival after eviction is re-admitted (emitted
@@ -167,6 +218,17 @@ object KVQueries extends QueryPack {
     // salted == plain fold by associativity; the oracle folds the
     // skewed key mapping directly
     "kv_state_skewed" -> s"$SKEWED_OPS_SQL,\n$FOLD_TAIL",
+    // the AQE skew split is a pure partitioning aid — must equal the
+    // plain join+rollup over the skewed mapping (dim = distinct keys,
+    // so the join is key-preserving and key_chars sums key lengths)
+    "kv_skew_join" ->
+      s"""$SKEWED_OPS_SQL,
+         |dim AS (SELECT DISTINCT key FROM ops)
+         |SELECT o.kind AS kind, count(*) AS n,
+         |       CAST(sum(length(o.key)) AS BIGINT) AS key_chars
+         |FROM ops o JOIN dim d ON o.key = d.key
+         |GROUP BY o.kind
+         |ORDER BY o.kind""".stripMargin,
     "kv_oplog" ->
       s"""$OPS_SQL
          |SELECT seq, client_id, req_id, kind, key, value FROM ops ORDER BY seq""".stripMargin,

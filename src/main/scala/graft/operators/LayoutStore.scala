@@ -27,12 +27,15 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object LayoutStore {
 
-  /** Stable root for persisted layouts: under the system temp dir,
-    * namespaced, fingerprint in the leaf name. Survives driver
-    * restarts within a host; on a cluster this would be a lake path. */
+  /** Stable root for persisted layouts: `SPARK_GRAFT_LAYOUT_ROOT` when
+    * set (the lake path a deployment would point at), else the system
+    * temp dir. Namespaced, fingerprint in the leaf name. Survives
+    * driver restarts within a host either way. */
   def layoutDir(kind: String, sfDir: String, sources: Seq[String]): Path = {
     val fp = fingerprint(sfDir, sources)
-    Paths.get(sys.props("java.io.tmpdir"), "graft_layouts", s"$kind-$fp")
+    val root = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_ROOT",
+      Paths.get(sys.props("java.io.tmpdir"), "graft_layouts").toString)
+    Paths.get(root, s"$kind-$fp")
   }
 
   /** md5 over each source file's (path, length, mtime). Directories

@@ -98,6 +98,52 @@ object PartitionedTables {
       .orderBy("d", "event_type")
   }
 
+  /** DYNAMIC partition pruning (ev_dpp) — the third pruning flavor
+    * next to [[dayRollup]]'s planning-time literal and
+    * [[mergePruned]]'s collected touched-set: the qualifying days are
+    * only known by RUNNING the dim query (days whose total cents are
+    * even — a predicate on a NON-join column, so constraint
+    * propagation cannot turn it into a static fact-side filter), and
+    * Spark plants a DynamicPruningExpression on the fact scan that
+    * waits for the dim result before listing directories. At 100 TB
+    * this is how a fact scan survives "join to whatever dimension
+    * slice this query computes" without reading every partition.
+    *
+    * Gate-scale confs, scoped to the query: useStats=false (the
+    * size-estimate benefit heuristic declines at kilobyte scale —
+    * the fallback ratio applies instead) and reuseBroadcastOnly=false
+    * (the dim is an aggregate whose pre-AQE size estimate can exceed
+    * the broadcast threshold; production reuses the join's own
+    * broadcast). The plan is REQUIREd to carry dynamicpruning before
+    * the bounded (≤ #event-types rows) result materializes. */
+  def dppRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = spark.read.parquet(eventsByDay(spark, sfDir))
+      val dim = t.groupBy("d").agg(sum("cents").as("tot"))
+        .filter(col("tot") % 2 === 0)
+        .select("d")
+      val joined = t.join(dim, "d")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("event_type")
+      require(joined.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+        "dynamic partition pruning did not plant — the gated lever is off")
+      val rows = joined.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, joined.schema)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** SERVE: one-day per-type rollup whose day predicate is pruned at
     * planning time — the scan lists only that day's directory. */
   def dayRollup(spark: SparkSession, sfDir: String): DataFrame = {

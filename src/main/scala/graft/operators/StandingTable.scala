@@ -55,8 +55,28 @@ object StandingTable {
     * staging generation if the live dir vanished mid-swap (an
     * incomplete one is a crashed first write — delete it so the next
     * fold rebuilds from empty), else restore the moved-aside old
-    * generation. No-op when the live dir exists. */
+    * generation. No-op when the live dir exists — and a deliberate
+    * no-op while ANOTHER LIVE WRITER holds the lock: a missing live
+    * dir under an active writer is not a crash, it is the middle of
+    * that writer's swap, and recovery here would race its renames
+    * (crash recovery is for dead writers; the lock tells them apart). */
   def recover(dir: String): Unit = {
+    val path = p(dir)
+    if (!java.nio.file.Files.exists(path)) {
+      val lockPath = p(dir).resolveSibling(p(dir).getFileName.toString + ".lock")
+      if (java.nio.file.Files.exists(lockPath)) {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        val fl =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (fl == null) { ch.close(); return } // live writer mid-swap
+        try recoverLocked(dir) finally { fl.release(); ch.close() }
+      } else recoverLocked(dir) // never written -> nothing to race
+    }
+  }
+
+  private def recoverLocked(dir: String): Unit = {
     val path = p(dir)
     if (!java.nio.file.Files.exists(path)) {
       if (java.nio.file.Files.exists(staging(dir))) {
@@ -89,7 +109,7 @@ object StandingTable {
           "one-writer-at-a-time (see StandingTable scaladoc)")
     }
     try {
-      recover(dir)
+      recoverLocked(dir) // we ARE the writer — recover under our own lock
       val path = p(dir)
       graft.core.Fs.rmTreeNoFollow(staging(dir))
       graft.core.Fs.rmTreeNoFollow(old(dir))
@@ -103,6 +123,11 @@ object StandingTable {
     }
   }
 
+  /** Read the standing generation, running crash recovery first (a
+    * dead writer's remnants are healed; a LIVE writer's in-flight swap
+    * is left alone — see [[recover]] — so a reader racing a swap may
+    * briefly see empty rather than touch the writer's renames; the
+    * sequential ingest loop never interleaves the two). */
   def readOrEmpty(spark: SparkSession, dir: String, like: DataFrame): DataFrame = {
     recover(dir)
     if (java.nio.file.Files.exists(p(dir))) spark.read.parquet(dir)

@@ -334,6 +334,33 @@ class MergeIvmHllSpec extends SparkSpec {
     assert(served.exceptAll(oneShot).isEmpty && oneShot.exceptAll(served).isEmpty)
   }
 
+  test("StandingTable recover() leaves a LIVE writer's in-flight swap alone") {
+    // crash recovery is for DEAD writers: while the lock is held the
+    // missing live dir is a swap in progress, and a racing reader's
+    // recover() must not promote/rollback under the writer's renames
+    val ev = Tables.events(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_liveswap_").toString
+    val dir = s"$root/agg"
+    graft.operators.StandingTable.updateAggPartial(dir, ev)
+    val gen = spark.read.parquet(dir).collect().toSet
+    // simulate mid-swap: live moved to staging (complete), writer holds lock
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".staging"))
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.tryLock()
+    try {
+      graft.operators.StandingTable.recover(dir)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+        "recover() promoted a generation under a live writer's lock")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".staging")))
+    } finally { fl.release(); ch.close() }
+    // writer died (lock released): recovery completes the swap as before
+    graft.operators.StandingTable.recover(dir)
+    assert(spark.read.parquet(dir).collect().toSet == gen)
+  }
+
   test("StandingTable rejects a concurrent writer (single-writer lockfile)") {
     val ev = Tables.events(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft_lock_").toString

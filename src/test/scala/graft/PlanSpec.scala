@@ -448,6 +448,49 @@ class PlanSpec extends SparkSpec {
     assert(rows.toSeq == serve.toSeq)
   }
 
+  test("ev_dpp: the fact scan carries a DynamicPruningExpression and reads only qualifying days") {
+    val df = SparkEntry.queries("ev_dpp")(spark, sf0001)
+    assert(df.count() > 0)
+    // the gated query REQUIREs dynamicpruning in-plan before
+    // materializing; here we pin WHERE it lands (the fact side's
+    // PartitionFilters) and that the runtime file count is a strict
+    // subset of the layout's day directories
+    val inner = graft.operators.PartitionedTables.dppRollup(spark, sf0001)
+    // dppRollup materializes; re-derive the live plan for inspection
+    val t = spark.read.parquet(
+      graft.operators.PartitionedTables.eventsByDay(spark, sf0001))
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val dim = t.groupBy("d").agg(sum("cents").as("tot"))
+        .filter(col("tot") % 2 === 0).select("d")
+      val joined = t.join(dim, "d").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      joined.collect()
+      def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      })).flatMap(deep)
+      val dppScans = deep(joined.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])) => f
+      }
+      assert(dppScans.nonEmpty, "no DynamicPruningExpression on the fact scan")
+      val numFiles = dppScans.head.metrics("numFiles").value
+      val totalDays = new java.io.File(graft.operators.PartitionedTables
+        .eventsByDay(spark, sf0001)).listFiles().count(_.getName.startsWith("d="))
+      assert(numFiles < totalDays,
+        s"DPP read $numFiles of $totalDays day files — nothing pruned at runtime")
+      assert(inner.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("dedup_semantic / sim_pq_err: serve from cached artifacts, bounded probe scans") {
     // dedup_semantic reads the checkpointed k-means assignment (an
     // ExistingRDD scan) — never re-runs Lloyd — and touches no parquet
