@@ -890,6 +890,16 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.intervalJoinLateReplay(s, dir)
         .orderBy("purchase_id", "click_id")
     },
+    // LEFT OUTER stream-stream join: null-click rows emit on state
+    // EVICTION (the engine can't prove "no match is coming" any
+    // earlier), so the replay appends a per-side watermark-flush
+    // sentinel bucket that evicts every real purchase before the
+    // drain ends — drained = the batch LEFT JOIN. Spark's default
+    // ORDER BY is nulls-first; the oracle says NULLS FIRST to match.
+    "stream_interval_join_outer" -> { (s, dir) =>
+      graft.streaming.StreamReplay.intervalJoinOuterReplay(s, dir)
+        .orderBy("purchase_id", "click_id")
+    },
     // STREAM-STATIC enrichment join under the oracle gate: the
     // purchase stream hash-joined per micro-batch against the static
     // customer dimension (broadcast — stateless, no watermark), then
@@ -1622,6 +1632,17 @@ object RelationalQueries extends QueryPack {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // the flushed left-outer drain must equal the batch LEFT JOIN
+    // (sides pre-filtered — type predicates in a LEFT JOIN's ON would
+    // keep every non-purchase row); NULLS FIRST = Spark's asc default
+    "stream_interval_join_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
     // the batch join restricted to the on-time slices on both sides
     // (slice arithmetic over the click+purchase-filtered event set —
     // the range the replay buckets over)

@@ -655,11 +655,13 @@ object StreamReplay {
   }
 
   /** Build + drain the purchase×click interval join over the bucket
-    * files under `inDir` — shared by the time-ordered and late
-    * replays. */
+    * files under `inDir` — shared by the time-ordered, late and
+    * left-outer replays. `outer` switches the join type; the result
+    * frame keeps null click_ids (built via createDataFrame, not a
+    * typed tuple map, for exactly that reason). */
   private def drainIntervalJoin(spark: org.apache.spark.sql.SparkSession,
-      inDir: java.nio.file.Path, root: java.nio.file.Path, name: String): DataFrame = {
-    import spark.implicits._
+      inDir: java.nio.file.Path, root: java.nio.file.Path, name: String,
+      outer: Boolean = false): DataFrame = {
     withShufflePartitions(spark, StatePartitions) {
       val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
       def side(kind: String, prefix: String) = spark.readStream
@@ -673,7 +675,8 @@ object StreamReplay {
         .withWatermark(s"${prefix}_ts", "1 hour")
       val joined = side("purchase", "p")
         .join(side("click", "c"),
-          expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+          expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+          if (outer) "leftOuter" else "inner")
         .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
           col("p_user").as("user_id"))
       val q = joined.writeStream.format("memory").queryName(name)
@@ -684,9 +687,53 @@ object StreamReplay {
       q.awaitTermination()
     }
     val rows = spark.table(name).collect() // in-window pair count — bounded
+    val outSchema = spark.table(name).schema
     spark.catalog.dropTempView(name)
-    rows.toSeq.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
-      .toDF("purchase_id", "click_id", "user_id")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
+  /** LEFT OUTER stream-stream interval join — the join family's
+    * eviction-driven half: a matched pair emits like the inner join,
+    * but an UNMATCHED purchase emits its null-click row only when the
+    * join watermark passes its entire match window (state eviction IS
+    * the emission trigger — the engine can't know "no click will
+    * come" any earlier). A plain drain would therefore under-emit: the
+    * final batch's purchases still sit in state, null rows pending,
+    * when AvailableNow terminates. The replay closes that window with
+    * a WATERMARK-FLUSH SENTINEL bucket — one far-future row per side
+    * (the join's watermark is the MIN across sides, so BOTH must
+    * advance), non-matching negative users — appended after the real
+    * time-ordered buckets: the final no-data batch then evicts every
+    * real purchase and emits its verdict. Statically sufficient:
+    * sentinel ts = hi + 10 h, so watermark = hi + 9 h > any
+    * p_ts + 30 min. The sentinel purchase itself can never flush
+    * (nothing is above it) and is filtered by id; drained result =
+    * the batch LEFT JOIN exactly. */
+  def intervalJoinOuterReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_outer_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, hi, bucket) = timeSliced(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+          graft.Tables.eventTime(ev).as("ts_utc"),
+          graft.Tables.eventMicros(ev).as("tsu"))
+          .filter(col("event_type").isin("click", "purchase")), nBatches)
+      val sentinelTs = new java.sql.Timestamp(hi / 1000 + 36000000L) // +10 h
+      val sentinels = Seq(
+        (-1L, -1L, "purchase", sentinelTs),
+        (-2L, -2L, "click", sentinelTs))
+        .toDF("event_id", "user_id", "event_type", "ts_utc")
+      writeBuckets((0 until nBatches).map(b =>
+        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc"))
+        :+ sentinels, inDir)
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      drainIntervalJoin(spark, inDir, root,
+        s"stream_interval_join_outer_${runCounter.incrementAndGet()}", outer = true)
+        .filter(col("purchase_id") >= 0) // drop the flush sentinel
+    } finally rmTree(root)
   }
 
   /** LATE data through the STREAM-STREAM join — the third event-time

@@ -30,7 +30,13 @@ import org.apache.spark.sql.streaming.Trigger
   *     (dropped iff ts <= wm) — the opposite boundary from fact 1's
   *     aggregation filter — and the initial watermark is epoch 0, so
   *     an event at exactly t=0 dies in the FIRST batch (the
-  *     dedupEvictReplay +1 s origin shift).
+  *     dedupEvictReplay +1 s origin shift);
+  *  5. a left-outer stream-stream join's null rows emit on state
+  *     EVICTION only (global wm past the row's whole match window),
+  *     and end-of-stream flushes NOTHING — rows still inside the
+  *     window stay in state when the query terminates, which is why
+  *     intervalJoinOuterReplay must append a per-side watermark-flush
+  *     sentinel bucket before draining.
   */
 class StreamingBoundarySpec extends SparkSpec {
   import spark.implicits._
@@ -177,6 +183,50 @@ class StreamingBoundarySpec extends SparkSpec {
       assert(!got.contains(20000L), s"row at exactly wm survived — drop rule is strict now: $got")
       assert(got.contains(1L) && got.contains(20001L) && got.contains(30000L),
         s"rows past the watermark were lost: $got")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
+  test("left-outer interval join: null rows emit on EVICTION; end-of-stream flushes nothing (fact 5)") {
+    // the boundary behind intervalJoinOuterReplay's sentinel bucket:
+    // an unmatched left row's null emission is TRIGGERED by state
+    // eviction (global wm past its whole match window) — the engine
+    // cannot prove "no match is coming" any earlier — and a drained
+    // stream does NOT flush rows still inside the window. Fixture:
+    // u3's purchase sinks below the watermark (null row emits), u2's
+    // sits at the stream's top (held in state, never emitted), u1's
+    // matches (emits like the inner join).
+    implicit val sqlCtx = spark.sqlContext
+    val ps = MemoryStream[(Long, Long, Long)] // (id, user, ms)
+    val cs = MemoryStream[(Long, Long, Long)]
+    def side(ms: MemoryStream[(Long, Long, Long)], p: String) =
+      ms.toDS().select(col("_1").as(s"${p}_id"), col("_2").as(s"${p}_user"),
+          timestamp_millis(col("_3")).as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "10 seconds")
+    val joined = side(ps, "p")
+      .join(side(cs, "c"),
+        expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 10 SECONDS AND p_ts"),
+        "leftOuter")
+      .select(col("p_id"), col("c_id"))
+    val name = s"outer_probe_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // b0: click(u1)@50s, purchase(u3)@10s — wm = min(40s, 0s) = 0
+      cs.addData((101L, 1L, 50000L)); ps.addData((3L, 3L, 10000L))
+      q.processAllAvailable(); Thread.sleep(300); q.processAllAvailable()
+      // b1: purchases u1@55s (matches the 50s click) and u2@55s (no
+      // click) — wm advances to min(45s, 40s) = 40s > u3's window end
+      // (20s): u3 evicts -> null row; u2's window end (65s) > wm:
+      // pending forever
+      ps.addData((1L, 1L, 55000L), (2L, 2L, 55000L))
+      q.processAllAvailable(); Thread.sleep(500); q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 101L)), s"matched pair missing: $rows")
+      assert(rows.contains((3L, -1L)),
+        s"evicted unmatched purchase's null row missing — eviction no longer emits: $rows")
+      assert(!rows.exists(_._1 == 2L),
+        s"pending purchase emitted at end-of-stream — the sentinel flush would be redundant: $rows")
     } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 }
