@@ -51,14 +51,19 @@ object Verify {
     if (s.signum() == 0) "0" else s.toPlainString
   }
   /** Doubles: quantize to 9 decimal places (half-even) then strip —
-    * "5.0" and "5" and int 5 all become "5"; 1e15+ falls back to %.14e
-    * so shortest-repr disagreements past digit 15 can't split the hash. */
+    * "5.0" and "5" and int 5 all become "5"; 1e15+ rounds to 15
+    * SIGNIFICANT digits (half-even, NOT printf %e — Java's Formatter
+    * rounds HALF_UP where Python's rounds half-even, which would split
+    * the hash on values like 1234567890123445.0) so shortest-repr
+    * disagreements past digit 15 can't split it either. */
   def canonDouble(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isInfinite) { if (d > 0) "Infinity" else "-Infinity" }
     else if (d == 0.0) "0"
-    else if (math.abs(d) >= 1e15) f"$d%.14e"
-    else {
+    else if (math.abs(d) >= 1e15) {
+      val mc = new java.math.MathContext(15, java.math.RoundingMode.HALF_EVEN)
+      canonBig(new java.math.BigDecimal(java.lang.Double.toString(d)).round(mc))
+    } else {
       val q = new java.math.BigDecimal(java.lang.Double.toString(d))
         .setScale(9, java.math.RoundingMode.HALF_EVEN)
       canonBig(q)

@@ -111,11 +111,16 @@ object KVQueries extends QueryPack {
           .groupBy("kind")
           .agg(count(lit(1)).as("n"), sum("key_chars").as("key_chars"))
           .orderBy("kind")
-        val rows = joined.collect()
-        require(joined.queryExecution.executedPlan.toString.contains("skew=true"),
-          "AQE skew-join did not fire — the gated lever is not splitting")
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(rows.toSeq.asJava, joined.schema)
+        try {
+          val rows = joined.collect()
+          require(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+            "AQE skew-join did not fire — the gated lever is not splitting")
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.toSeq.asJava, joined.schema)
+        } finally
+          // free the dim's checkpoint blocks on EVERY path — a thrown
+          // require must not leak them (the freeCheckpoint discipline)
+          graft.pipeline.Dedup.freeCheckpoint(dim)
       } finally old.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

@@ -61,30 +61,58 @@ object LayoutStore {
   /** A layout is servable iff its completeness marker exists. */
   def ready(dir: Path): Boolean = Files.exists(dir.resolve(Marker))
 
+  private val stagingCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Run `build` into a staging dir, mark complete, publish atomically.
     * Returns the live dir (ours, or a concurrent winner's). No-op if
-    * the layout is already published. */
+    * the layout is already published. The staging name is unique per
+    * ATTEMPT (pid + counter), not per process — two sessions in one
+    * JVM building the same fingerprint must not share (and delete)
+    * each other's in-progress staging. An existing target WITHOUT the
+    * marker is an abandoned partial from a dead non-atomic publish —
+    * deleted here so the rebuild the scaladoc promises actually
+    * happens (publications are atomic-first, so a marker-less target
+    * can never be a concurrent winner mid-rename). */
   def getOrBuild(dir: Path)(build: Path => Unit): Path = {
     if (ready(dir)) return dir
     Files.createDirectories(dir.getParent)
+    // abandoned partial from a dead non-atomic publish: re-check the
+    // marker at the last instant — under the atomic-first discipline a
+    // marker-less dir is (almost surely) dead, and even the razor-thin
+    // race with a concurrent winner's rename is content-harmless: same
+    // fingerprint => identical bytes get republished by us
+    if (Files.exists(dir) && !ready(dir)) graft.core.Fs.rmTreeNoFollow(dir)
     val staging = dir.resolveSibling(
-      s"${dir.getFileName}.staging-${ProcessHandle.current().pid()}")
+      s"${dir.getFileName}.staging-${ProcessHandle.current().pid()}-${stagingCounter.incrementAndGet()}")
     graft.core.Fs.rmTreeNoFollow(staging)
     Files.createDirectories(staging)
     build(staging)
     Files.writeString(staging.resolve(Marker), "ok")
     try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // a layout root on a filesystem without atomic rename (the
+        // staging SIBLING is same-fs, so this is rare): fall back to a
+        // plain rename — completeness is still marker-gated, and a
+        // crash mid-move leaves a marker-less target the next caller
+        // deletes and rebuilds
+        try Files.move(staging, dir)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            graft.core.Fs.rmTreeNoFollow(staging)
+        }
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException |
            _: java.nio.file.FileSystemException =>
         // concurrent builder won the rename; same fingerprint => same
         // content — drop ours and serve theirs (if theirs is complete)
         graft.core.Fs.rmTreeNoFollow(staging)
-        if (!ready(dir))
-          throw new IllegalStateException(
-            s"layout $dir exists without $Marker — abandoned partial; delete it and retry")
     }
+    if (!ready(dir))
+      throw new IllegalStateException(
+        s"layout $dir failed to publish and no concurrent winner exists — " +
+          "check the layout root's filesystem permissions")
     dir
   }
 }

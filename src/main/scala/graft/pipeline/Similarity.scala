@@ -1141,16 +1141,19 @@ object Similarity {
       .select(col("probe_id"), col("cell"))
   }
 
-  /** IVFPQ top-k served from a prebuilt [[ivfPqIndex]]. */
+  /** IVFPQ top-k served from a prebuilt [[ivfPqIndex]].
+    * `routedCells` lets a caller that already ran the probe routing
+    * (the pruned serve collects it to name the scanned directories)
+    * pass it through instead of paying the routing cross-join twice. */
   def ivfPqTopKFromIndex(emb: DataFrame, cent: DataFrame, cb: DataFrame,
       ccodes: DataFrame, probeIds: Seq[Long], k: Int = 5,
-      nprobe: Int = KmeansNprobe): DataFrame = {
+      nprobe: Int = KmeansNprobe, routedCells: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     val codes = ccodes
     val probes = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
-    val probeCells = probeCellRouting(probes, cent, nprobe)
+    val probeCells = routedCells.getOrElse(probeCellRouting(probes, cent, nprobe))
     val lut = probes
       .select(col("probe_id"), col("pn2"), subspaces(col("pq"), "psq").as("s"))
       .select(col("probe_id"), col("pn2"), col("s.m").as("m"), col("s.psq").as("psq"))
@@ -1217,10 +1220,14 @@ object Similarity {
     val probes = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
-    val cells = probeCellRouting(probes, cent, nprobe)
-      .select("cell").distinct().collect().map(_.get(0)).toSeq // bounded
+    // routing runs ONCE (probes × nprobe rows, eagerly checkpointed —
+    // bounded, lives with the serve result): the same tiny table names
+    // the scanned cell directories AND feeds the scorer
+    val routedDf = probeCellRouting(probes, cent, nprobe).localCheckpoint(true)
+    val cells = routedDf.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq // bounded
     val codes = spark.read.parquet(codesPath).filter(col("cell").isin(cells: _*))
-    ivfPqTopKFromIndex(emb, cent, cb, codes, probeIds, k, nprobe)
+    ivfPqTopKFromIndex(emb, cent, cb, codes, probeIds, k, nprobe, Some(routedDf))
   }
 
   /** Per-source embedding centroids + the source-pair cosine matrix —

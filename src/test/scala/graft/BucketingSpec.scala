@@ -216,7 +216,7 @@ class BucketingSpec extends SparkSpec {
     val kinds = Seq(
       ("skip_idx", Seq("events.parquet")),
       ("zorder", Seq("events.parquet")),
-      ("events_byday", Seq("events.parquet")),
+      ("events_byday_v2", Seq("events.parquet")),
       ("bucketed", Seq("lineitem.parquet", "orders.parquet")))
     val before = kinds.map { case (k, s) => snap(k, s) }
 

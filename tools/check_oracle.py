@@ -55,7 +55,11 @@ def canon_double(v):
     if v == 0.0:
         return "0"
     if abs(v) >= 1e15:
-        return f"{v:.14e}"
+        # 15 SIGNIFICANT digits half-even, mirroring Verify.canonDouble
+        # (printf %e would round HALF_UP on the JVM, half-even here)
+        from decimal import Context
+        ctx = Context(prec=15, rounding=ROUND_HALF_EVEN)
+        return canon_big(ctx.plus(Decimal(repr(v))))
     q = Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_EVEN)
     return canon_big(q)
 
