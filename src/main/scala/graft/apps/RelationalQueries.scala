@@ -900,6 +900,14 @@ object RelationalQueries extends QueryPack {
       graft.streaming.StreamReplay.intervalJoinOuterReplay(s, dir)
         .orderBy("purchase_id", "click_id")
     },
+    // FULL OUTER stream-stream join: both sides' unmatched verdicts
+    // under the same eviction-is-emission rule; the sentinel bucket
+    // flushes both directions. ORDER BY user_id first (never null on
+    // either row shape) keeps the sort total with nulls on both keys.
+    "stream_interval_join_full" -> { (s, dir) =>
+      graft.streaming.StreamReplay.intervalJoinFullReplay(s, dir)
+        .orderBy("user_id", "purchase_id", "click_id")
+    },
     // STREAM-STATIC enrichment join under the oracle gate: the
     // purchase stream hash-joined per micro-batch against the static
     // customer dimension (broadcast — stateless, no watermark), then
@@ -1643,6 +1651,16 @@ object RelationalQueries extends QueryPack {
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
+    // the flushed full-outer drain must equal the batch FULL JOIN;
+    // user_id coalesces across sides so it is never null
+    "stream_interval_join_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       coalesce(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY user_id, purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
     // the batch join restricted to the on-time slices on both sides
     // (slice arithmetic over the click+purchase-filtered event set —
     // the range the replay buckets over)

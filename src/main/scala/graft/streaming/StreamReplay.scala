@@ -657,11 +657,13 @@ object StreamReplay {
   /** Build + drain the purchase×click interval join over the bucket
     * files under `inDir` — shared by the time-ordered, late and
     * left-outer replays. `outer` switches the join type; the result
-    * frame keeps null click_ids (built via createDataFrame, not a
-    * typed tuple map, for exactly that reason). */
+    * frame keeps null ids (built via createDataFrame, not a typed
+    * tuple map, for exactly that reason). user_id coalesces across
+    * sides so fullOuter's click-only rows carry it too (a no-op for
+    * inner/leftOuter, where p_user is never null). */
   private def drainIntervalJoin(spark: org.apache.spark.sql.SparkSession,
       inDir: java.nio.file.Path, root: java.nio.file.Path, name: String,
-      outer: Boolean = false): DataFrame = {
+      joinType: String = "inner"): DataFrame = {
     withShufflePartitions(spark, StatePartitions) {
       val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
       def side(kind: String, prefix: String) = spark.readStream
@@ -676,9 +678,9 @@ object StreamReplay {
       val joined = side("purchase", "p")
         .join(side("click", "c"),
           expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
-          if (outer) "leftOuter" else "inner")
+          joinType)
         .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
-          col("p_user").as("user_id"))
+          coalesce(col("p_user"), col("c_user")).as("user_id"))
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation", root.resolve("ck").toString)
@@ -731,8 +733,46 @@ object StreamReplay {
         :+ sentinels, inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
       drainIntervalJoin(spark, inDir, root,
-        s"stream_interval_join_outer_${runCounter.incrementAndGet()}", outer = true)
+        s"stream_interval_join_outer_${runCounter.incrementAndGet()}", "leftOuter")
         .filter(col("purchase_id") >= 0) // drop the flush sentinel
+    } finally rmTree(root)
+  }
+
+  /** FULL OUTER stream-stream interval join — both sides' unmatched
+    * verdicts under the same eviction-is-emission rule
+    * ([[intervalJoinOuterReplay]], StreamingBoundarySpec fact 5):
+    * matched pairs emit like the inner join; an unmatched PURCHASE
+    * emits (p, null) and an unmatched CLICK emits (null, c), each when
+    * the global watermark passes its entire match window. The same
+    * per-side sentinel bucket flushes both directions (the sentinels
+    * themselves can never flush — nothing is above them — and are
+    * filtered by their negative ids). Drained = the batch FULL JOIN
+    * with pre-filtered sides. */
+  def intervalJoinFullReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_full_")
+    val inDir = root.resolve("in")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      val (e, _, hi, bucket) = timeSliced(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+          graft.Tables.eventTime(ev).as("ts_utc"),
+          graft.Tables.eventMicros(ev).as("tsu"))
+          .filter(col("event_type").isin("click", "purchase")), nBatches)
+      val sentinelTs = new java.sql.Timestamp(hi / 1000 + 36000000L) // +10 h
+      val sentinels = Seq(
+        (-1L, -1L, "purchase", sentinelTs),
+        (-2L, -2L, "click", sentinelTs))
+        .toDF("event_id", "user_id", "event_type", "ts_utc")
+      writeBuckets((0 until nBatches).map(b =>
+        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc"))
+        :+ sentinels, inDir)
+      graft.pipeline.Dedup.freeCheckpoint(e)
+      drainIntervalJoin(spark, inDir, root,
+        s"stream_interval_join_full_${runCounter.incrementAndGet()}", "fullOuter")
+        .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
+          coalesce(col("click_id"), lit(0L)) >= 0) // drop both flush sentinels
     } finally rmTree(root)
   }
 
