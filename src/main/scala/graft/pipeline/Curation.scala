@@ -768,6 +768,61 @@ object Curation {
     n
   }
 
+  /** PARTITION-PRESERVING compaction (Delta/Iceberg OPTIMIZE, the
+    * form a partitioned fact table actually needs — [[compact]]'s
+    * global round-robin would collapse the directory layout and lose
+    * partition pruning): rewrite every `part=value` directory's small
+    * files to ~targetBytes WITHOUT changing the layout, in ONE Spark
+    * job. Per-directory file counts n_i come from each directory's
+    * listed bytes (same exact-listing discipline as [[compact]]); a
+    * salt column `pmod(hash(all columns), n_i)` splits each
+    * partition's rows into its n_i target files, the broadcast-sized
+    * (directory count) day→n_i map rides a literal CASE expression,
+    * and one `repartition(Σn_i, part, salt)` + `partitionBy(part)`
+    * write lands everything — no per-partition job loop, so the same
+    * plan holds at thousands of directories. Hash collisions between
+    * (part, salt) groups can only MERGE two target files of the same
+    * directory (the writer emits one file per partition value per
+    * task), so per-file size stays bounded near target and the
+    * directory layout is preserved exactly. Returns Σn_i. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, partCol: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(partCol + "="))
+          .toVector.sortBy(_.toString)
+      } finally s.close()
+    }
+    require(dirs.nonEmpty, s"no $partCol= directories under $inDir")
+    // directory-count-sized driver work: one (value, n_i) pair per dir
+    val plan = dirs.map { d =>
+      val value = d.getFileName.toString.stripPrefix(partCol + "=")
+      val n = math.max(1L, (parquetBytes(d.toString) + targetBytes - 1) / targetBytes).toInt
+      (value, n)
+    }
+    val nOf = plan.tail.foldLeft(
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col(partCol).cast("string") === plan.head._1,
+        plan.head._2)) { case (acc, (v, n)) =>
+      acc.when(org.apache.spark.sql.functions.col(partCol).cast("string") === v, n)
+    }.otherwise(1)
+    val t = spark.read.parquet(inDir)
+    val dataCols = t.columns.filterNot(_ == partCol).map(org.apache.spark.sql.functions.col)
+    val total = plan.map(_._2).sum
+    t.withColumn("__salt", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(dataCols: _*), nOf))
+      .repartition(total, org.apache.spark.sql.functions.col(partCol),
+        org.apache.spark.sql.functions.col("__salt"))
+      .drop("__salt")
+      .write.partitionBy(partCol).mode("overwrite").parquet(outDir)
+    total
+  }
+
   /** Sum of data-file bytes under a parquet dir (skips _SUCCESS etc.).
     * Walks RECURSIVELY: a partitioned layout keeps its data files in
     * subdirectories, and the flat-listing form summed those to 0 — so

@@ -288,6 +288,40 @@ object PipelineQueries extends QueryPack {
         finally w.close()
       }
     }),
+    // PARTITION-PRESERVING compaction (OPTIMIZE): a deliberately
+    // fragmented date-partitioned layout (8 files per day) is
+    // bin-packed per DIRECTORY in one job — layout intact, partition
+    // pruning preserved (PipelineSpec pins file counts, sizes, and
+    // the per-day prune on the compacted layout). Output proves both
+    // content (per-type integer rollup) and layout (day count).
+    "pipeline_compact_days" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_days_")
+      try {
+        val frag = root.resolve("frag").toString
+        val comp = root.resolve("comp").toString
+        val ev = graft.Tables.events(s, d)
+        ev.select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            to_date(graft.Tables.eventTime(ev)).as("d"))
+          .repartition(8)
+          .write.partitionBy("d").mode("overwrite").parquet(frag)
+        Curation.compactPartitioned(s, frag, comp, "d", targetBytes = 64 * 1024)
+        val out = s.read.parquet(comp)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+            countDistinct("d").as("n_days"))
+          .orderBy("event_type")
+        // materialize before the temp layout is deleted
+        val rows = out.collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, out.schema)
+      } finally {
+        val w = java.nio.file.Files.walk(root)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+    }),
     // leakage-safe split: whole near-dup clusters land on one side of
     // the train/test fence (split keys on the cluster representative),
     // served from the build-once cluster map
@@ -1825,6 +1859,15 @@ object PipelineQueries extends QueryPack {
       s"""SELECT count(*) AS n_docs,
          |       bit_xor(${hex48Sql("md5(CAST(doc_id AS VARCHAR) || ':' || text)")}) AS content_x
          |FROM documents""".stripMargin,
+    // per-directory compaction is content- and layout-preserving: the
+    // rollup and day count over the compacted layout equal the source
+    "pipeline_compact_days" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // add-one-smoothed target/corpus unigram log-ratio, mean per doc —
     // keep in sync with Curation.importanceWeights (target lang 'en')
     "pipeline_dsir" ->

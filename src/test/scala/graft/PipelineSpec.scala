@@ -1820,6 +1820,73 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("Curation.compactPartitioned: per-directory bin-packing preserves layout, content and pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_part_spec_")
+    val frag = root.resolve("frag").toString
+    val comp = root.resolve("comp").toString
+    val ev = Tables.events(spark, sf0001)
+    val src = ev.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      to_date(Tables.eventTime(ev)).as("d"))
+    src.repartition(8).write.partitionBy("d").mode("overwrite").parquet(frag)
+    def dayDirs(dir: String): Map[String, Seq[java.nio.file.Path]] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.getFileName.toString.startsWith("d="))
+          .map { p =>
+            val f = java.nio.file.Files.list(p)
+            try p.getFileName.toString -> {
+              import scala.jdk.CollectionConverters._
+              f.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
+            } finally f.close()
+          }.toMap
+      } finally s.close()
+    }
+    val before = dayDirs(frag)
+    // most days land a row in most of the 8 write tasks — fragmented
+    assert(before.values.forall(_.size >= 2) && before.values.map(_.size).sum > 3 * before.size,
+      s"fixture not fragmented: ${before.values.map(_.size).toVector.sorted}")
+    val target = 64L * 1024
+    Curation.compactPartitioned(spark, frag, comp, "d", target)
+    val after = dayDirs(comp)
+    // layout preserved: same day directories, nothing global
+    assert(after.keySet == before.keySet, "compaction changed the directory layout")
+    after.foreach { case (day, files) =>
+      val bytes = Curation.parquetBytes(
+        java.nio.file.Paths.get(frag, day).toString)
+      val expect = math.max(1L, (bytes + target - 1) / target).toInt
+      assert(files.size <= expect && files.size <= before(day).size,
+        s"$day: ${files.size} files for $bytes bytes (target count $expect)")
+      assert(files.map(java.nio.file.Files.size).forall(_ <= 3 * target),
+        s"$day: oversized compacted file")
+    }
+    // and the table as a whole genuinely compacted
+    assert(after.values.map(_.size).sum < before.values.map(_.size).sum,
+      "compaction did not reduce the total file count")
+    // content exact
+    val back = spark.read.parquet(comp)
+    assert(back.count() == src.count())
+    assert(back.select(src.columns.map(col): _*).except(src).isEmpty &&
+      src.except(back.select(src.columns.map(col): _*)).isEmpty)
+    // the compacted layout still partition-prunes: a one-day read
+    // touches one directory's files only
+    val oneDay = after.keys.head.stripPrefix("d=")
+    val probe = spark.read.parquet(comp).filter(col("d") === lit(oneDay).cast("date"))
+    probe.collect()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      })).flatMap(deep)
+    val scan = deep(probe.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value <= after(s"d=$oneDay").size,
+      "pruning lost on the compacted layout")
+  }
+
   test("langId picks highest-hit language with deterministic tie-break") {
     val d = Seq((1L, "the of and in is xyz", "en", "s", 1L),
       (2L, "zz yy xx", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
