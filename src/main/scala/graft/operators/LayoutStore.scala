@@ -113,6 +113,35 @@ object LayoutStore {
       throw new IllegalStateException(
         s"layout $dir failed to publish and no concurrent winner exists — " +
           "check the layout root's filesystem permissions")
+    // retention: a fresh publish means the SOURCE changed (new
+    // fingerprint), so same-kind siblings from old sources are garbage
+    // that would otherwise accumulate forever (every testdata refresh
+    // orphans a full layout). Swept only here — on the rare build
+    // path, never on serves — and only siblings untouched for > 24 h,
+    // so a long-running session serving an older fingerprint is never
+    // pulled out from under (drivers here live minutes, not days).
+    sweepStale(dir)
     dir
+  }
+
+  /** Delete same-kind sibling layouts (and abandoned stagings) whose
+    * last modification is older than 24 h. Best-effort: IO errors are
+    * swallowed — retention is hygiene, not correctness. */
+  private def sweepStale(published: Path): Unit = {
+    val kind = published.getFileName.toString.takeWhile(_ != '-')
+    val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))
+    try {
+      val s = Files.list(published.getParent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p != published &&
+            p.getFileName.toString.startsWith(kind + "-") &&
+            Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+          .toVector // materialize before deleting under the stream
+          .foreach(p => try graft.core.Fs.rmTreeNoFollow(p)
+          catch { case _: java.io.IOException => () })
+      } finally s.close()
+    } catch { case _: java.io.IOException => () }
   }
 }

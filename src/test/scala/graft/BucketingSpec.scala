@@ -249,6 +249,36 @@ class BucketingSpec extends SparkSpec {
       "re-registered table lost its bucket spec")
   }
 
+  test("LayoutStore sweeps >24h-stale same-kind siblings on publish, spares fresh ones") {
+    import graft.operators.LayoutStore
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep_spec_")
+    def mk(name: String, old: Boolean): java.nio.file.Path = {
+      val p = root.resolve(name)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve(LayoutStore.Marker), "ok")
+      if (old) java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().minus(java.time.Duration.ofHours(48))))
+      p
+    }
+    val stale = mk("testkind-00000000deadbeef", old = true)
+    val staleStaging = mk("testkind-00000000deadbeef.staging-1-1", old = true)
+    val fresh = mk("testkind-00000000cafebabe", old = false)
+    val otherKind = mk("otherkind-00000000deadbeef", old = true)
+    // publish a NEW fingerprint of the same kind -> stale siblings go,
+    // fresh sibling and other kinds stay
+    val target = root.resolve("testkind-0000000012345678")
+    LayoutStore.getOrBuild(target) { staging =>
+      java.nio.file.Files.writeString(staging.resolve("data"), "x")
+    }
+    assert(LayoutStore.ready(target))
+    assert(!java.nio.file.Files.exists(stale), "stale sibling survived the sweep")
+    assert(!java.nio.file.Files.exists(staleStaging), "abandoned staging survived")
+    assert(java.nio.file.Files.exists(fresh), "fresh sibling was swept")
+    assert(java.nio.file.Files.exists(otherKind), "other kind was swept")
+    graft.core.Fs.rmTreeNoFollow(root)
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap
