@@ -54,17 +54,24 @@ object Verify {
     * "5.0" and "5" and int 5 all become "5"; 1e15+ rounds to 15
     * SIGNIFICANT digits (half-even, NOT printf %e — Java's Formatter
     * rounds HALF_UP where Python's rounds half-even, which would split
-    * the hash on values like 1234567890123445.0) so shortest-repr
-    * disagreements past digit 15 can't split it either. */
+    * the hash on values like 1234567890123445.0).
+    *
+    * Seeded from the EXACT binary value (`new BigDecimal(d)`), NOT
+    * `Double.toString` — on JDK < 19 toString can emit a non-shortest
+    * decimal (JDK-4511638) that differs from Python's shortest repr,
+    * and quantizing two different decimal seeds can land on different
+    * sides of a half-even tie. `BigDecimal(double)` and Python's
+    * `Decimal(float)` both expand the identical IEEE-754 value, so the
+    * two sides quantize the same exact number on any JDK. */
   def canonDouble(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isInfinite) { if (d > 0) "Infinity" else "-Infinity" }
     else if (d == 0.0) "0"
     else if (math.abs(d) >= 1e15) {
       val mc = new java.math.MathContext(15, java.math.RoundingMode.HALF_EVEN)
-      canonBig(new java.math.BigDecimal(java.lang.Double.toString(d)).round(mc))
+      canonBig(new java.math.BigDecimal(d).round(mc))
     } else {
-      val q = new java.math.BigDecimal(java.lang.Double.toString(d))
+      val q = new java.math.BigDecimal(d)
         .setScale(9, java.math.RoundingMode.HALF_EVEN)
       canonBig(q)
     }

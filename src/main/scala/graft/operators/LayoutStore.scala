@@ -10,11 +10,24 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * later session serves from the persisted layout + its zone manifest
   * with zero rebuild jobs — exactly what a Delta/Iceberg snapshot is.
   *
-  * Layout identity = a FINGERPRINT of the source parquet (path, size,
-  * mtime per file, md5'd). The fingerprint is part of the layout's
-  * directory name, so a regenerated source can never serve a stale
-  * layout (it simply misses and rebuilds under a new name) and no
-  * invalidation protocol is needed.
+  * Layout identity = `kind-srcId-fp`: a SOURCE id (hash of the source
+  * directory path — which lake table this layout belongs to) plus a
+  * CONTENT fingerprint of the source parquet (per file: relative path,
+  * size, md5 of the first+last 4 KiB). The fingerprint is part of the
+  * layout's directory name, so a regenerated source can never serve a
+  * stale layout (it simply misses and rebuilds under a new name) and
+  * no invalidation protocol is needed.
+  *
+  * Content-addressed, NOT mtime-keyed (round-12): a byte-identical
+  * corpus restored with fresh mtimes (rsync without -t, a re-clone, a
+  * lake migration keeping paths) serves the existing layout instead of
+  * silently rebuilding every layout — at 100 TB a spurious full
+  * rewrite is the expensive failure mode. The sampled-block trade: a
+  * same-size edit touching ONLY bytes outside the first/last 4 KiB is
+  * invisible to the tag — impossible for parquet, whose footer (row
+  * group offsets, column stats, created_by) lives in the tail block
+  * and changes on any legitimate rewrite. Cost: one bounded 8 KiB read
+  * per source FILE per lookup, never a full scan.
   *
   * Publication protocol (single-writer per layout, like
   * [[StandingTable]]; concurrent BUILDERS of the same fingerprint are
@@ -35,12 +48,24 @@ object LayoutStore {
     val fp = fingerprint(sfDir, sources)
     val root = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_ROOT",
       Paths.get(sys.props("java.io.tmpdir"), "graft_layouts").toString)
-    Paths.get(root, s"$kind-$fp")
+    Paths.get(root, s"$kind-${sourceId(sfDir)}-$fp")
   }
 
-  /** md5 over each source file's (path, length, mtime). Directories
-    * (multi-file parquet) fold in every regular file, sorted. */
+  /** Which SOURCE a layout belongs to — a hash of the normalized
+    * source directory path. Part of the layout name so retention
+    * ([[sweepStale]]) only ever groups siblings of the SAME source: a
+    * fresh publish for one sfDir must never sweep another sfDir's
+    * still-valid layout whose source never changed (two scale factors
+    * share every `kind`). */
+  def sourceId(sfDir: String): String =
+    graft.Verify.md5(Paths.get(sfDir).toAbsolutePath.normalize.toString).take(8)
+
+  /** Content fingerprint: md5 over each source file's (path relative
+    * to sfDir, length, md5 of first+last 4 KiB). Directories
+    * (multi-file parquet) fold in every regular file, sorted. No
+    * mtimes — see the object scaladoc for the restore/trade analysis. */
   def fingerprint(sfDir: String, sources: Seq[String]): String = {
+    val base = Paths.get(sfDir).toAbsolutePath.normalize
     val parts = sources.flatMap { name =>
       val f = Paths.get(sfDir, name)
       val files =
@@ -51,9 +76,38 @@ object LayoutStore {
             s.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
           } finally s.close()
         } else Vector(f)
-      files.map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      files.map { p =>
+        val rel = base.relativize(p.toAbsolutePath.normalize)
+        s"$rel:${Files.size(p)}:${contentTag(p)}"
+      }
     }
     graft.Verify.md5(parts.mkString("\n")).take(16)
+  }
+
+  /** md5 of a file's first and last 4 KiB — the bounded-IO content
+    * sample (a parquet footer always lives in the tail block, so any
+    * rewrite changes the tag; size is hashed separately by the
+    * caller). */
+  private def contentTag(p: Path): String = {
+    val Block = 4096
+    val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def feed(pos: Long, len: Int): Unit = {
+        val buf = java.nio.ByteBuffer.allocate(len)
+        var at = pos
+        while (buf.hasRemaining) {
+          val n = ch.read(buf, at)
+          if (n < 0) return
+          at += n
+        }
+        md.update(buf.array(), 0, buf.position())
+      }
+      feed(0L, math.min(Block.toLong, size).toInt)
+      if (size > Block) feed(math.max(Block.toLong, size - Block), math.min(Block.toLong, size - Block).toInt)
+      md.digest().map(b => f"${b & 0xff}%02x").mkString
+    } finally ch.close()
   }
 
   val Marker = "_GRAFT_LAYOUT_OK"
@@ -113,22 +167,30 @@ object LayoutStore {
       throw new IllegalStateException(
         s"layout $dir failed to publish and no concurrent winner exists — " +
           "check the layout root's filesystem permissions")
-    // retention: a fresh publish means the SOURCE changed (new
-    // fingerprint), so same-kind siblings from old sources are garbage
-    // that would otherwise accumulate forever (every testdata refresh
-    // orphans a full layout). Swept only here — on the rare build
-    // path, never on serves — and only siblings untouched for > 24 h,
-    // so a long-running session serving an older fingerprint is never
-    // pulled out from under (drivers here live minutes, not days).
+    // retention: a fresh publish means THIS source changed (new
+    // fingerprint), so same-kind SAME-SOURCE siblings from old
+    // versions are garbage that would otherwise accumulate forever
+    // (every testdata refresh orphans a full layout). Swept only here
+    // — on the rare build path, never on serves — and only siblings
+    // untouched for > 24 h, so a long-running session serving an older
+    // fingerprint is never pulled out from under (drivers here live
+    // minutes, not days).
     sweepStale(dir)
     dir
   }
 
-  /** Delete same-kind sibling layouts (and abandoned stagings) whose
-    * last modification is older than 24 h. Best-effort: IO errors are
-    * swallowed — retention is hygiene, not correctness. */
+  /** Delete sibling layouts of the same kind AND SOURCE (and their
+    * abandoned stagings) whose last modification is older than 24 h.
+    * The grouping prefix is the published name minus its trailing
+    * fingerprint segment (`kind-srcId-`), so a publish for one source
+    * dir never touches another source's still-valid layouts — only
+    * stale FINGERPRINTS of the very source that just changed.
+    * Best-effort: IO errors are swallowed — retention is hygiene, not
+    * correctness. */
   private def sweepStale(published: Path): Unit = {
-    val kind = published.getFileName.toString.takeWhile(_ != '-')
+    val name = published.getFileName.toString
+    val prefix = name.substring(0, name.lastIndexOf('-') + 1)
+    if (prefix.isEmpty) return // un-fingerprinted name: nothing safe to group
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))
     try {
       val s = Files.list(published.getParent)
@@ -136,7 +198,7 @@ object LayoutStore {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(p => p != published &&
-            p.getFileName.toString.startsWith(kind + "-") &&
+            p.getFileName.toString.startsWith(prefix) &&
             Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
           .toVector // materialize before deleting under the stream
           .foreach(p => try graft.core.Fs.rmTreeNoFollow(p)

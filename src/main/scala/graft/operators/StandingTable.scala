@@ -65,7 +65,13 @@ object StandingTable {
     if (!java.nio.file.Files.exists(path)) {
       val lockPath = p(dir).resolveSibling(p(dir).getFileName.toString + ".lock")
       if (java.nio.file.Files.exists(lockPath)) {
+        // CREATE+WRITE, not bare WRITE: the exists() check above can
+        // go stale (a sweep or manual cleanup deleting the lock file
+        // between the two calls) and bare WRITE would then throw
+        // NoSuchFileException out of recover(). Creating an empty lock
+        // is harmless — it is exactly what swapInto does.
         val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         val fl =
           try ch.tryLock()

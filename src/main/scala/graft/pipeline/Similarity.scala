@@ -1216,6 +1216,27 @@ object Similarity {
   def ivfPqTopKPruned(emb: DataFrame, sfDir: String, probeIds: Seq[Long],
       k: Int = 5, nprobe: Int = KmeansNprobe): DataFrame = {
     val spark = emb.sparkSession
+    val (res, routedDf) = ivfPqTopKPrunedLazy(emb, sfDir, probeIds, k, nprobe)
+    try {
+      // materialize the (probes × k)-row result so the checkpoint can
+      // be freed NOW rather than whenever the ContextCleaner gets to it
+      // — repeated bench passes must not accumulate block-manager
+      // storage (the kv_skew_join freeCheckpoint discipline)
+      val rows = res.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, res.schema)
+    } finally graft.pipeline.Dedup.freeCheckpoint(routedDf)
+  }
+
+  /** The pruned serve UN-collected, plus the checkpointed routing table
+    * backing it — for plan inspection (PlanSpec pins the
+    * `cell IN (...)` PartitionFilters on the layout scan, which a
+    * collected LocalRelation would hide). Callers own the checkpoint:
+    * free `routed` via [[graft.pipeline.Dedup.freeCheckpoint]] once the
+    * result is materialized. */
+  def ivfPqTopKPrunedLazy(emb: DataFrame, sfDir: String, probeIds: Seq[Long],
+      k: Int = 5, nprobe: Int = KmeansNprobe): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
     val (cent, cb, codesPath) = ivfPqIndexPartitioned(emb, sfDir)
     val probes = quantized(emb)
       .filter(col("vec_id").isin(probeIds: _*))
@@ -1227,7 +1248,8 @@ object Similarity {
     val cells = routedDf.select("cell").distinct()
       .collect().map(_.get(0)).toSeq // bounded
     val codes = spark.read.parquet(codesPath).filter(col("cell").isin(cells: _*))
-    ivfPqTopKFromIndex(emb, cent, cb, codes, probeIds, k, nprobe, Some(routedDf))
+    (ivfPqTopKFromIndex(emb, cent, cb, codes, probeIds, k, nprobe, Some(routedDf)),
+      routedDf)
   }
 
   /** Per-source embedding centroids + the source-pair cosine matrix —

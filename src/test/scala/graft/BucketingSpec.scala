@@ -249,7 +249,7 @@ class BucketingSpec extends SparkSpec {
       "re-registered table lost its bucket spec")
   }
 
-  test("LayoutStore sweeps >24h-stale same-kind siblings on publish, spares fresh ones") {
+  test("LayoutStore sweeps >24h-stale same-kind SAME-SOURCE siblings, spares fresh + other sources") {
     import graft.operators.LayoutStore
     val root = java.nio.file.Files.createTempDirectory("graft_sweep_spec_")
     def mk(name: String, old: Boolean): java.nio.file.Path = {
@@ -261,13 +261,16 @@ class BucketingSpec extends SparkSpec {
           java.time.Instant.now().minus(java.time.Duration.ofHours(48))))
       p
     }
-    val stale = mk("testkind-00000000deadbeef", old = true)
-    val staleStaging = mk("testkind-00000000deadbeef.staging-1-1", old = true)
-    val fresh = mk("testkind-00000000cafebabe", old = false)
-    val otherKind = mk("otherkind-00000000deadbeef", old = true)
-    // publish a NEW fingerprint of the same kind -> stale siblings go,
-    // fresh sibling and other kinds stay
-    val target = root.resolve("testkind-0000000012345678")
+    val stale = mk("testkind-srcaaaa11-00000000deadbeef", old = true)
+    val staleStaging = mk("testkind-srcaaaa11-00000000deadbeef.staging-1-1", old = true)
+    val fresh = mk("testkind-srcaaaa11-00000000cafebabe", old = false)
+    val otherKind = mk("otherkind-srcaaaa11-00000000deadbeef", old = true)
+    // the ADVICE r11 case: same kind, DIFFERENT source (another scale
+    // factor), old — its source never changed, so it must survive
+    val otherSource = mk("testkind-srcbbbb22-00000000deadbeef", old = true)
+    // publish a NEW fingerprint of the same kind+source -> stale
+    // same-source siblings go; fresh, other kinds, other sources stay
+    val target = root.resolve("testkind-srcaaaa11-0000000012345678")
     LayoutStore.getOrBuild(target) { staging =>
       java.nio.file.Files.writeString(staging.resolve("data"), "x")
     }
@@ -276,7 +279,76 @@ class BucketingSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(staleStaging), "abandoned staging survived")
     assert(java.nio.file.Files.exists(fresh), "fresh sibling was swept")
     assert(java.nio.file.Files.exists(otherKind), "other kind was swept")
+    assert(java.nio.file.Files.exists(otherSource),
+      "another source's still-valid layout was swept (the r11 ADVICE bug)")
     graft.core.Fs.rmTreeNoFollow(root)
+  }
+
+  test("LayoutStore fingerprint is content-addressed: mtime-only restore serves, byte edit rebuilds") {
+    import graft.operators.LayoutStore
+    val src = java.nio.file.Files.createTempDirectory("graft_fp_src_")
+    val table = src.resolve("t.parquet")
+    java.nio.file.Files.createDirectories(table)
+    val part = table.resolve("part-0")
+    java.nio.file.Files.write(part, Array.tabulate(20000)(i => (i % 251).toByte))
+    val fp1 = LayoutStore.fingerprint(src.toString, Seq("t.parquet"))
+    // a byte-identical restore with fresh mtimes (rsync without -t, a
+    // re-clone) must NOT change identity — no spurious 100 TB rewrite
+    java.nio.file.Files.setLastModifiedTime(part,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now().plusSeconds(3600)))
+    assert(LayoutStore.fingerprint(src.toString, Seq("t.parquet")) == fp1,
+      "fresh mtime on identical bytes changed the fingerprint")
+    assert(LayoutStore.layoutDir("k", src.toString, Seq("t.parquet")) ==
+      LayoutStore.layoutDir("k", src.toString, Seq("t.parquet")))
+    // a real rewrite (tail bytes change — where a parquet footer lives)
+    // MUST change identity
+    val bytes = java.nio.file.Files.readAllBytes(part)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
+    java.nio.file.Files.write(part, bytes)
+    assert(LayoutStore.fingerprint(src.toString, Seq("t.parquet")) != fp1,
+      "tail-byte rewrite kept the old fingerprint")
+    // a head-block change is caught too
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte // restore tail
+    bytes(0) = (bytes(0) ^ 0x7f).toByte
+    java.nio.file.Files.write(part, bytes)
+    assert(LayoutStore.fingerprint(src.toString, Seq("t.parquet")) != fp1,
+      "head-byte rewrite kept the old fingerprint")
+    // two different SOURCE dirs with identical content get
+    // different layout DIRS (sourceId), so retention never crosses them
+    val src2 = java.nio.file.Files.createTempDirectory("graft_fp_src2_")
+    val t2 = src2.resolve("t.parquet"); java.nio.file.Files.createDirectories(t2)
+    java.nio.file.Files.copy(part, t2.resolve("part-0"))
+    assert(LayoutStore.layoutDir("k", src.toString, Seq("t.parquet")) !=
+      LayoutStore.layoutDir("k", src2.toString, Seq("t.parquet")),
+      "two sources with identical content collided in layout identity")
+    graft.core.Fs.rmTreeNoFollow(src); graft.core.Fs.rmTreeNoFollow(src2)
+  }
+
+  test("LayoutStore serves the existing layout across an mtime-touching restore (no rebuild)") {
+    import graft.operators.LayoutStore
+    val src = java.nio.file.Files.createTempDirectory("graft_restore_src_")
+    val table = src.resolve("t.parquet")
+    java.nio.file.Files.createDirectories(table)
+    val part = table.resolve("part-0")
+    java.nio.file.Files.write(part, Array.tabulate(9000)(i => (i * 7 % 251).toByte))
+    var builds = 0
+    val d1 = LayoutStore.getOrBuild(
+      LayoutStore.layoutDir("restoretest", src.toString, Seq("t.parquet"))) { st =>
+      builds += 1
+      java.nio.file.Files.writeString(st.resolve("layout"), "bytes")
+    }
+    // simulate the restore: same bytes, new mtimes on every source file
+    java.nio.file.Files.setLastModifiedTime(part,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now().plusSeconds(7200)))
+    val d2 = LayoutStore.getOrBuild(
+      LayoutStore.layoutDir("restoretest", src.toString, Seq("t.parquet"))) { st =>
+      builds += 1
+      java.nio.file.Files.writeString(st.resolve("layout"), "bytes")
+    }
+    assert(d1 == d2, "restore was routed to a different layout dir")
+    assert(builds == 1, s"mtime-only restore triggered a rebuild (builds=$builds)")
+    graft.core.Fs.rmTreeNoFollow(d1)
+    graft.core.Fs.rmTreeNoFollow(src)
   }
 
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {

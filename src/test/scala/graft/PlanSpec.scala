@@ -417,7 +417,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_ivfpq_pruned: the persisted code table scan partition-prunes to probed cells") {
-    val df = SparkEntry.queries("sim_ivfpq_pruned")(spark, sf0001)
+    // the lazy variant: the query surface collects into a
+    // LocalRelation (so its routing checkpoint can be freed eagerly —
+    // r12 ADVICE), which would hide the scan; the plan evidence lives
+    // on the un-collected twin
+    val (df, routed) = graft.pipeline.Similarity.ivfPqTopKPrunedLazy(
+      Tables.embeddings(spark, sf0001), sf0001, 0L to 9L, 5)
     val rows = df.collect() // populate scan metrics
     assert(rows.nonEmpty)
     // the codes scan must be the cell-partitioned LAYOUT with a
@@ -446,6 +451,10 @@ class PlanSpec extends SparkSpec {
     // pruning is a pure scan aid: identical rows to the unpruned serve
     val serve = SparkEntry.queries("sim_ivfpq_serve")(spark, sf0001).collect()
     assert(rows.toSeq == serve.toSeq)
+    // the gate-facing wrapper frees the routing checkpoint itself, and
+    // returns the same rows — pin that, then drop ours
+    assert(SparkEntry.queries("sim_ivfpq_pruned")(spark, sf0001).collect().toSeq == rows.toSeq)
+    graft.pipeline.Dedup.freeCheckpoint(routed)
   }
 
   test("ev_dpp: the fact scan carries a DynamicPruningExpression and reads only qualifying days") {

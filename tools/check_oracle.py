@@ -59,8 +59,11 @@ def canon_double(v):
         # (printf %e would round HALF_UP on the JVM, half-even here)
         from decimal import Context
         ctx = Context(prec=15, rounding=ROUND_HALF_EVEN)
-        return canon_big(ctx.plus(Decimal(repr(v))))
-    q = Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_EVEN)
+        # Decimal(float) expands the EXACT binary value — mirrors
+        # Verify.canonDouble's `new BigDecimal(d)` seed, so both sides
+        # quantize the identical number on any JDK (JDK-4511638-proof).
+        return canon_big(ctx.plus(Decimal(v)))
+    q = Decimal(v).quantize(Decimal("1e-9"), ROUND_HALF_EVEN)
     return canon_big(q)
 
 
