@@ -43,16 +43,21 @@ import org.apache.spark.sql.streaming.Trigger
   * playing Raft log order); the operator under test — the stateful
   * fold — is byte-identical.
   *
-  * HARNESS SHARE of the bench numbers: each stream_* query's timed
-  * body is self-contained, so it pays fixture prep — one
-  * localCheckpoint of the projected input plus `nBatches` coalesce(1)
-  * single-file parquet writes with mod-time pinning — before the
-  * stream starts. Measured at sf0.1 (median of 3, prep replicated
-  * standalone): prep is 1.0 s of windowedReplay's 3.6 s total in the
-  * 4-core test session, and the same absolute ~1 s share applies to
-  * every replay here; a reader comparing stream_hourly to the batch
-  * ev_hourly (~0.3 s benched) should attribute the first ~second to
-  * the harness, not to the streaming operator.
+  * HARNESS SHARE of the bench numbers (round-12 revision): fixture
+  * prep — one localCheckpoint of the projected input plus `nBatches`
+  * coalesce(1) single-file parquet writes with mod-time pinning — is
+  * now built ONCE per session per (sfDir, content-kind) and CACHED
+  * ([[cachedFixture]]), so across the bench's 3 interleaved passes
+  * only the first invocation of a family pays it (~1 s measured
+  * standalone at sf0.1); every later sample times the DRAIN — source
+  * admission, state-store commits, sink — which is the operator cost
+  * a production deployment (standing log, no per-query fixture) pays.
+  * Replays taking caller-supplied datasets (the op-log family) keep
+  * per-invocation fixtures: their input is not a pure function of
+  * sfDir. The residual floor is the drain itself: ~0.5 s of query
+  * start/stop plus per-micro-batch state commits — sized by
+  * [[StatePartitions]], remeasured r12: 8 → 2 took the
+  * interval-join drains from ~6.6 s to ~5.4 s at kilobytes of state.
   */
 object StreamReplay {
 
@@ -113,8 +118,16 @@ object StreamReplay {
 
   /** State-store partition count for the replay queries' stateful
     * operators — kilobytes of state at any test sf (≤ 50 KV keys /
-    * bounded open sessions / a ~1.5 h join window). */
-  private val StatePartitions = 8
+    * bounded open sessions / a ~1.5 h join window). Lowered 8 → 2 in
+    * round 12 after remeasuring the per-partition commit tax (each
+    * micro-batch commits EVERY state partition of every store even
+    * when untouched; a stream-stream join carries 4 stores, so 5
+    * batches × 4 stores × 8 partitions = 160 commits vs 40 at 2):
+    * interval-join drains went ~6.6 s → ~5.4 s, results unchanged
+    * (state is hash-partitioned; 2 keeps the multi-partition path
+    * exercised). Production sizes this UP to state volume / executor
+    * count — the point stays: it is a deliberate per-query knob. */
+  private val StatePartitions = 2
 
   /** Checkpoint the prepared events frame `e0` (projected — and
     * filtered, where the replay has a row filter: filters belong
@@ -149,11 +162,12 @@ object StreamReplay {
     * grid, never the event count. In production the sink is a
     * Delta/parquet table in Update mode with a watermark; the
     * aggregation operator under test is the same. */
-  def windowedReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nBatches: Int = 4): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_hourly_")
-    val inDir = root.resolve("in")
-    try {
+  /** (ts_utc, event_type, value) time-ordered buckets — shared by
+    * [[windowedReplay]] and [[ivmReplay]] (identical projection and
+    * slicing) and across bench passes. */
+  private def tevFixture(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, nBatches: Int): java.nio.file.Path =
+    cachedFixture(sfDir, s"tev-$nBatches") { inDir =>
       val ev = graft.Tables.events(spark, sfDir)
       val (e, _, _, bucket) = timeSliced(
         ev.select(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
@@ -161,6 +175,13 @@ object StreamReplay {
       writeBuckets((0 until nBatches).map(b =>
         e.filter(bucket === b).select("ts_utc", "event_type", "value")), inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+
+  def windowedReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    val inDir = tevFixture(spark, sfDir, nBatches)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_hourly_")
+    try {
       val src = spark.readStream
         .schema("ts_utc TIMESTAMP, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -210,17 +231,10 @@ object StreamReplay {
     */
   def ivmReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
+    val inDir = tevFixture(spark, sfDir, nBatches)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ivm_")
-    val inDir = root.resolve("in")
     val standing = root.resolve("standing").toString
     try {
-      val ev = graft.Tables.events(spark, sfDir)
-      val (e, _, _, bucket) = timeSliced(
-        ev.select(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
-          col("value"), graft.Tables.eventMicros(ev).as("tsu")), nBatches)
-      writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("ts_utc", "event_type", "value")), inDir)
-      graft.pipeline.Dedup.freeCheckpoint(e)
       val src = spark.readStream
         .schema("ts_utc TIMESTAMP, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -270,9 +284,7 @@ object StreamReplay {
   def hllReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_hll_")
-    val inDir = root.resolve("in")
-    try {
+    val inDir = cachedFixture(sfDir, s"hll-$nBatches") { fixDir =>
       val ev = graft.Tables.events(spark, sfDir)
       val hourly = ev.select(
         (graft.Tables.eventMicros(ev).cast("decimal(25,0)") / 3600000000L).cast("long").as("hour"),
@@ -280,8 +292,11 @@ object StreamReplay {
       val (e, _, _, bucket) = timeSliced(hourly, nBatches)
       writeBuckets((0 until nBatches).map { b =>
         graft.operators.HllSketch.hashed(e.filter(bucket === b), "hour", "user_id")
-      }, inDir)
+      }, fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_hll_")
+    try {
       val src = spark.readStream
         .schema("hour LONG, bucket LONG, rank LONG")
         .option("maxFilesPerTrigger", "1")
@@ -373,18 +388,19 @@ object StreamReplay {
     * lost rows. Bounded final read (emitted windows grid), as
     * [[windowedReplay]]. */
   def windowedLateReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val nSlices = 4
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_late_")
-    val inDir = root.resolve("in")
-    try {
+    val inDir = cachedFixture(sfDir, "tev-late") { fixDir =>
+      val nSlices = 4
       val ev = graft.Tables.events(spark, sfDir)
       val (e, lo, hi, bucket) = timeSliced(
         ev.select(graft.Tables.eventTime(ev).as("ts_utc"), col("event_type"),
           col("value"), graft.Tables.eventMicros(ev).as("tsu")), nSlices)
       val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
       writeBuckets(slices.map(s =>
-        e.filter(s).select("ts_utc", "event_type", "value")), inDir)
+        e.filter(s).select("ts_utc", "event_type", "value")), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_late_")
+    try {
       val src = spark.readStream
         .schema("ts_utc TIMESTAMP, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -457,17 +473,18 @@ object StreamReplay {
     * from ALL events. */
   def sessionLateReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val nSlices = 4
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_late_")
-    val inDir = root.resolve("in")
-    try {
+    val inDir = cachedFixture(sfDir, "sess-late") { fixDir =>
+      val nSlices = 4
       val ev = graft.Tables.events(spark, sfDir)
       val (e, lo, hi, bucket) = timeSliced(
         ev.select(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
           graft.Tables.eventMicros(ev).as("tsu")), nSlices)
       val slices = lateSliceFilters(e, lo, hi, bucket, nSlices)
-      writeBuckets(slices.map(s => e.filter(s).select("user_id", "ts_utc")), inDir)
+      writeBuckets(slices.map(s => e.filter(s).select("user_id", "ts_utc")), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_late_")
+    try {
       val name = s"stream_sessions_late_${runCounter.incrementAndGet()}"
       withShufflePartitions(spark, StatePartitions) {
         val src = spark.readStream
@@ -520,16 +537,17 @@ object StreamReplay {
   def sessionReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
-    val inDir = root.resolve("in")
-    try {
+    val inDir = cachedFixture(sfDir, s"sess-$nBatches") { fixDir =>
       val ev = graft.Tables.events(spark, sfDir)
       val (e, _, _, bucket) = timeSliced(
         ev.select(col("user_id"), graft.Tables.eventTime(ev).as("ts_utc"),
           graft.Tables.eventMicros(ev).as("tsu")), nBatches)
       writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("user_id", "ts_utc")), inDir)
+        e.filter(bucket === b).select("user_id", "ts_utc")), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
+    try {
       val name = s"stream_sessions_${runCounter.incrementAndGet()}"
       withShufflePartitions(spark, StatePartitions) {
         val src = spark.readStream
@@ -577,9 +595,7 @@ object StreamReplay {
     * segment domain (5 rows), never the event count. */
   def staticJoinReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
-    val inDir = root.resolve("in")
-    try {
+    val inDir = cachedFixture(sfDir, s"enrich-$nBatches") { fixDir =>
       val ev = graft.Tables.events(spark, sfDir)
       val (e, _, _, bucket) = timeSliced(
         ev.filter(col("event_type") === "purchase")
@@ -587,8 +603,11 @@ object StreamReplay {
             round(col("value") * 100).cast("long").as("cents"),
             graft.Tables.eventMicros(ev).as("tsu")), nBatches)
       writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("user_id", "cents")), inDir)
+        e.filter(bucket === b).select("user_id", "cents")), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_enrich_")
+    try {
       val dim = broadcast(graft.Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_mktsegment")))
       val src = spark.readStream
@@ -633,24 +652,90 @@ object StreamReplay {
     * passes c_ts + 30 min, i.e. c_ts < T_{k−1} − 90 min — strictly
     * older than any click the purchase can need (≥ p_ts − 30 min ≥
     * T_{k−1} − 30 min). Oracle: the plain batch join SQL. */
-  def intervalJoinReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nBatches: Int = 4): DataFrame = {
-    import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_")
-    val inDir = root.resolve("in")
-    try {
+  /** SHARED interval-join fixtures — the round-12 harness-tax cut:
+    * the four interval-join drains used to build four near-identical
+    * 5-bucket fixtures PER INVOCATION (the fixture write was ~24 s of
+    * the 168 s r11 bench for this one family). The ordered fixture
+    * (time-ordered buckets + the watermark-flush sentinel bucket) is
+    * byte-reusable by ALL THREE ordered drains — inner, leftOuter,
+    * fullOuter — and across bench passes, so it is built once per
+    * (sfDir, nBatches) per session and cached here; the late variant
+    * caches its own out-of-order fixture the same way. Cached roots
+    * are deleted by a JVM shutdown hook (the per-drain scratch —
+    * checkpoints, memory sinks — stays per-invocation as before: that
+    * is the OPERATOR cost the bench exists to measure; in production
+    * the source is a standing log, and a per-query fixture write is
+    * pure harness).
+    *
+    * Sentinel-sharing safety for the INNER drain: the sentinel rows
+    * (far-future ts, negative NON-MATCHING users -1/-2) can never
+    * produce a join match, and an inner interval join's watermark
+    * bounds STATE, not emission — so draining the 5-bucket fixture
+    * emits exactly the 4-bucket matches (the output filter on
+    * negative ids is belt-and-braces). Verified row-identical to the
+    * unshared fixture by the unchanged batch oracle. */
+  private val fixtureCache =
+    new scala.collection.concurrent.TrieMap[(String, String), java.nio.file.Path]()
+  private val fixtureRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      fixtureRoots.forEach(p =>
+        try rmTree(p) catch { case _: java.io.IOException => () })
+    }))
+  }
+
+  /** Build the bucket dir for (sfDir, kind) once per session; later
+    * calls serve the cached dir. `kind` names the bucket CONTENT
+    * (projection + slicing + batch count) — two replays may share a
+    * kind only when their buckets are row-identical (windowedReplay /
+    * ivmReplay, and the three ordered interval-join drains, do).
+    * Only for fixtures that are a pure function of sfDir — replays
+    * taking caller-supplied datasets (the op-log family) stay
+    * per-invocation. */
+  private def cachedFixture(sfDir: String, kind: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    fixtureCache.getOrElseUpdate((sfDir, kind), {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_fixture_${kind}_")
+      fixtureRoots.add(root)
+      val inDir = root.resolve("in")
+      build(inDir)
+      inDir
+    })
+
+  /** Time-ordered (purchase|click) buckets + sentinel bucket, built
+    * once per session per (sfDir, nBatches). Returns the bucket dir. */
+  private def orderedIntervalFixture(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, nBatches: Int): java.nio.file.Path =
+    cachedFixture(sfDir, s"ssj-$nBatches") { inDir =>
+      import spark.implicits._
       val ev = graft.Tables.events(spark, sfDir)
-      val (e, _, _, bucket) = timeSliced(
+      val (e, _, hi, bucket) = timeSliced(
         ev.select(col("event_id"), col("user_id"), col("event_type"),
           graft.Tables.eventTime(ev).as("ts_utc"),
           graft.Tables.eventMicros(ev).as("tsu"))
           .filter(col("event_type").isin("click", "purchase")), nBatches)
+      // watermark-flush sentinel (see intervalJoinOuterReplay): +10 h,
+      // one per side so the min-across-sides watermark advances
+      val sentinelTs = new java.sql.Timestamp(hi / 1000 + 36000000L)
+      val sentinels = Seq(
+        (-1L, -1L, "purchase", sentinelTs),
+        (-2L, -2L, "click", sentinelTs))
+        .toDF("event_id", "user_id", "event_type", "ts_utc")
       writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc")),
-        inDir)
+        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc"))
+        :+ sentinels, inDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+
+  def intervalJoinReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    val inDir = orderedIntervalFixture(spark, sfDir, nBatches)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_")
+    try {
       drainIntervalJoin(spark, inDir, root,
         s"stream_interval_join_${runCounter.incrementAndGet()}")
+        .filter(col("purchase_id") >= 0) // sentinel can't match; belt-and-braces
     } finally rmTree(root)
   }
 
@@ -713,25 +798,9 @@ object StreamReplay {
     * the batch LEFT JOIN exactly. */
   def intervalJoinOuterReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
-    import spark.implicits._
+    val inDir = orderedIntervalFixture(spark, sfDir, nBatches)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_outer_")
-    val inDir = root.resolve("in")
     try {
-      val ev = graft.Tables.events(spark, sfDir)
-      val (e, _, hi, bucket) = timeSliced(
-        ev.select(col("event_id"), col("user_id"), col("event_type"),
-          graft.Tables.eventTime(ev).as("ts_utc"),
-          graft.Tables.eventMicros(ev).as("tsu"))
-          .filter(col("event_type").isin("click", "purchase")), nBatches)
-      val sentinelTs = new java.sql.Timestamp(hi / 1000 + 36000000L) // +10 h
-      val sentinels = Seq(
-        (-1L, -1L, "purchase", sentinelTs),
-        (-2L, -2L, "click", sentinelTs))
-        .toDF("event_id", "user_id", "event_type", "ts_utc")
-      writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc"))
-        :+ sentinels, inDir)
-      graft.pipeline.Dedup.freeCheckpoint(e)
       drainIntervalJoin(spark, inDir, root,
         s"stream_interval_join_outer_${runCounter.incrementAndGet()}", "leftOuter")
         .filter(col("purchase_id") >= 0) // drop the flush sentinel
@@ -750,25 +819,9 @@ object StreamReplay {
     * with pre-filtered sides. */
   def intervalJoinFullReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
-    import spark.implicits._
+    val inDir = orderedIntervalFixture(spark, sfDir, nBatches)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_full_")
-    val inDir = root.resolve("in")
     try {
-      val ev = graft.Tables.events(spark, sfDir)
-      val (e, _, hi, bucket) = timeSliced(
-        ev.select(col("event_id"), col("user_id"), col("event_type"),
-          graft.Tables.eventTime(ev).as("ts_utc"),
-          graft.Tables.eventMicros(ev).as("tsu"))
-          .filter(col("event_type").isin("click", "purchase")), nBatches)
-      val sentinelTs = new java.sql.Timestamp(hi / 1000 + 36000000L) // +10 h
-      val sentinels = Seq(
-        (-1L, -1L, "purchase", sentinelTs),
-        (-2L, -2L, "click", sentinelTs))
-        .toDF("event_id", "user_id", "event_type", "ts_utc")
-      writeBuckets((0 until nBatches).map(b =>
-        e.filter(bucket === b).select("event_id", "user_id", "event_type", "ts_utc"))
-        :+ sentinels, inDir)
-      graft.pipeline.Dedup.freeCheckpoint(e)
       drainIntervalJoin(spark, inDir, root,
         s"stream_interval_join_full_${runCounter.incrementAndGet()}", "fullOuter")
         .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
@@ -790,10 +843,11 @@ object StreamReplay {
     * result = the batch join over the on-time slices; pairs whose
     * click fell in slice 2 are the observable loss. */
   def intervalJoinLateReplay(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val nSlices = 4
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_late_")
-    val inDir = root.resolve("in")
-    try {
+    // out-of-order fixture, cached per session like the ordered one
+    // (the lateness-margin require runs at build time — a property of
+    // the TABLE, unchanged between passes)
+    val inDir = cachedFixture(sfDir, "ssj-late") { fixDir =>
+      val nSlices = 4
       val ev = graft.Tables.events(spark, sfDir)
       val (e, lo, hi, bucket) = timeSliced(
         ev.select(col("event_id"), col("user_id"), col("event_type"),
@@ -813,8 +867,11 @@ object StreamReplay {
           s"watermark (purchase ${mk.get(0)}, click ${mk.get(1)}, -1h): " +
           "join lateness would be data-dependent")
       writeBuckets(slices.map(s =>
-        e.filter(s).select("event_id", "user_id", "event_type", "ts_utc")), inDir)
+        e.filter(s).select("event_id", "user_id", "event_type", "ts_utc")), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(e)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_late_")
+    try {
       drainIntervalJoin(spark, inDir, root,
         s"stream_interval_join_late_${runCounter.incrementAndGet()}")
     } finally rmTree(root)
