@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * `kind=image` decodes for REAL through the JDK's `javax.imageio`
   * ([[decodeImage]] — PNG/JPEG/GIF/BMP pixels to a luminance
-  * histogram, no extra dependencies), and `kind=audio` through the
-  * JDK's `javax.sound.sampled` ([[decodeAudio]] — WAV/AIFF/AU 16-bit
-  * PCM samples to an amplitude histogram). Video has no in-JDK codec,
-  * so it stays on [[decodeStub]], a clearly-marked deterministic
-  * stand-in (byte histogram) behind the SAME seam: binary column
-  * schema, per-partition batched processing (the JVM shape of
-  * `mapInPandas`), fixed-width feature output, and
+  * histogram, no extra dependencies), `kind=audio` through the JDK's
+  * `javax.sound.sampled` ([[decodeAudio]] — WAV/AIFF/AU 16-bit PCM
+  * samples to an amplitude histogram), and `kind=video` through a
+  * hand-written Y4M container parse ([[decodeY4m]] — uncompressed
+  * YUV4MPEG2, raw planar frames, luma histogram + per-frame means;
+  * round 12, closing the last stub). COMPRESSED video (H.264 etc.)
+  * has no in-JDK codec and stays on [[decodeStub]], a clearly-marked
+  * deterministic stand-in (byte histogram) behind the SAME seam:
+  * binary column schema, per-partition batched processing (the JVM
+  * shape of `mapInPandas`), fixed-width feature output, and
   * partition-preserving plans. Swapping a codec never changes the
   * plan.
   */
@@ -207,12 +210,102 @@ object Multimodal {
       f"$hash%016x"
     }
 
+  /** Y4M (YUV4MPEG2) container parse — the round-12 closure of the
+    * video stub: Y4M is the UNCOMPRESSED interchange container
+    * (mjpegtools/ffmpeg lingua franca) — an ASCII header line
+    * (`YUV4MPEG2 W<w> H<h> ... C<colorspace>\n`), then per frame an
+    * ASCII `FRAME...\n` marker followed by raw planar YUV bytes. No
+    * codec exists in the JDK for COMPRESSED video (that stance is
+    * unchanged), but none is needed to decode this container — the
+    * same no-encoder-in-the-loop trick as [[WavFixtures]]' RIFF
+    * bytes. Returns (width, height, Y planes) — luma only, which is
+    * what every feature here consumes; chroma planes are skipped by
+    * size. Supported colorspaces: C420* (any suffix — jpeg/mpeg2/
+    * paldv differ only in chroma SITING, which luma extraction never
+    * touches), C422, C444, Cmono; absent C defaults to 420 per the
+    * spec. None on any malformed header, bad dimensions, or
+    * truncated frame — callers fall back or drop, never mis-decode. */
+  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (payload.length < magic.length ||
+      !payload.take(magic.length).sameElements(magic)) return None
+    val headerEnd = payload.indexOf('\n'.toByte)
+    if (headerEnd < 0) return None
+    val header = new String(payload, 0, headerEnd, "US-ASCII")
+    val params = header.split(' ').drop(1)
+    def num(tag: Char): Option[Int] =
+      params.collectFirst { case p if p.nonEmpty && p.head == tag =>
+        p.tail.takeWhile(_.isDigit) }.filter(_.nonEmpty).map(_.toInt)
+    val cs = params.collectFirst { case p if p.startsWith("C") => p.tail }
+      .getOrElse("420jpeg")
+    (num('W'), num('H')) match {
+      case (Some(w), Some(h)) if w > 0 && h > 0 =>
+        val ySize = w * h
+        val chromaSize =
+          if (cs.startsWith("420")) {
+            if (w % 2 != 0 || h % 2 != 0) return None
+            (w / 2) * (h / 2) * 2
+          } else if (cs.startsWith("422")) {
+            if (w % 2 != 0) return None
+            (w / 2) * h * 2
+          } else if (cs.startsWith("444")) ySize * 2
+          else if (cs == "mono") 0
+          else return None
+        val frames = Vector.newBuilder[Array[Byte]]
+        var pos = headerEnd + 1
+        while (pos < payload.length) {
+          // FRAME marker line (may carry parameters up to its \n)
+          val frameMagic = "FRAME".getBytes("US-ASCII")
+          if (pos + frameMagic.length > payload.length ||
+            !payload.slice(pos, pos + frameMagic.length).sameElements(frameMagic))
+            return None
+          val nl = payload.indexOf('\n'.toByte, pos)
+          if (nl < 0) return None
+          val dataStart = nl + 1
+          if (dataStart + ySize + chromaSize > payload.length) return None
+          frames += payload.slice(dataStart, dataStart + ySize)
+          pos = dataStart + ySize + chromaSize
+        }
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some((w, h, fs))
+      case _ => None
+    }
+  }
+
+  /** REAL video decode for Y4M payloads: pooled luma histogram over
+    * ALL frames — bin = y * HistBins / 256 over every pixel of every
+    * frame, normalized by total pixel count. The video member of the
+    * [[decodeImage]]/[[decodeAudio]] family; None for non-Y4M bytes
+    * (compressed containers stay out of scope — no in-JDK codec). */
+  def decodeVideo(payload: Array[Byte]): Option[Array[Double]] =
+    decodeY4m(payload).map { case (w, h, frames) =>
+      val hist = new Array[Double](HistBins)
+      frames.foreach(_.foreach(b => hist((b & 0xff) * HistBins / 256) += 1.0))
+      val n = math.max(frames.length * w * h, 1)
+      hist.map(_ / n)
+    }
+
+  /** Per-frame integer mean luma (sum div count) — the temporal
+    * feature a frame sampler feeds downstream (scene cuts, fades):
+    * (frame_no, mean_luma) per frame, exact integer arithmetic so
+    * fixture goldens are on-paper derivable. */
+  def videoFrameMeans(payload: Array[Byte]): Option[Seq[(Int, Long)]] =
+    decodeY4m(payload).map { case (w, h, frames) =>
+      frames.zipWithIndex.map { case (f, i) =>
+        var s = 0L
+        var j = 0
+        while (j < f.length) { s += (f(j) & 0xff); j += 1 }
+        (i, s / (w.toLong * h))
+      }
+    }
+
   /** Batched per-partition feature extraction — the JVM analogue of
     * `mapInPandas`: one iterator per partition, codec state is
     * initialized once per partition, rows stream through. No shuffle;
     * partitioning is preserved. `kind=image` payloads go through the
-    * REAL [[decodeImage]] codec and `kind=audio` through the REAL
-    * [[decodeAudio]] codec; undecodable bytes and video fall back to
+    * REAL [[decodeImage]] codec, `kind=audio` through the REAL
+    * [[decodeAudio]] codec, and `kind=video` through the REAL
+    * [[decodeVideo]] Y4M parse; undecodable bytes fall back to
     * [[decodeStub]]. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -225,6 +318,7 @@ object Multimodal {
         val features = m.kind match {
           case "image" => decodeImage(m.payload).getOrElse(decodeStub(m.payload))
           case "audio" => decodeAudio(m.payload).getOrElse(decodeStub(m.payload))
+          case "video" => decodeVideo(m.payload).getOrElse(decodeStub(m.payload))
           case _ => decodeStub(m.payload)
         }
         MediaFeatures(m.media_id, m.kind, m.n_bytes, features)

@@ -500,6 +500,16 @@ object PipelineQueries extends QueryPack {
     // + integer frame means + sign-of-derivative bits (see
     // WavFixtures.aphashGolden).
     "mm_aphash" -> ((s, _) => WavFixtures.aphashQuery(s).orderBy("media_id")),
+    // REAL-video-decode correctness rows (round 12, last stub closed):
+    // committed uncompressed Y4M fixtures parsed by the hand-written
+    // YUV4MPEG2 container reader vs ANALYTIC luma goldens (DuckDB
+    // can't decode Y4M — see Y4mFixtures). NO stub fallback.
+    "mm_video" -> ((s, _) =>
+      Y4mFixtures.decodeQuery(s).orderBy("media_id", "feature_pos")),
+    // Per-frame integer mean luma over the same fixtures — the
+    // temporal frame-sampling shape on the real parse.
+    "mm_video_frames" -> ((s, _) =>
+      Y4mFixtures.framesQuery(s).orderBy("media_id", "frame_no")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -2597,6 +2607,8 @@ object PipelineQueries extends QueryPack {
     "mm_audio" -> WavFixtures.goldenSql,
     "mm_phash" -> PngFixtures.phashGoldenSql,
     "mm_aphash" -> WavFixtures.aphashGoldenSql,
+    "mm_video" -> Y4mFixtures.goldenSql,
+    "mm_video_frames" -> Y4mFixtures.framesGoldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {
