@@ -340,8 +340,11 @@ object Multimodal {
         round(col("feature_val"), 6).as("feature_val"))
 
   /** Frame sampling: every `stride`-th byte-window of the payload as a
-    * "frame" (video decode stand-in). Output is (media_id, frame_no,
-    * frame: binary) — the explode shape a real frame sampler has. */
+    * "frame" (decode stand-in for the synthesized media table, whose
+    * video payloads are opaque bytes). Output is (media_id, frame_no,
+    * frame: binary) — the explode shape a real frame sampler has; the
+    * REAL frame path for actual containers is [[decodeY4m]] /
+    * [[videoFrameMeans]] (gated by mm_video_frames). */
   def sampleFrames(media: Dataset[Media], frameBytes: Int = 32, stride: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  val Scales = Seq(1, 3, 10)
+  /** Default ladder; override with SPARK_GRAFT_SCALES="1,3,10,30" —
+    * replica dirs are cached per scale, so extending the ladder reuses
+    * the smaller rungs. */
+  def scales: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALES")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(1, 3, 10))
 
   /** The measured set: the most expensive members of each family
     * (BENCH_r11 top of table) plus the judge-named priorities —
@@ -126,6 +131,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val Scales = scales
     val dirs: Seq[(Int, String)] = Scales.map { s =>
       val d = scratch.resolve(s"x$s")
       val t0 = System.nanoTime()
