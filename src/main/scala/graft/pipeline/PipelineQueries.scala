@@ -510,6 +510,12 @@ object PipelineQueries extends QueryPack {
     // temporal frame-sampling shape on the real parse.
     "mm_video_frames" -> ((s, _) =>
       Y4mFixtures.framesQuery(s).orderBy("media_id", "frame_no")),
+    // Cross-codec dispatch under the gate: all three real-codec
+    // fixture sets through ONE extractFeatures pass (see
+    // MediaFixtures — the per-codec rows prove each branch, this row
+    // proves the production seam's kind dispatch).
+    "mm_features_real" -> ((s, _) =>
+      MediaFixtures.featuresQuery(s).orderBy("media_id", "feature_pos")),
     // Frame sampling: per-video frame count + checksum of each frame's
     // lead byte — pins the slice geometry (stride, offset) exactly.
     "mm_frames" -> ((s, d) =>
@@ -2609,6 +2615,7 @@ object PipelineQueries extends QueryPack {
     "mm_aphash" -> WavFixtures.aphashGoldenSql,
     "mm_video" -> Y4mFixtures.goldenSql,
     "mm_video_frames" -> Y4mFixtures.framesGoldenSql,
+    "mm_features_real" -> MediaFixtures.goldenSql,
     // Byte value at payload index `src` read off hex(blob) — the same
     // strpos trick mm_features uses, as a reusable SQL fragment.
     "mm_resize" -> {

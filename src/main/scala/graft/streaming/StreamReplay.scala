@@ -880,18 +880,36 @@ object StreamReplay {
   /** Run the op log through the streaming path; return final
     * (key, value) state. Blocking (AvailableNow drains the source and
     * terminates). */
-  def stateReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+  /** Resolve the bucket dir for an op-log replay: cached per
+    * (cacheKey, kind) when the CALLER vouches the ops are a pure
+    * function of that key (KVQueries passes the source dir; specs
+    * with synthetic logs pass None and keep per-invocation
+    * fixtures). Returns (bucket dir, per-run scratch root). */
+  private def opFixture(kind: String, cacheKey: Option[String])(
+      build: java.nio.file.Path => Unit): (java.nio.file.Path, java.nio.file.Path) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_stream_${kind}_")
+    val inDir = cacheKey match {
+      case Some(k) => cachedFixture(k, kind)(build)
+      case None =>
+        val d = root.resolve("in"); build(d); d
+    }
+    (inDir, root)
+  }
+
+  def stateReplay(ops: Dataset[Op], nBatches: Int = 4,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = ops.sparkSession
     import spark.implicits._
     require(nBatches >= 1, "nBatches must be positive")
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_replay_")
-    val inDir = root.resolve("in")
+    // stateTableReplay shares this fixture kind: both stream the same
+    // deduped bucketed write log
+    val (inDir, root) = opFixture(s"oplog-writes-$nBatches", cacheKey)(
+      bucketedWriteLog(ops, nBatches, _))
     try {
-      val writes = bucketedWriteLog(ops, nBatches, inDir)
       // 2. stream the buckets through the live fold, one per batch
       val name = s"stream_state_replay_${runCounter.incrementAndGet()}"
       val src = spark.readStream
-        .schema(writes.schema)
+        .schema(spark.read.parquet(s"$inDir/b*").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/b*")
       // foldStream, not liveState: the streamed log is ALREADY
@@ -937,24 +955,25 @@ object StreamReplay {
     * never the op count; production replaces it with the ack-table
     * parquet sink. The per-client rollup is aggregated BEFORE the
     * bounded driver read. */
-  def dedupReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+  def dedupReplay(ops: Dataset[Op], nBatches: Int = 4,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = ops.sparkSession
     require(nBatches >= 1, "nBatches must be positive")
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
-    val inDir = root.resolve("in")
-    try {
+    val (inDir, root) = opFixture(s"oplog-raw-$nBatches", cacheKey) { fixDir =>
       val log = ops.toDF.localCheckpoint(true)
       val maxSeqRow = log.agg(max("seq")).head()
       val maxSeq = if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)
       val width = math.max(maxSeq / nBatches + 1, 1L)
       val bucket = least((col("seq").cast("decimal(25,0)") / width).cast("long"),
         lit(nBatches - 1L))
-      writeBuckets((0 until nBatches).map(b => log.filter(bucket === b)), inDir)
+      writeBuckets((0 until nBatches).map(b => log.filter(bucket === b)), fixDir)
       graft.pipeline.Dedup.freeCheckpoint(log)
+    }
+    try {
       val name = s"stream_dedup_${runCounter.incrementAndGet()}"
       withShufflePartitions(spark, StatePartitions) {
         val src = spark.readStream
-          .schema(log.schema)
+          .schema(spark.read.parquet(s"$inDir/b*").schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/b*")
         val q = src.dropDuplicates("clientId", "reqId")
@@ -1004,12 +1023,14 @@ object StreamReplay {
     * be filtered as late. The per-client rollup (emission count +
     * distinct requests) is survivor-insensitive, as stream_dedup's.
     */
-  def dedupEvictReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+  def dedupEvictReplay(ops: Dataset[Op], nBatches: Int = 4,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = ops.sparkSession
     require(nBatches == 4, "margin arithmetic below is written for 4 buckets")
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_evict_")
-    val inDir = root.resolve("in")
-    try {
+    // the watermark delay (w/8 s) is derived from the log's seq range
+    // and must match the cached buckets — it rides the fixture cache
+    // as a sibling file
+    val (inDir, root) = opFixture(s"oplog-evict-$nBatches", cacheKey) { fixDir =>
       // one row per (clientId, reqId) batch-side: the planted rows are
       // the ONLY duplicates the stream sees, so emission counts are
       // exactly n_reqs + (1 per re-admitted plant)
@@ -1054,16 +1075,22 @@ object StreamReplay {
           else slice
         withTs(planted)
       }
-      writeBuckets(frames, inDir)
+      writeBuckets(frames, fixDir)
+      java.nio.file.Files.writeString(fixDir.resolve("_delay_seconds"),
+        (w / 8).toString)
       graft.pipeline.Dedup.freeCheckpoint(base)
+    }
+    try {
+      val delaySec = java.nio.file.Files.readString(
+        inDir.resolve("_delay_seconds")).trim.toLong
       val name = s"stream_dedup_evict_${runCounter.incrementAndGet()}"
       withShufflePartitions(spark, StatePartitions) {
         val src = spark.readStream
-          .schema(frames.head.schema)
+          .schema(spark.read.parquet(s"$inDir/b*").schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$inDir/b*")
         val q = src
-          .withWatermark("ets", s"${w / 8} seconds")
+          .withWatermark("ets", s"$delaySec seconds")
           .dropDuplicatesWithinWatermark("clientId", "reqId")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
@@ -1120,17 +1147,19 @@ object StreamReplay {
     * monoid with the batch replay — identical final state by
     * construction). The state table, its commit markers and the
     * checkpoint are torn down after the bounded final read. */
-  def stateTableReplay(ops: Dataset[Op], nBatches: Int = 4): DataFrame = {
+  def stateTableReplay(ops: Dataset[Op], nBatches: Int = 4,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = ops.sparkSession
     import spark.implicits._
     require(nBatches >= 1, "nBatches must be positive")
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_statetable_")
-    val inDir = root.resolve("in")
+    // same fixture kind as stateReplay: both stream the deduped
+    // bucketed write log (one cached build serves both)
+    val (inDir, root) = opFixture(s"oplog-writes-$nBatches", cacheKey)(
+      bucketedWriteLog(ops, nBatches, _))
     try {
-      val writes = bucketedWriteLog(ops, nBatches, inDir)
       val stateDir = root.resolve("state").toString
       val src = spark.readStream
-        .schema(writes.schema)
+        .schema(spark.read.parquet(s"$inDir/b*").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/b*")
       withShufflePartitions(spark, StatePartitions) {
