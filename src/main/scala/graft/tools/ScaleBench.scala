@@ -59,7 +59,15 @@ object ScaleBench {
     "dedup_components", "dedup_embedding_components", "dedup_winnow",
     "dedup_simhash", "sim_ivfpq_topk", "sim_pq_topk", "sim_topk",
     "emb_pca", "text_bpe_apply", "text_bm25", "text_gopher",
-    "graph_pagerank", "stream_interval_join", "stream_sessions")
+    "graph_pagerank", "stream_interval_join", "stream_sessions",
+    // plane-2 members (curation / events / LM — SCALE_r12_plane2):
+    // rel_* excluded deliberately: their TPC-H inputs are copied
+    // verbatim into the replicas, so their curve would measure a
+    // constant workload
+    "pipeline_pack", "pipeline_shuffle", "pipeline_dsir",
+    "pipeline_ccnet", "pipeline_training_set", "pipeline_split_leakfree",
+    "ev_funnel", "ev_sessions", "ev_retention", "ev_percentiles",
+    "text_logprob2", "text_winnowing")
 
   private val IdShift = 10000000L
 
