@@ -84,21 +84,32 @@ object LayoutStore {
     graft.Verify.md5(parts.mkString("\n")).take(16)
   }
 
-  /** Session memo for content tags, keyed by (path, size, mtime) —
-    * mtime here is a cache VALIDATOR, not identity: a touched mtime
-    * just recomputes the 8 KiB sample (and gets the same tag for the
-    * same bytes), so every serve-path layoutDir call after the first
-    * is stat-only while the layout NAME stays purely content-derived. */
+  /** Session memo for content tags, ONE entry per path holding the
+    * (size, mtime) it was computed under — (size, mtime) is a cache
+    * VALIDATOR, not identity: a touched mtime just recomputes the
+    * 8 KiB sample (and gets the same tag for the same bytes), so
+    * every serve-path layoutDir call after the first is stat-only
+    * while the layout NAME stays purely content-derived. Keying by
+    * path (validator in the VALUE, replaced on change) bounds the
+    * memo by live file count — a (path,size,mtime) KEY would strand
+    * one dead entry per touch for the JVM lifetime. */
   private val tagMemo =
-    new scala.collection.concurrent.TrieMap[(String, Long, Long), String]()
+    new scala.collection.concurrent.TrieMap[String, (Long, Long, String)]()
 
   /** md5 of a file's first and last 4 KiB — the bounded-IO content
     * sample (a parquet footer always lives in the tail block, so any
     * rewrite changes the tag; size is hashed separately by the
     * caller). */
   private def contentTag(p: Path): String = {
-    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
-    tagMemo.getOrElseUpdate(key, contentTagUncached(p))
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    tagMemo.get(p.toString) match {
+      case Some((s, m, tag)) if s == size && m == mtime => tag
+      case _ =>
+        val tag = contentTagUncached(p)
+        tagMemo.put(p.toString, (size, mtime, tag))
+        tag
+    }
   }
 
   private def contentTagUncached(p: Path): String = {
@@ -204,15 +215,26 @@ object LayoutStore {
     val name = published.getFileName.toString
     val prefix = name.substring(0, name.lastIndexOf('-') + 1)
     if (prefix.isEmpty) return // un-fingerprinted name: nothing safe to group
+    // pre-source-scoping era (≤ r11) named layouts `kind-<fp16>` with
+    // no source segment; the three-segment prefix above can never
+    // match them, so without this they'd be orphaned PERMANENTLY —
+    // worse than the cross-source bug the scoping fixed. They carry
+    // no source attribution, so the legacy-era rule (same kind, >24h)
+    // is the best available and retires the format once.
+    val kind = name.take(name.indexOf('-'))
+    val legacy = s"^${java.util.regex.Pattern.quote(kind)}-[0-9a-f]{16}(\\..*)?$$".r
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))
     try {
       val s = Files.list(published.getParent)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
-          .filter(p => p != published &&
-            p.getFileName.toString.startsWith(prefix) &&
-            Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+          .filter { p =>
+            val n = p.getFileName.toString
+            p != published &&
+              (n.startsWith(prefix) || legacy.matches(n)) &&
+              Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
+          }
           .toVector // materialize before deleting under the stream
           .foreach(p => try graft.core.Fs.rmTreeNoFollow(p)
           catch { case _: java.io.IOException => () })

@@ -233,13 +233,21 @@ object Multimodal {
     if (headerEnd < 0) return None
     val header = new String(payload, 0, headerEnd, "US-ASCII")
     val params = header.split(' ').drop(1)
-    def num(tag: Char): Option[Int] =
+    // toLong + an explicit pixel-count cap: the contract is None on ANY
+    // malformed header — a 10+-digit dimension must not throw
+    // NumberFormatException out of the seam, and w*h must not overflow
+    // Int (2^31 pixels/frame is far beyond any sane uncompressed frame)
+    def num(tag: Char): Option[Long] =
       params.collectFirst { case p if p.nonEmpty && p.head == tag =>
-        p.tail.takeWhile(_.isDigit) }.filter(_.nonEmpty).map(_.toInt)
+        p.tail.takeWhile(_.isDigit) }
+        .filter(s => s.nonEmpty && s.length <= 18).map(_.toLong)
     val cs = params.collectFirst { case p if p.startsWith("C") => p.tail }
       .getOrElse("420jpeg")
     (num('W'), num('H')) match {
-      case (Some(w), Some(h)) if w > 0 && h > 0 =>
+      // /4 headroom keeps every plane-size sum (444 = 3x ySize) and
+      // the per-frame offset arithmetic inside Int
+      case (Some(wL), Some(hL)) if wL > 0 && hL > 0 && wL * hL <= Int.MaxValue / 4 =>
+        val (w, h) = (wL.toInt, hL.toInt)
         val ySize = w * h
         val chromaSize =
           if (cs.startsWith("420")) {
@@ -262,7 +270,7 @@ object Multimodal {
           val nl = payload.indexOf('\n'.toByte, pos)
           if (nl < 0) return None
           val dataStart = nl + 1
-          if (dataStart + ySize + chromaSize > payload.length) return None
+          if (dataStart.toLong + ySize + chromaSize > payload.length) return None
           frames += payload.slice(dataStart, dataStart + ySize)
           pos = dataStart + ySize + chromaSize
         }

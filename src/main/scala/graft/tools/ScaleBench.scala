@@ -74,7 +74,15 @@ object ScaleBench {
   /** Build (once) the scale-`k` replica of `base` under `out`. */
   def generate(spark: SparkSession, base: String, out: java.nio.file.Path, k: Int): Unit = {
     val marker = out.resolve("_SCALE_OK")
-    if (java.nio.file.Files.exists(marker)) return
+    val stamp = s"base=${java.nio.file.Paths.get(base).toAbsolutePath.normalize} k=$k"
+    if (java.nio.file.Files.exists(marker)) {
+      // the marker RECORDS what the replicas were built from — a
+      // reused scale dir pointed at a different base corpus must
+      // rebuild, not silently fit exponents against the old data
+      if (java.nio.file.Files.readString(marker).trim == stamp) return
+      System.err.println(s"[scale] $out was built from a different base/k — rebuilding")
+      graft.core.Fs.rmTreeNoFollow(out)
+    }
     java.nio.file.Files.createDirectories(out)
 
     def replicas(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
@@ -121,7 +129,7 @@ object ScaleBench {
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(out.resolve(s"$t.parquet").toString)
       }
-    java.nio.file.Files.writeString(marker, s"base=$base k=$k")
+    java.nio.file.Files.writeString(marker, stamp)
   }
 
   def main(args: Array[String]): Unit = {

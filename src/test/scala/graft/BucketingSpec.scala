@@ -268,6 +268,11 @@ class BucketingSpec extends SparkSpec {
     // the ADVICE r11 case: same kind, DIFFERENT source (another scale
     // factor), old — its source never changed, so it must survive
     val otherSource = mk("testkind-srcbbbb22-00000000deadbeef", old = true)
+    // pre-r12 LEGACY format (kind-fp16, no source segment): an old one
+    // must still be retired (else orphaned forever), a fresh one spared
+    val legacyStale = mk("testkind-00000000deadbeef", old = true)
+    val legacyFresh = mk("testkind-00000000cafebabe", old = false)
+    val legacyOtherKind = mk("otherkind2-00000000deadbeef", old = true)
     // publish a NEW fingerprint of the same kind+source -> stale
     // same-source siblings go; fresh, other kinds, other sources stay
     val target = root.resolve("testkind-srcaaaa11-0000000012345678")
@@ -281,6 +286,10 @@ class BucketingSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(otherKind), "other kind was swept")
     assert(java.nio.file.Files.exists(otherSource),
       "another source's still-valid layout was swept (the r11 ADVICE bug)")
+    assert(!java.nio.file.Files.exists(legacyStale),
+      "pre-r12 legacy-format layout was orphaned instead of retired")
+    assert(java.nio.file.Files.exists(legacyFresh), "fresh legacy layout was swept")
+    assert(java.nio.file.Files.exists(legacyOtherKind), "legacy of another kind was swept")
     graft.core.Fs.rmTreeNoFollow(root)
   }
 

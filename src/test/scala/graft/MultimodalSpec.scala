@@ -225,6 +225,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeY4m(
       "YUV4MPEG2 W7 H8 C420jpeg\nFRAME\n".getBytes("US-ASCII")).isEmpty,
       "odd width under 420 must fail")
+    // hostile headers must return None, never throw or mis-decode
+    // (the contract extractFeatures' stub fallback relies on):
+    // >Long digits, >Int dimension, and the Int-overflow pair whose
+    // w*h wraps to 0 (a wrap would 'parse' a stream of empty frames)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W99999999999999999999 H8\nFRAME\n".getBytes("US-ASCII")).isEmpty,
+      "20-digit width must be rejected, not thrown on")
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W9999999999 H8\nFRAME\n".getBytes("US-ASCII")).isEmpty,
+      ">Int width must be rejected, not thrown on")
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W65536 H65536 Cmono\nFRAME\n".getBytes("US-ASCII")).isEmpty,
+      "w*h Int overflow must be rejected, not wrapped to empty frames")
   }
 
   test("committed Y4M fixtures byte-match regeneration and decode to the analytic goldens") {
