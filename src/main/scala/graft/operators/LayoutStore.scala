@@ -45,6 +45,10 @@ object LayoutStore {
     * temp dir. Namespaced, fingerprint in the leaf name. Survives
     * driver restarts within a host either way. */
   def layoutDir(kind: String, sfDir: String, sources: Seq[String]): Path = {
+    // the layout-name grammar is `kind-srcId-fp` split on '-';
+    // [[sweepStale]]'s legacy-era matcher re-derives `kind` from the
+    // name, so a dash inside kind would silently orphan legacy dirs
+    require(!kind.contains('-'), s"layout kind must not contain '-': $kind")
     val fp = fingerprint(sfDir, sources)
     val root = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_ROOT",
       Paths.get(sys.props("java.io.tmpdir"), "graft_layouts").toString)
@@ -85,7 +89,7 @@ object LayoutStore {
   }
 
   /** Session memo for content tags, ONE entry per path holding the
-    * (size, mtime) it was computed under — (size, mtime) is a cache
+    * (size, mtime-nanos, fileKey) it was computed under — a cache
     * VALIDATOR, not identity: a touched mtime just recomputes the
     * 8 KiB sample (and gets the same tag for the same bytes), so
     * every serve-path layoutDir call after the first is stat-only
@@ -94,20 +98,35 @@ object LayoutStore {
     * memo by live file count — a (path,size,mtime) KEY would strand
     * one dead entry per touch for the JVM lifetime. */
   private val tagMemo =
-    new scala.collection.concurrent.TrieMap[String, (Long, Long, String)]()
+    new scala.collection.concurrent.TrieMap[String, (Long, Long, String, String)]()
+
+  /** How recent an mtime must be before a memo hit is distrusted.
+    * Covers the rsync race the round-12 advice named: a same-size
+    * rewrite landing inside the filesystem's timestamp granularity
+    * after the memoized stat would validate against a stale tag. Any
+    * file modified within this window of `now` is re-sampled (8 KiB,
+    * bounded) instead of trusting the memo; files at rest — the 100 TB
+    * serve-path case the memo exists for — still stat-only. 2 s covers
+    * coarse (FAT/older-NFS second-granularity) filesystems. */
+  private val MtimeTrustLagNanos = 2_000_000_000L
 
   /** md5 of a file's first and last 4 KiB — the bounded-IO content
     * sample (a parquet footer always lives in the tail block, so any
     * rewrite changes the tag; size is hashed separately by the
     * caller). */
   private def contentTag(p: Path): String = {
-    val size = Files.size(p)
-    val mtime = Files.getLastModifiedTime(p).toMillis
+    val attrs = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val size = attrs.size()
+    val mtime = attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    val key = Option(attrs.fileKey()).map(_.toString).getOrElse("")
+    val recentlyTouched =
+      System.currentTimeMillis() * 1_000_000L - mtime < MtimeTrustLagNanos
     tagMemo.get(p.toString) match {
-      case Some((s, m, tag)) if s == size && m == mtime => tag
+      case Some((s, m, k, tag)) if s == size && m == mtime && k == key && !recentlyTouched =>
+        tag
       case _ =>
         val tag = contentTagUncached(p)
-        tagMemo.put(p.toString, (size, mtime, tag))
+        tagMemo.put(p.toString, (size, mtime, key, tag))
         tag
     }
   }
@@ -221,6 +240,8 @@ object LayoutStore {
     // worse than the cross-source bug the scoping fixed. They carry
     // no source attribution, so the legacy-era rule (same kind, >24h)
     // is the best available and retires the format once.
+    // safe split: layoutDir REQUIREs kind dash-free, so the first dash
+    // always terminates the kind segment of a published name
     val kind = name.take(name.indexOf('-'))
     val legacy = s"^${java.util.regex.Pattern.quote(kind)}-[0-9a-f]{16}(\\..*)?$$".r
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))

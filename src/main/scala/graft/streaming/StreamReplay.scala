@@ -888,11 +888,17 @@ object StreamReplay {
   private def opFixture(kind: String, cacheKey: Option[String])(
       build: java.nio.file.Path => Unit): (java.nio.file.Path, java.nio.file.Path) = {
     val root = java.nio.file.Files.createTempDirectory(s"graft_stream_${kind}_")
-    val inDir = cacheKey match {
-      case Some(k) => cachedFixture(k, kind)(build)
-      case None =>
-        val d = root.resolve("in"); build(d); d
-    }
+    // callers enter their try/finally only after we return — a build
+    // failure here would otherwise leak the freshly created scratch
+    // root for the JVM lifetime (cached roots are shutdown-hooked,
+    // scratch roots are not)
+    val inDir = try {
+      cacheKey match {
+        case Some(k) => cachedFixture(k, kind)(build)
+        case None =>
+          val d = root.resolve("in"); build(d); d
+      }
+    } catch { case e: Throwable => rmTree(root); throw e }
     (inDir, root)
   }
 

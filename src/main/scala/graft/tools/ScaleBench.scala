@@ -88,7 +88,17 @@ object ScaleBench {
     def replicas(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(r => if (r == 0) df else tx(df, r)).reduce(_ unionByName _)
 
+    // replica id domains are disjoint ONLY if the base corpus's ids fit
+    // under the shift — a larger base would silently overlap domains and
+    // corrupt every fitted exponent; fail loudly instead (advice r12)
+    def assertIdsFit(df: DataFrame, idCol: String, shift: Long, table: String): Unit = {
+      val mx = df.agg(max(col(idCol))).head.getLong(0)
+      require(mx < shift,
+        s"$table.$idCol max=$mx >= replica shift $shift — replica id domains would overlap")
+    }
+
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    assertIdsFit(docs, "doc_id", IdShift, "documents")
     replicas(docs) { (d, r) =>
       d.select(
         (col("doc_id") + r * IdShift).as("doc_id"),
@@ -101,6 +111,7 @@ object ScaleBench {
       .write.mode("overwrite").parquet(out.resolve("documents.parquet").toString)
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    assertIdsFit(emb, "vec_id", IdShift, "embeddings")
     replicas(emb) { (e, r) =>
       // rotate by r mod dim — replica counts beyond the vector
       // dimension must wrap, not slice negatively
@@ -115,6 +126,8 @@ object ScaleBench {
       .write.mode("overwrite").parquet(out.resolve("embeddings.parquet").toString)
 
     val ev = spark.read.parquet(s"$base/events.parquet")
+    assertIdsFit(ev, "event_id", 1000000000L, "events")
+    assertIdsFit(ev, "user_id", IdShift, "events")
     replicas(ev) { (e, r) =>
       e.select(
         (col("event_id") + r * 1000000000L).as("event_id"),

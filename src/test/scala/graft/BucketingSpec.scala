@@ -360,6 +360,35 @@ class BucketingSpec extends SparkSpec {
     graft.core.Fs.rmTreeNoFollow(src)
   }
 
+  test("LayoutStore: same-size same-millisecond rewrite changes the fingerprint (memo race)") {
+    import graft.operators.LayoutStore
+    // the classic rsync race (advice r12): a same-size rewrite landing
+    // within the filesystem timestamp granularity of the memoized stat
+    // must not be served a stale tag — recently-touched files re-sample
+    val src = java.nio.file.Files.createTempDirectory("graft_race_src_")
+    val table = src.resolve("t.parquet")
+    java.nio.file.Files.createDirectories(table)
+    val part = table.resolve("part-0")
+    val bytes = Array.tabulate(9000)(i => (i % 251).toByte)
+    java.nio.file.Files.write(part, bytes)
+    val fp1 = LayoutStore.fingerprint(src.toString, Seq("t.parquet")) // memo warms here
+    // immediate same-size rewrite: same length, different tail byte —
+    // on a coarse-granularity fs the stat is indistinguishable
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
+    java.nio.file.Files.write(part, bytes)
+    assert(LayoutStore.fingerprint(src.toString, Seq("t.parquet")) != fp1,
+      "same-millisecond same-size rewrite was served the stale memoized tag")
+    graft.core.Fs.rmTreeNoFollow(src)
+  }
+
+  test("LayoutStore rejects a layout kind containing '-' (name grammar stays parseable)") {
+    // sweepStale derives the legacy kind from the published name's
+    // first dash — a dashed kind would silently orphan legacy dirs
+    intercept[IllegalArgumentException] {
+      graft.operators.LayoutStore.layoutDir("bad-kind", sf0001, Seq("documents.parquet"))
+    }
+  }
+
   test("AppendFold Aggregator == streaming-sort replay, under any input order") {
     val ops = OpLog.fromEvents(Tables.events(spark, sf0001))
     val viaReplay = KVEngine.replay(ops).as[(String, String)].collect().toMap

@@ -78,4 +78,22 @@ class ScaleBenchSpec extends SparkSpec {
         "replica user domains must be disjoint")
     } finally graft.core.Fs.rmTreeNoFollow(root)
   }
+
+  test("generate fails loudly when base ids would overlap the replica shift") {
+    // a base corpus with doc_id >= 10^7 would make replica id domains
+    // overlap and silently corrupt every fitted exponent (advice r12)
+    val bad = java.nio.file.Files.createTempDirectory("graft_scale_badbase_")
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_badout_")
+    try {
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .write.parquet(bad.resolve("documents.parquet").toString)
+      val e = intercept[IllegalArgumentException] {
+        ScaleBench.generate(spark, bad.toString, out, 2)
+      }
+      assert(e.getMessage.contains("overlap"), s"wrong failure: ${e.getMessage}")
+    } finally {
+      graft.core.Fs.rmTreeNoFollow(bad); graft.core.Fs.rmTreeNoFollow(out)
+    }
+  }
 }
