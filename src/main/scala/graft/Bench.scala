@@ -47,6 +47,18 @@ import org.apache.spark.sql.SparkSession
   * queries_failed_passes (interleaving makes one transient window span
   * several queries' single passes — discarding good samples over it
   * would flag healthy queries failed for the round).
+  *
+  * MACHINE-INDEPENDENT metrics (round 13): every sample also records a
+  * [[graft.tools.TaskMetricsListener]] delta — shuffle read/write
+  * bytes, spill bytes, task count, scan input bytes. Wall-clock
+  * medians drift ±10-30% with the machine window (two rounds of A/Bs
+  * proved past "regressions" environmental); byte and task counts are
+  * invariant across windows, so cross-round regression adjudication
+  * reads queries_bytes FIRST: bytes moved → the code changed; bytes
+  * flat + wall slow → the machine. A fixed spark-free CPU canary
+  * (pinned xorshift64* loop, [[graft.tools.TaskMetricsListener
+  * .cpuCanarySec]]) is timed before the first pass and after every
+  * pass — canary_sec indexes the window's speed over the run.
   */
 object Bench {
   private val Passes = 3
@@ -75,25 +87,35 @@ object Bench {
     // queries (unset — the driver's mode — times the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val metrics = graft.tools.TaskMetricsListener.install(spark.sparkContext)
+    val canary = collection.mutable.ArrayBuffer(graft.tools.TaskMetricsListener.cpuCanarySec())
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // samples(q) = one (seconds, gcSeconds) pair per pass; a failing
-    // sample is (-1, gc) and marks the query failed for the round —
-    // never reported as its elapsed-time-to-exception.
-    val samples = collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+    // samples(q) = one Sample per pass; a failing sample has sec = -1
+    // and marks the pass failed for the query — never reported as its
+    // elapsed-time-to-exception.
+    case class Sample(sec: Double, gcSec: Double,
+        bytes: graft.tools.TaskMetricsListener.Snap)
+    val samples = collection.mutable.Map.empty[String, Vector[Sample]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to Passes; (name, fn) <- ordered) {
-      val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case scala.util.control.NonFatal(_) => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gcSec = (gcMillis() - gc0) / 1e3
-      samples(name) = samples(name) :+ (if (ok) (sec, gcSec) else (-1.0, gcSec))
+    for (pass <- 1 to Passes) {
+      for ((name, fn) <- ordered) {
+        val m0 = metrics.snapshot(spark.sparkContext)
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMillis() - gc0) / 1e3
+        val delta = metrics.snapshot(spark.sparkContext) - m0
+        samples(name) = samples(name) :+ Sample(if (ok) sec else -1.0, gcSec, delta)
+      }
+      canary += graft.tools.TaskMetricsListener.cpuCanarySec()
     }
 
     // per-query median/min/max over the SUCCESSFUL samples: under
@@ -108,15 +130,23 @@ object Bench {
     // are OMITTED from min/max/gc rather than overloading the -1
     // sentinel into columns where a valid measurement never existed.
     case class QStat(median: Double, min: Double, max: Double, gc: Double,
+        bytes: graft.tools.TaskMetricsListener.Snap,
         failedPasses: Int, allFailed: Boolean)
+    val zeroSnap = graft.tools.TaskMetricsListener.Snap(0, 0, 0, 0, 0)
     val results = ordered.map { case (name, _) =>
       val s = samples(name)
-      val good = s.filter(_._1 >= 0).sortBy(_._1)
+      val good = s.filter(_.sec >= 0).sortBy(_.sec)
       val nFailed = s.size - good.size
-      if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, nFailed, allFailed = true)
+      if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, zeroSnap, nFailed, allFailed = true)
       else {
-        val (med, medGc) = good(good.size / 2)
-        name -> QStat(med, good.head._1, good.last._1, medGc, nFailed, allFailed = false)
+        // byte metrics from the LAST pass, not the median-selected one:
+        // pass 1 pays every build-once artifact (ANN indexes, stream
+        // fixtures, layouts), so only later passes measure the serve
+        // shape — and bytes are window-invariant, so "last" loses
+        // nothing to contention
+        val med = good(good.size / 2)
+        name -> QStat(med.sec, good.head.sec, good.last.sec, med.gcSec,
+          s.last.bytes, nFailed, allFailed = false)
       }
     }
     def jmap(rows: Seq[(String, Double)]) =
@@ -126,12 +156,15 @@ object Bench {
     val qsMin = jmap(ok.map { case (k, st) => k -> st.min })
     val qsMax = jmap(ok.map { case (k, st) => k -> st.max })
     val qsGc = jmap(ok.map { case (k, st) => k -> st.gc })
+    val qsBytes = ok.map { case (k, st) => "\"" + k + "\":" + st.bytes.json }
+      .mkString("{", ",", "}")
     val qsFailedPasses = results.collect { case (k, st) if st.failedPasses > 0 =>
       "\"" + k + "\":" + st.failedPasses
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, st) if st.allFailed => "\"" + k + "\"" }
     val total = ok.map(_._2.median).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
@@ -149,7 +182,7 @@ object Bench {
     // marked truncated; bench_out.json carries the full maps).
     val top20 = ok.sortBy(-_._2.median).take(20)
       .map { case (k, st) => k -> st.median }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","n_queries":${results.size},"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","n_queries":${results.size},"canary_sec":$canaryJson,"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.tools.TaskMetricsListener
+import org.apache.spark.sql.functions._
+
+/** Pins the properties the round-13 machine-independent bench metrics
+  * rest on: deltas attribute a query's shuffle/task work to exactly
+  * that query (the BusFlush drain works), an idle window deltas to
+  * zero, and the CPU canary's workload is the pinned one. */
+class TaskMetricsSpec extends SparkSpec {
+
+  test("snapshot deltas attribute shuffle work to the window that did it") {
+    val l = TaskMetricsListener.install(spark.sparkContext)
+    val m0 = l.snapshot(spark.sparkContext)
+    // a groupBy forces a real shuffle exchange
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type").agg(count(lit(1))).count()
+    val d1 = l.snapshot(spark.sparkContext) - m0
+    assert(d1.tasks > 0, "no tasks attributed to the query window")
+    assert(d1.shuffleWrite > 0 && d1.shuffleRead > 0,
+      s"groupBy produced no shuffle bytes: $d1")
+    assert(d1.input > 0, "parquet scan produced no input bytes")
+    // an idle window must delta to exactly zero — async task-end
+    // events may not leak across the flush boundary
+    val m1 = l.snapshot(spark.sparkContext)
+    val d2 = l.snapshot(spark.sparkContext) - m1
+    assert(d2 == TaskMetricsListener.Snap(0, 0, 0, 0, 0),
+      s"idle window accumulated metrics: $d2")
+  }
+
+  test("snapshot deltas are additive across consecutive windows") {
+    val l = TaskMetricsListener.install(spark.sparkContext)
+    val m0 = l.snapshot(spark.sparkContext)
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type").count().count()
+    val m1 = l.snapshot(spark.sparkContext)
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").count().count()
+    val m2 = l.snapshot(spark.sparkContext)
+    val whole = m2 - m0
+    val parts = (m1 - m0) - (TaskMetricsListener.Snap(0, 0, 0, 0, 0) - (m2 - m1))
+    assert(whole == parts, s"window deltas don't tile: $whole vs $parts")
+  }
+
+  test("CPU canary runs the pinned workload (fold literal matches)") {
+    // cpuCanarySec REQUIREs the fold internally — a drifted loop throws
+    val sec = TaskMetricsListener.cpuCanarySec()
+    assert(sec > 0.01 && sec < 30.0, s"canary time implausible: $sec s")
+  }
+}
