@@ -61,20 +61,26 @@ object ScaleBench {
     "emb_pca", "text_bpe_apply", "text_bm25", "text_gopher",
     "graph_pagerank", "stream_interval_join", "stream_sessions",
     // plane-2 members (curation / events / LM — SCALE_r12_plane2):
-    // rel_* excluded deliberately: their TPC-H inputs are copied
-    // verbatim into the replicas, so their curve would measure a
-    // constant workload
     "pipeline_pack", "pipeline_shuffle", "pipeline_dsir",
     "pipeline_ccnet", "pipeline_training_set", "pipeline_split_leakfree",
     "ev_funnel", "ev_sessions", "ev_retention", "ev_percentiles",
-    "text_logprob2", "text_winnowing")
+    "text_logprob2", "text_winnowing",
+    // relational plane (round 13): lineitem/orders/customer are now
+    // key-shift replicated (dims verbatim — k× the facts over the same
+    // dimensions, the realistic fact-table scale-up), so the shuffle-
+    // heavy join/decorrelation plans finally have a measured curve
+    "q9_profit", "q18_big_orders", "q21_waiting_supplier",
+    "rel_merge", "rel_bucket_join")
 
   private val IdShift = 10000000L
 
-  /** Build (once) the scale-`k` replica of `base` under `out`. */
+  /** Build (once) the scale-`k` replica of `base` under `out`.
+    * gen=v2 (round 13): lineitem/orders/customer join the replicated
+    * set — bumping the stamp rebuilds dirs cached under the v1 rule
+    * (TPC-H tables copied verbatim). */
   def generate(spark: SparkSession, base: String, out: java.nio.file.Path, k: Int): Unit = {
     val marker = out.resolve("_SCALE_OK")
-    val stamp = s"base=${java.nio.file.Paths.get(base).toAbsolutePath.normalize} k=$k"
+    val stamp = s"base=${java.nio.file.Paths.get(base).toAbsolutePath.normalize} k=$k gen=v2"
     if (java.nio.file.Files.exists(marker)) {
       // the marker RECORDS what the replicas were built from — a
       // reused scale dir pointed at a different base corpus must
@@ -137,7 +143,39 @@ object ScaleBench {
     }.repartition(math.max(4, 2 * k))
       .write.mode("overwrite").parquet(out.resolve("events.parquet").toString)
 
-    graft.Tables.all.filterNot(Seq("documents", "embeddings", "events").contains)
+    // relational plane (round 13): k× the FACTS over the SAME
+    // dimensions — the realistic fact-table scale-up. Order/customer
+    // keys shift in lockstep (an order's lineitems and its customer
+    // move together, so per-order aggregates like q18's HAVING and
+    // per-replica join fan-outs are preserved exactly); part/supplier/
+    // nation/region stay verbatim, so per-supplier rollups (q21, q9)
+    // see k× the facts per dimension key — load grows, skew shape
+    // doesn't.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    assertIdsFit(ord, "o_orderkey", IdShift, "orders")
+    assertIdsFit(ord, "o_custkey", IdShift, "orders")
+    replicas(ord) { (o, r) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + r * IdShift)
+        .withColumn("o_custkey", col("o_custkey") + r * IdShift)
+    }.repartition(math.max(4, 2 * k))
+      .write.mode("overwrite").parquet(out.resolve("orders.parquet").toString)
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    assertIdsFit(li, "l_orderkey", IdShift, "lineitem")
+    replicas(li) { (l, r) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + r * IdShift)
+    }.repartition(math.max(4, 2 * k))
+      .write.mode("overwrite").parquet(out.resolve("lineitem.parquet").toString)
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    assertIdsFit(cust, "c_custkey", IdShift, "customer")
+    replicas(cust) { (c, r) =>
+      c.withColumn("c_custkey", col("c_custkey") + r * IdShift)
+    }.repartition(math.max(4, 2 * k))
+      .write.mode("overwrite").parquet(out.resolve("customer.parquet").toString)
+
+    graft.Tables.all.filterNot(Seq("documents", "embeddings", "events",
+        "orders", "lineitem", "customer").contains)
       .foreach { t =>
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(out.resolve(s"$t.parquet").toString)
@@ -150,7 +188,7 @@ object ScaleBench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val scratch = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale"))
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -180,18 +218,34 @@ object ScaleBench {
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // samples(scale)(query) = per-pass seconds, pass order preserved
+    // machine-independent metrics (round 13): byte/task deltas per
+    // measurement — exponents fitted on shuffle BYTES are immune to
+    // window-speed drift entirely; the canary indexes each scale's
+    // window (see TaskMetricsListener)
+    val metrics = TaskMetricsListener.install(spark.sparkContext)
+    val canary = collection.mutable.ArrayBuffer(TaskMetricsListener.cpuCanarySec())
+
+    // samples(scale)(query) = per-pass seconds, pass order preserved;
+    // bytes(scale)(query) = the LAST pass's byte/task delta (pass 1
+    // pays build-once artifacts; bytes are window-invariant, so last
+    // loses nothing to contention)
     val Passes = 3
     val samples = collection.mutable.Map.empty[(Int, String), Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for ((scale, dir) <- dirs; pass <- 1 to Passes; (name, fn) <- sel) {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, dir).count(); true }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[scale] x$scale $name pass $pass FAILED: $e"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      samples((scale, name)) = samples((scale, name)) :+ (if (ok) sec else -1.0)
-      System.err.println(f"[scale] x$scale $name pass $pass: $sec%.2f s")
+    val bytes = collection.mutable.Map.empty[(Int, String), TaskMetricsListener.Snap]
+    for ((scale, dir) <- dirs; pass <- 1 to Passes) {
+      for ((name, fn) <- sel) {
+        val m0 = metrics.snapshot(spark.sparkContext)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scale] x$scale $name pass $pass FAILED: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples((scale, name)) = samples((scale, name)) :+ (if (ok) sec else -1.0)
+        if (ok) bytes((scale, name)) = metrics.snapshot(spark.sparkContext) - m0
+        System.err.println(f"[scale] x$scale $name pass $pass: $sec%.2f s")
+      }
+      if (pass == Passes) canary += TaskMetricsListener.cpuCanarySec()
     }
 
     /** least-squares slope of log t over log scale. */
@@ -211,17 +265,27 @@ object ScaleBench {
         val cold = v.headOption.getOrElse(-1.0)
         val warmSamples = v.drop(1).filter(_ >= 0)
         val warm = if (warmSamples.nonEmpty) warmSamples.min else -1.0
-        (s, cold, warm)
+        (s, cold, warm, bytes.get((s, name)))
       }
-      val coldPts = byScale.collect { case (s, c, _) if c > 0 => (s.toDouble, c) }
-      val warmPts = byScale.collect { case (s, _, w) if w > 0 => (s.toDouble, w) }
-      val perScale = byScale.map { case (s, c, w) =>
-        s""""x$s":{"cold":${j(c)},"warm":${j(w)}}""" }.mkString(",")
-      val alphas =
-        s""""alpha_cold":${j(slope(coldPts))},"alpha_warm":${j(slope(warmPts))}"""
-      s""""$name":{$perScale,$alphas}"""
+      val coldPts = byScale.collect { case (s, c, _, _) if c > 0 => (s.toDouble, c) }
+      val warmPts = byScale.collect { case (s, _, w, _) if w > 0 => (s.toDouble, w) }
+      // drift-immune exponents: fitted on last-pass shuffle bytes and
+      // scan input bytes — machine-window speed cannot move them. Only
+      // fitted when the metric is nonzero at every scale (log of 0).
+      val shufPts = byScale.collect { case (s, _, _, Some(b))
+        if b.shuffleRead + b.shuffleWrite > 0 =>
+          (s.toDouble, (b.shuffleRead + b.shuffleWrite).toDouble) }
+      val inPts = byScale.collect { case (s, _, _, Some(b)) if b.input > 0 =>
+        (s.toDouble, b.input.toDouble) }
+      val ladder = byScale.map { case (s, c, w, b) =>
+        val bj = b.map(x => s""","shuffle":${x.shuffleRead + x.shuffleWrite},"input":${x.input},"tasks":${x.tasks},"spill":${x.spill}""").getOrElse("")
+        s""""x$s":{"cold":${j(c)},"warm":${j(w)}$bj}""" }.mkString(",")
+      val aShuf = if (shufPts.size == Scales.size) j(slope(shufPts)) else "null"
+      val aIn = if (inPts.size == Scales.size) j(slope(inPts)) else "null"
+      s""""$name":{"ladder":{$ladder},"alpha_cold":${j(slope(coldPts))},"alpha_warm":${j(slope(warmPts))},"alpha_shuffle_bytes":$aShuf,"alpha_input_bytes":$aIn}"""
     }
-    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log t vs log scale","queries":{${rows.mkString(",")}}}"""
+    val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"canary_sec":$canaryJson,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log y vs log scale; bytes from the last pass; alpha_shuffle_bytes/alpha_input_bytes are machine-window-immune","queries":{${rows.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()

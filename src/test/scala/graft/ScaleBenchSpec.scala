@@ -79,6 +79,48 @@ class ScaleBenchSpec extends SparkSpec {
     } finally graft.core.Fs.rmTreeNoFollow(root)
   }
 
+  test("relational replicas: k× facts over verbatim dims, order/customer lockstep") {
+    val root = java.nio.file.Files.createTempDirectory("graft_scale_rel_spec_")
+    try {
+      ScaleBench.generate(spark, sf0001, root, 3)
+      val S = 10000000L
+
+      val ordB = spark.read.parquet(s"$sf0001/orders.parquet")
+      val ordR = spark.read.parquet(root.resolve("orders.parquet").toString)
+      val liB = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val liR = spark.read.parquet(root.resolve("lineitem.parquet").toString)
+      val cB = spark.read.parquet(s"$sf0001/customer.parquet")
+      val cR = spark.read.parquet(root.resolve("customer.parquet").toString)
+      assert(ordR.count() == 3 * ordB.count(), "orders must scale exactly 3x")
+      assert(liR.count() == 3 * liB.count(), "lineitem must scale exactly 3x")
+      assert(cR.count() == 3 * cB.count(), "customer must scale exactly 3x")
+
+      // dims stay verbatim — k× the facts per dimension key
+      val supB = spark.read.parquet(s"$sf0001/supplier.parquet")
+      val supR = spark.read.parquet(root.resolve("supplier.parquet").toString)
+      assert(supR.exceptAll(supB).count() == 0 && supB.exceptAll(supR).count() == 0,
+        "supplier dim must be byte-verbatim")
+
+      // lockstep: every order's lineitem GROUP replicates exactly —
+      // per-order quantity sums (q18's HAVING input) are preserved
+      val qtyB = liB.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+          count(lit(1)).as("n"))
+      val qtyR = liR.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+          count(lit(1)).as("n"))
+        .withColumn("l_orderkey", col("l_orderkey") % S)
+      assert(qtyR.exceptAll(
+          qtyB.unionByName(qtyB).unionByName(qtyB)).count() == 0,
+        "a replica's per-order lineitem group diverged from the base")
+
+      // every replica order's customer exists (custkey shifts in
+      // lockstep with orderkeys), so join fan-outs are preserved
+      val orphans = ordR.join(cR, ordR("o_custkey") === cR("c_custkey"), "left_anti").count()
+      assert(orphans == 0, s"$orphans replica orders lost their customer")
+    } finally graft.core.Fs.rmTreeNoFollow(root)
+  }
+
   test("generate fails loudly when base ids would overlap the replica shift") {
     // a base corpus with doc_id >= 10^7 would make replica id domains
     // overlap and silently corrupt every fitted exponent (advice r12)
