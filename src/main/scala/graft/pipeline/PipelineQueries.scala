@@ -392,6 +392,13 @@ object PipelineQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
     "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    // corpus-sized LSH: signature width grows with n so bucket
+    // occupancy (hence candidate volume) stays linear at any scale; at
+    // gate scale the params degenerate to the fixed ones, so the same
+    // static-width oracle gates both (adaptivity spec-pinned +
+    // ladder-measured — see Similarity.adaptiveLshParams)
+    "sim_ann_pairs_adaptive" -> ((s, d) =>
+      Similarity.annPairsAdaptive(emb(s, d)).orderBy("id_a", "id_b")),
     // threshold range search: no window, pure map+filter over the scan
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(emb(s, d), 0L to 9L).orderBy("probe_id", "neighbor_id")),
@@ -2310,6 +2317,15 @@ object PipelineQueries extends QueryPack {
          |      FROM scored)
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_ann_pairs" ->
+      s"""${annPairsCtes(Similarity.AnnThreshold)}
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the adaptive path degenerates to the fixed (planes, families) at
+    // every gate sf (n <= 2^NumPlanes * targetBucket), so the static
+    // CTE is its exact oracle there; a mis-fired adaptivity (wider
+    // sigs at gate scale) would change the candidate set and FAIL this
+    // hash gate — the degeneracy itself is what's being checked
+    "sim_ann_pairs_adaptive" ->
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,

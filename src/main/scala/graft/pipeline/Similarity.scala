@@ -112,13 +112,14 @@ object Similarity {
     ((i + 1) * (j + 3) * lit(2654435761L)) % 2000001L - 1000000L
 
   /** Sign-of-dot LSH signatures, one row per (vector, family):
-    * NumFamilies independent families of NumPlanes bits each, all
+    * `numFamilies` independent families of `numPlanes` bits each, all
     * computed in ONE aggregate pass (family f uses global plane
-    * indices f*NumPlanes .. f*NumPlanes+NumPlanes-1). Carries q/n2
+    * indices f*numPlanes .. f*numPlanes+numPlanes-1). Carries q/n2
     * through the aggregation so callers don't re-quantize + re-join. */
   def lshFamilySignatures(emb: DataFrame,
-      numFamilies: Int = NumFamilies): DataFrame = {
-    val totalPlanes = numFamilies * NumPlanes
+      numFamilies: Int = NumFamilies,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val totalPlanes = numFamilies * numPlanes
     val qv = quantized(emb)
     val withPos = qv.select(col("vec_id"), col("q"), col("n2"),
       posexplode(col("q")).as(Seq("pos", "qi")))
@@ -129,8 +130,8 @@ object Similarity {
       .groupBy("vec_id")
       .agg(dAggs.head, dAggs.tail: _*)
     val famStructs = (0 until numFamilies).map { f =>
-      val sig = concat((0 until NumPlanes).map(j =>
-        when(col(s"d${f * NumPlanes + j}") >= 0, "1").otherwise("0")): _*)
+      val sig = concat((0 until numPlanes).map(j =>
+        when(col(s"d${f * numPlanes + j}") >= 0, "1").otherwise("0")): _*)
       struct(lit(f).as("family"), sig.as("sig"))
     }
     bits
@@ -159,11 +160,12 @@ object Similarity {
     * fixed signature width. */
   def annPairs(emb: DataFrame, threshold: Double = AnnThreshold,
       maxBucket: Long = Dedup.MaxBandBucket,
-      numFamilies: Int = NumFamilies): DataFrame = {
+      numFamilies: Int = NumFamilies,
+      numPlanes: Int = NumPlanes): DataFrame = {
     log.info(s"annPairs: LSH buckets with > $maxBucket vectors are dropped from " +
       "the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by group-dedup, not pairwise")
-    val sigs = lshFamilySignatures(emb, numFamilies)
+    val sigs = lshFamilySignatures(emb, numFamilies, numPlanes)
     // two-phase skew-safe cap (see Dedup.minhashCandidates): partial-agg
     // counts -> tiny over-cap blacklist -> broadcast anti-join drops
     // mega-buckets map-side, before the self-join shuffle
@@ -187,6 +189,59 @@ object Similarity {
       // distinct after the cheap threshold filter dedups the OR of bands
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
       .distinct()
+  }
+
+  /** Corpus-sized LSH parameters — the round-13 answer to the byte
+    * ladder's finding that FIXED-width hyperplane LSH grows candidate
+    * volume super-linearly (SCALE_r13: the embedding pair plane's
+    * shuffle bytes fitted α≈1.5 at fixed 6-bit signatures, because
+    * expected bucket occupancy n/2^bits grows with n and same-bucket
+    * candidates grow with occupancy²  until the skew cap truncates —
+    * and a cap that fires on RANDOM collisions costs recall, not just
+    * time). The textbook fix, named in [[annPairs]]'s scaladoc since
+    * round 10, now implemented:
+    *
+    *  - planes = max(base, ceil(log2(n / targetBucket))): expected
+    *    bucket occupancy stays ~targetBucket at ANY corpus size, so
+    *    per-bucket candidate generation stays O(n · targetBucket) —
+    *    linear — and the cap returns to its designed role (data skew
+    *    backstop, not random-collision bailout);
+    *  - families grow with the added bits to hold recall at the
+    *    reference similarity: a pair at cosine-similarity s collides
+    *    per-family with prob ~s^planes, so each added plane divides
+    *    per-family recall by s — families ×(1/refSim)^(planes−base)
+    *    buys it back (OR over families), capped at maxFamilies
+    *    because family count is the multiplicative COST knob (sig
+    *    compute and bucket rows are both ∝ families·planes — the
+    *    O(log n) per-vector price every banded LSH pays at scale).
+    *
+    * At the oracle gate scales (n ≤ 2^base·targetBucket) this
+    * DEGENERATES to (base, NumFamilies) — the adaptive path is
+    * bit-identical to [[annPairs]] there, which is what lets the
+    * driver's SQL oracle (static plane count) gate it; the adaptivity
+    * itself is spec-pinned on a replicated corpus and measured by the
+    * scale ladder's byte exponents. */
+  def adaptiveLshParams(n: Long, targetBucket: Long = 64L,
+      refSim: Double = 0.85, maxFamilies: Int = 8): (Int, Int) = {
+    require(n >= 0 && targetBucket > 0 && refSim > 0 && refSim < 1)
+    val want = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val planes = math.max(NumPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, want - 1)))
+    val fams = math.min(maxFamilies, math.max(NumFamilies,
+      math.ceil(NumFamilies * math.pow(1.0 / refSim, (planes - NumPlanes).toDouble)).toInt))
+    (planes, fams)
+  }
+
+  /** [[annPairs]] with corpus-sized signatures ([[adaptiveLshParams]]).
+    * The count is one scalar action over the id column — at 100 TB the
+    * catalog/statistics supply it for free. */
+  def annPairsAdaptive(emb: DataFrame, threshold: Double = AnnThreshold,
+      maxBucket: Long = Dedup.MaxBandBucket,
+      targetBucket: Long = 64L): DataFrame = {
+    val n = emb.select("vec_id").count()
+    val (planes, fams) = adaptiveLshParams(n, targetBucket)
+    log.info(s"annPairsAdaptive: n=$n -> planes=$planes families=$fams")
+    annPairs(emb, threshold, maxBucket, numFamilies = fams, numPlanes = planes)
   }
 
   /** IVF (inverted-file) top-k — the ANN scale path: a coarse

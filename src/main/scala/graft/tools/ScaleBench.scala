@@ -70,7 +70,11 @@ object ScaleBench {
     // dimensions, the realistic fact-table scale-up), so the shuffle-
     // heavy join/decorrelation plans finally have a measured curve
     "q9_profit", "q18_big_orders", "q21_waiting_supplier",
-    "rel_merge", "rel_bucket_join")
+    "rel_merge", "rel_bucket_join",
+    // fixed vs corpus-sized LSH (round 13): the pair whose byte
+    // exponents demonstrate the adaptive-width fix — fixed 6-bit
+    // sigs grow candidate volume ~occupancy², adaptive stays linear
+    "sim_ann_pairs", "sim_ann_pairs_adaptive")
 
   private val IdShift = 10000000L
 

@@ -846,6 +846,82 @@ class PipelineSpec extends SparkSpec {
     assert(groups.exists(_.getAs[Long]("n_docs") == 20))
   }
 
+  test("adaptive LSH: degenerate at gate scale, wider sigs + linear buckets at 33x, exact dups never lost") {
+    // 1. degeneracy — the property that lets the static-width SQL
+    // oracle gate sim_ann_pairs_adaptive: at gate corpus sizes the
+    // adaptive params ARE the fixed params, bit for bit
+    assert(Similarity.adaptiveLshParams(500) ==
+      (Similarity.NumPlanes, Similarity.NumFamilies))
+    assert(Similarity.adaptiveLshParams(2000) ==
+      (Similarity.NumPlanes, Similarity.NumFamilies))
+    val emb = Tables.embeddings(spark, sf0001)
+    val fixed = Similarity.annPairs(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    val adaptive = Similarity.annPairsAdaptive(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(adaptive == fixed, "adaptive path diverged from fixed at gate scale")
+
+    // 2. a 33x corpus (replica rotation decorrelates, ids shift) with
+    // 10 planted EXACT duplicates per replica — cos == 1 pairs share
+    // every signature at ANY width, so adaptive recall on them is
+    // deterministic, not probabilistic
+    val S = 1000000L
+    val base = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Float](2).toArray))
+    val reps = (0 until 33).flatMap { r =>
+      base.map { case (id, lb, v) =>
+        val rot = r % v.length
+        (id + r * S, lb, v.drop(rot) ++ v.take(rot))
+      }
+    }
+    val planted = (0 until 33).flatMap { r =>
+      (0 until 10).map { i =>
+        val (id, lb, v) = base(i * 37 % base.length)
+        val rot = r % v.length
+        (id + r * S + 500000L, lb, v.drop(rot) ++ v.take(rot))
+      }
+    }
+    val big = spark.createDataFrame(
+      spark.sparkContext.parallelize(reps ++ planted, 8))
+      .toDF("vec_id", "label", "embedding")
+    val n = reps.size + planted.size
+    val (planes, fams) = Similarity.adaptiveLshParams(n)
+    assert(planes > Similarity.NumPlanes && fams >= Similarity.NumFamilies,
+      s"adaptivity did not kick in at n=$n: ($planes, $fams)")
+
+    // 3. candidate economy — the byte-exponent fix: Σ occupancy² (the
+    // exact candidate volume of the self-join) must be FAR smaller
+    // under adaptive sigs than under fixed sigs on the same corpus,
+    // and per-family expected occupancy must be back near the target
+    def volume(planesN: Int, famsN: Int): (Long, Long) = {
+      val occ = Similarity.lshFamilySignatures(big, famsN, planesN)
+        .groupBy("family", "sig").count()
+        .agg(sum(col("count") * col("count")).cast("long"),
+          max(col("count")).cast("long")).head()
+      (occ.getLong(0), occ.getLong(1))
+    }
+    val (volFixed, maxFixed) =
+      volume(Similarity.NumPlanes, Similarity.NumFamilies)
+    val (volAdaptive, maxAdaptive) = volume(planes, fams)
+    assert(volAdaptive * 4 < volFixed,
+      s"adaptive sigs did not cut candidate volume: $volAdaptive vs $volFixed")
+    assert(maxAdaptive < maxFixed,
+      s"adaptive max bucket $maxAdaptive >= fixed $maxFixed")
+
+    // 4. every planted exact-dup pair survives end-to-end (and would
+    // even at 1000x: identical vectors collide at any signature width)
+    val found = Similarity.annPairsAdaptive(big)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wanted = (0 until 33).flatMap { r =>
+      (0 until 10).map { i =>
+        val id = base(i * 37 % base.length)._1
+        (id + r * S, id + r * S + 500000L)
+      }
+    }.toSet
+    assert(wanted.subsetOf(found),
+      s"lost ${(wanted -- found).size} of ${wanted.size} planted exact-dup pairs")
+  }
+
   test("annPairs banding: recall vs brute force is real and monotone in the family count") {
     val emb = Tables.embeddings(spark, sf0001)
     // ground truth: exact quantized-cosine pairs >= threshold over the
