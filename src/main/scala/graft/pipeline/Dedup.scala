@@ -848,15 +848,17 @@ object Dedup {
     * completion of the dedup family (exact / minhash / jaccard /
     * simhash operate on surface text; this catches paraphrases the
     * text-level signatures miss). Candidates come from the banded,
-    * bucket-capped random-hyperplane LSH ([[Similarity.annPairs]] —
-    * never all pairs, mega-buckets blacklisted like the text-plane
-    * bands), are verified with exact integer-quantized cosine, and
+    * bucket-capped random-hyperplane LSH with corpus-sized signature
+    * width ([[Similarity.annPairsAdaptive]] — never all pairs,
+    * occupancy held ~constant at any n, mega-buckets blacklisted like
+    * the text-plane bands), are verified with exact integer-quantized
+    * cosine, and
     * are then restricted to ids present in `docs` via left-semi joins
     * (the embedding table may cover more ids than the doc corpus).
     * Both join planes shuffle on ids — no O(corpus) broadcast. */
   def embeddingNearDups(docs: DataFrame, emb: DataFrame,
       threshold: Double = Similarity.AnnThreshold): DataFrame =
-    embeddingNearDupsFromPairs(docs, Similarity.annPairs(emb, threshold))
+    embeddingNearDupsFromPairs(docs, Similarity.annPairsAdaptive(emb, threshold))
 
   /** [[embeddingNearDups]] served from a prebuilt ANN pair table
     * ([[Similarity.annPairsCached]]) — read-path cost only: the

@@ -73,7 +73,7 @@ object Graph {
     * near-dup neighborhoods; teleport-floor vectors are singletons.
     * Output: (vec_id, pr_scaled, pr). */
   def similarityCentrality(emb: DataFrame, iters: Int = 5): DataFrame =
-    similarityCentralityFromPairs(emb, Similarity.annPairs(emb), iters)
+    similarityCentralityFromPairs(emb, Similarity.annPairsAdaptive(emb), iters)
 
   /** [[similarityCentrality]] served from a prebuilt ANN pair table
     * ([[Similarity.annPairsCached]]) — the PageRank iterations price

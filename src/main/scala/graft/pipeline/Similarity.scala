@@ -887,13 +887,15 @@ object Similarity {
     ivfKmCache.getOrElseUpdate((emb.sparkSession, tag), ivfKmeansIndex(emb))
 
   /** The ANN candidate-pair table as a build-once artifact (default
-    * threshold/families): consumed by the embedding dedup family and
-    * similarity centrality the way [[Dedup.nearDupIndex]].pairs is by
-    * the text plane — the banded self-join runs once per corpus,
-    * every reader prices as a read. */
+    * threshold, CORPUS-SIZED signatures — [[annPairsAdaptive]], the
+    * round-13 production default: bit-identical to the fixed width at
+    * gate corpus sizes, linear candidate volume beyond them): consumed
+    * by the embedding dedup family and similarity centrality the way
+    * [[Dedup.nearDupIndex]].pairs is by the text plane — the banded
+    * self-join runs once per corpus, every reader prices as a read. */
   def annPairsCached(emb: DataFrame, tag: String): DataFrame =
     annPairsCache.getOrElseUpdate((emb.sparkSession, tag),
-      Dedup.retain(annPairs(emb).localCheckpoint(true)))
+      Dedup.retain(annPairsAdaptive(emb).localCheckpoint(true)))
 
   /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the coarse
