@@ -196,9 +196,16 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // default: one shuffle partition per core (the bench convention).
+    // At the 100× rung a 5 GB shuffle over 32 partitions outgrows
+    // per-task sort memory and spills — a deployment sizes this with
+    // the data (set SPARK_GRAFT_SHUFFLE; AQE coalesces the excess at
+    // the small rungs, so over-provisioning is safe, the production
+    // setting)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
