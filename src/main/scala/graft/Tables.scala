@@ -101,6 +101,14 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // honor bucket sort order at planning (off by default since
+      // Spark 3.0 because it lists files during planning): the
+      // library's bucketed layouts are ONE file per bucket by
+      // construction (BucketedTables.writeBucketed), so the listing
+      // is bounded by bucket count and the payoff is a sort-free SMJ
+      // on every co-located join — the reason the layout sortBys at
+      // all. Set in every session builder (Verify/Bench/ScaleBench).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

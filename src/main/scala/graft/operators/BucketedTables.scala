@@ -52,11 +52,26 @@ object BucketedTables {
   /** Write `df` as bucketed+sorted files under `path` without keeping
     * a catalog entry: saveAsTable through a throwaway EXTERNAL table
     * name (bucketed writes are only reachable via the table API), then
-    * drop the name — the files and their bucket-id filename tags stay. */
+    * drop the name — the files and their bucket-id filename tags stay.
+    *
+    * ONE FILE PER BUCKET (round 13): a bucketed write emits one file
+    * per (input task × bucket), and Spark's reader honors the layout's
+    * sort order only when each bucket is a SINGLE file — with
+    * multi-file buckets every downstream SMJ silently re-sorts both
+    * fact sides at serve time (measured: 4.6 GB of sort spill per join
+    * at the 100× rung, on a layout whose whole point is pre-paid
+    * order). The repartition below aligns input tasks with bucket ids
+    * (repartition's HashPartitioning and bucketBy use the same
+    * murmur3-pmod function), so each task holds exactly one bucket →
+    * one file per bucket → the serve-side sorts plan away
+    * (BucketingSpec pins both the file count and the sort-free SMJ).
+    * The extra shuffle is paid ONCE at ingest — the build-serve trade
+    * this operator exists for. */
   private def writeBucketed(df: DataFrame, key: String, path: String): Unit = {
     val spark = df.sparkSession
     val tmp = s"graft_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.write.bucketBy(NumBuckets, key).sortBy(key)
+    df.repartition(NumBuckets, col(key))
+      .write.bucketBy(NumBuckets, key).sortBy(key)
       .option("path", path).saveAsTable(tmp)
     spark.sql(s"DROP TABLE $tmp")
   }
@@ -82,8 +97,14 @@ object BucketedTables {
     * stale layout can never serve). */
   def orderkeyBucketed(spark: SparkSession, sfDir: String): (String, String) =
     cache.getOrElseUpdate((spark, sfDir), {
+      // kind carries the layout FORMAT generation: v2 = one file per
+      // bucket (see writeBucketed). Same SOURCE fingerprints exist
+      // under the pre-r13 "bucketed" kind on hosts that built them —
+      // a format change must publish under a new name or a reused
+      // host would serve the old multi-file (serve-side-sorting)
+      // layout forever. Old-kind dirs simply age out of use.
       val live = LayoutStore.getOrBuild(
-        LayoutStore.layoutDir("bucketed", sfDir,
+        LayoutStore.layoutDir("bucketedv2", sfDir,
           Seq("lineitem.parquet", "orders.parquet"))) { staging =>
         writeBucketed(graft.Tables.lineitem(spark, sfDir), "l_orderkey",
           staging.resolve("lineitem").toString)

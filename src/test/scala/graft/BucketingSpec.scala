@@ -72,6 +72,30 @@ class BucketingSpec extends SparkSpec {
       s"expected co-located join, got ${joinSideShuffles.size} join-side shuffles:\n$executed")
     assert(executed.toString.contains("Bucketed: true"),
       s"join sides are not bucketed scans:\n$executed")
+    // round 13: the layout's sortBy must reach the SMJ — Spark honors
+    // bucket sortedness only when each bucket is ONE file, so a
+    // multi-file layout silently re-sorts both fact sides at serve
+    // time (4.6 GB of sort spill per join at the 100x rung). Zero
+    // join-side SortExec = the pre-paid order is actually being served
+    val joinSideSorts = smjs.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s })
+    assert(joinSideSorts.isEmpty,
+      s"bucketed SMJ re-sorts at serve time (${joinSideSorts.size} sorts):\n$executed")
+    // and the layout property that makes it possible: one file per bucket
+    val (liName2, _) = graft.operators.BucketedTables.orderkeyBucketed(spark, sf0001)
+    val layoutRoot = graft.operators.LayoutStore.layoutDir("bucketedv2", sf0001,
+      Seq("lineitem.parquet", "orders.parquet"))
+    Seq("lineitem", "orders").foreach { t =>
+      val s = java.nio.file.Files.list(layoutRoot.resolve(t))
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toVector
+      } finally s.close()
+      assert(parts.size == graft.operators.BucketedTables.NumBuckets,
+        s"$t layout has ${parts.size} files for ${graft.operators.BucketedTables.NumBuckets} buckets: $parts")
+    }
+    assert(liName2.nonEmpty)
     // the serve's sum(cast(l_quantity as long)) is exact only while
     // quantities are integral — enforce the schema contract the query
     // relies on
@@ -217,7 +241,7 @@ class BucketingSpec extends SparkSpec {
       ("skip_idx", Seq("events.parquet")),
       ("zorder", Seq("events.parquet")),
       ("events_byday_v2", Seq("events.parquet")),
-      ("bucketed", Seq("lineitem.parquet", "orders.parquet")))
+      ("bucketedv2", Seq("lineitem.parquet", "orders.parquet")))
     val before = kinds.map { case (k, s) => snap(k, s) }
 
     // "restart": forget every in-session memo AND the catalog entries
