@@ -141,14 +141,16 @@ object Bench {
       val nFailed = s.size - good.size
       if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, zeroSnap, nFailed, allFailed = true)
       else {
-        // byte metrics from the LAST pass, not the median-selected one:
-        // pass 1 pays every build-once artifact (ANN indexes, stream
-        // fixtures, layouts), so only later passes measure the serve
-        // shape — and bytes are window-invariant, so "last" loses
-        // nothing to contention
+        // byte metrics from the last SUCCESSFUL pass, not the
+        // median-selected one: pass 1 pays every build-once artifact
+        // (ANN indexes, stream fixtures, layouts), so later passes
+        // measure the serve shape — and bytes are window-invariant, so
+        // "last" loses nothing to contention. A failed pass's delta is
+        // a partial run and must never represent the query.
         val med = good(good.size / 2)
+        val lastOk = s.reverse.find(_.sec >= 0).get
         name -> QStat(med.sec, good.head.sec, good.last.sec, med.gcSec,
-          s.last.bytes, nFailed, allFailed = false)
+          lastOk.bytes, nFailed, allFailed = false)
       }
     }
     def jmap(rows: Seq[(String, Double)]) =
