@@ -97,7 +97,17 @@ object Tables {
       // required for the worker-failure semantics tests
       .master(s"local[$cores, 2]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // over-provisioned shuffle partitions are THE production
+      // setting (round 14, SCALE_r13_shuf256): at the 100× rung a
+      // 5 GB shuffle over cores-many partitions outgrows per-task
+      // sort memory and spills (q21 wall 22.8 → 12.4 s at 256); at
+      // small data AQE coalesces the excess post-shuffle, so the
+      // only cost is map-side file handles — asymmetric in favor of
+      // over-provisioning. Same knob in Verify/Bench/ScaleBench;
+      // streaming state stores size it per query instead
+      // (StreamReplay.withShufflePartitions).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

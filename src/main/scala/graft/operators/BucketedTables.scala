@@ -102,7 +102,10 @@ object BucketedTables {
       // under the pre-r13 "bucketed" kind on hosts that built them —
       // a format change must publish under a new name or a reused
       // host would serve the old multi-file (serve-side-sorting)
-      // layout forever. Old-kind dirs simply age out of use.
+      // layout forever. The dead "bucketed" dirs are swept off disk
+      // by LayoutStore.RetiredKinds on the next v2 publish (r13
+      // advice: "ages out of use" left a full lineitem+orders copy
+      // per reused host).
       val live = LayoutStore.getOrBuild(
         LayoutStore.layoutDir("bucketedv2", sfDir,
           Seq("lineitem.parquet", "orders.parquet"))) { staging =>

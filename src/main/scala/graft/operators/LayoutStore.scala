@@ -126,7 +126,15 @@ object LayoutStore {
         tag
       case _ =>
         val tag = contentTagUncached(p)
-        tagMemo.put(p.toString, (size, mtime, key, tag))
+        // NEVER memoize under a distrusted mtime (r13 advice): a tag
+        // computed inside the trust window, once stored, would
+        // validate a later same-size in-place rewrite landing in the
+        // same coarse mtime quantum — the exact race the window
+        // closes. Re-sampling until the file is at rest costs one
+        // bounded 8 KiB read per lookup for 2 s; files at rest (the
+        // serve-path case the memo exists for) still memoize on their
+        // first post-window lookup.
+        if (!recentlyTouched) tagMemo.put(p.toString, (size, mtime, key, tag))
         tag
     }
   }
@@ -222,12 +230,27 @@ object LayoutStore {
     dir
   }
 
+  /** Layout kinds RETIRED by a format bump: publishing the successor
+    * kind sweeps the predecessor's dirs (any source, > 24 h old). A
+    * format rename alone would leak the old kind's layouts forever —
+    * sweepStale groups by the PUBLISHED name's prefix, which a renamed
+    * kind can never match (r13 advice: every reused host kept a full
+    * pre-r13 multi-file-bucket lineitem+orders copy on disk). Kinds
+    * are dash-free (REQUIREd in layoutDir), so a `kind + "-"` prefix
+    * test is unambiguous — "bucketed-" cannot match a "bucketedv2-"
+    * sibling. */
+  private val RetiredKinds: Map[String, Seq[String]] =
+    Map("bucketedv2" -> Seq("bucketed"))
+
   /** Delete sibling layouts of the same kind AND SOURCE (and their
     * abandoned stagings) whose last modification is older than 24 h.
     * The grouping prefix is the published name minus its trailing
     * fingerprint segment (`kind-srcId-`), so a publish for one source
     * dir never touches another source's still-valid layouts — only
-    * stale FINGERPRINTS of the very source that just changed.
+    * stale FINGERPRINTS of the very source that just changed. Dirs of
+    * a kind RETIRED by this publish's kind ([[RetiredKinds]]) are
+    * swept regardless of source — the format itself is dead, no
+    * session can ever serve them again.
     * Best-effort: IO errors are swallowed — retention is hygiene, not
     * correctness. */
   private def sweepStale(published: Path): Unit = {
@@ -244,6 +267,7 @@ object LayoutStore {
     // always terminates the kind segment of a published name
     val kind = name.take(name.indexOf('-'))
     val legacy = s"^${java.util.regex.Pattern.quote(kind)}-[0-9a-f]{16}(\\..*)?$$".r
+    val retired = RetiredKinds.getOrElse(kind, Nil).map(_ + "-")
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))
     try {
       val s = Files.list(published.getParent)
@@ -253,7 +277,8 @@ object LayoutStore {
           .filter { p =>
             val n = p.getFileName.toString
             p != published &&
-              (n.startsWith(prefix) || legacy.matches(n)) &&
+              (n.startsWith(prefix) || legacy.matches(n) ||
+                retired.exists(n.startsWith)) &&
               Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
           }
           .toVector // materialize before deleting under the stream

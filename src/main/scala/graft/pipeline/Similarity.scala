@@ -227,18 +227,60 @@ object Similarity {
     val want = math.max(1L, (n + targetBucket - 1) / targetBucket)
     val planes = math.max(NumPlanes,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, want - 1)))
-    val fams = math.min(maxFamilies, math.max(NumFamilies,
-      math.ceil(NumFamilies * math.pow(1.0 / refSim, (planes - NumPlanes).toDouble)).toInt))
+    val uncapped = math.max(NumFamilies,
+      math.ceil(NumFamilies * math.pow(1.0 / refSim, (planes - NumPlanes).toDouble)).toInt)
+    val fams = math.min(maxFamilies, uncapped)
+    // once the family cap binds (n ≳ 1M at the defaults) each further
+    // plane divides per-family recall by refSim with nothing buying it
+    // back — make the trade LOUD, not silent (r13 advice): report the
+    // model's recall at the reference similarity so an operator sizing
+    // a corpus sees the decay and can raise maxFamilies / targetBucket
+    // (cost knobs) deliberately. Exact duplicates (cos = 1) are
+    // width-invariant and unaffected.
+    if (uncapped > maxFamilies)
+      log.warn(f"adaptiveLshParams: family cap $maxFamilies binds at n=$n " +
+        f"(planes=$planes, uncapped families=$uncapped) — estimated recall " +
+        f"at sim=$refSim%.2f is ${estimatedLshRecall(planes, fams, refSim)}%.3f " +
+        "(exact-dup recall unaffected); raise maxFamilies/targetBucket to buy it back")
     (planes, fams)
   }
 
+  /** OR-over-families collision probability for a pair whose per-plane
+    * sign-agreement probability is `s` — the recall model behind
+    * [[adaptiveLshParams]]'s compensation rule (per-family collision
+    * s^planes, independent families): 1 − (1 − s^planes)^families.
+    * Pure math, spec-pinned (PipelineSpec) so the post-cap decay curve
+    * is a documented number, not a guess. */
+  def estimatedLshRecall(planes: Int, families: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, planes.toDouble), families.toDouble)
+
+  /** Memoized corpus cardinality, keyed by (session, CANONICALIZED
+    * logical plan) — the same corpus expression counts once per
+    * session, then every [[annPairsAdaptive]] call (embedding
+    * near-dups, similarity centrality, the gated pair query — several
+    * per bench pass) is sizing-action-free (r13 advice: the per-call
+    * count() added input bytes/tasks to the adaptive side of the very
+    * byte ladder the feature is measured by). Plan-keyed rather than
+    * tag-keyed so no call-site threading is needed; like every
+    * session cache here it assumes the corpus behind a plan is
+    * immutable for the session (the testdata/lake contract — at
+    * 100 TB catalog statistics supply the count with no action at
+    * all). */
+  private val corpusNCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  def corpusN(emb: DataFrame): Long =
+    corpusNCache.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.analyzed.canonicalized),
+      emb.select("vec_id").count())
+
   /** [[annPairs]] with corpus-sized signatures ([[adaptiveLshParams]]).
-    * The count is one scalar action over the id column — at 100 TB the
-    * catalog/statistics supply it for free. */
+    * The corpus count rides the session memo ([[corpusN]]). */
   def annPairsAdaptive(emb: DataFrame, threshold: Double = AnnThreshold,
       maxBucket: Long = Dedup.MaxBandBucket,
       targetBucket: Long = 64L): DataFrame = {
-    val n = emb.select("vec_id").count()
+    val n = corpusN(emb)
     val (planes, fams) = adaptiveLshParams(n, targetBucket)
     log.info(s"annPairsAdaptive: n=$n -> planes=$planes families=$fams")
     annPairs(emb, threshold, maxBucket, numFamilies = fams, numPlanes = planes)
@@ -447,9 +489,11 @@ object Similarity {
     *
     *  - scatter matrix m_jk = N·Σ q_j q_k − S_j·S_k (centered
     *    covariance × N², eigenvectors unchanged by the scaling) from
-    *    ONE pass: the (vec, dim) explosion self-joined on vec_id and
-    *    partially aggregated to d² rows — the relational Gram-matrix
-    *    build; S and N ride broadcast side tables;
+    *    ONE pass: the d² per-vector products generated MAP-SIDE (a
+    *    chained posexplode — no join) and partially aggregated to d²
+    *    rows per task before the exchange — the Gram build's shuffle
+    *    is O(partitions·d²), independent of N; S and N ride broadcast
+    *    side tables;
     *  - the matrix is range-normalized once (trunc-div by
     *    maxabs div 1e6) and each iterate renormalized to ±1e4 by
     *    L∞ (trunc-div by maxabs div 1e4) — both divisions spell
@@ -465,15 +509,33 @@ object Similarity {
     * without the checkpoint, every power-iteration round's plan embeds
     * the full Gram subtree and re-executes the d²·N-row aggregate
     * (measured 16 s -> ~2.3 s at sf0.1 — the compounding-lineage
-    * failure the components fixpoint already solved). Caller frees. */
+    * failure the components fixpoint already solved). Caller frees.
+    *
+    * MAP-SIDE OUTER PRODUCT (round 14): the Gram aggregate's input
+    * used to come from a vec_id SELF-JOIN of the (vec, dim) explosion
+    * — below the broadcast threshold AQE hid it, past it (the 30×
+    * rung) the join shuffled 2·n·d rows to produce d² = 4,096 output
+    * rows (SCALE_r13: emb_pca shuffle 3.5 MB → 125 MB at 10×→30×,
+    * α_shuffle 1.454 across the transition). You would never ship the
+    * fact table to compute a 64×64 matrix: the d² (j, k, qj·qk)
+    * products are a ROW-LOCAL function of each vector, so a chained
+    * posexplode generates them in the scan stage and Catalyst's
+    * partial aggregation folds them to ≤ d² rows per task BEFORE the
+    * exchange — shuffle O(partitions·d²), constant in n, no plan
+    * transition to cross. Same multiset of exact integer products
+    * reaches the final aggregate, so every consumer (emb_pca/emb_pca2/
+    * emb_pca_project/sim_hard_negatives) stays bit-identical to the
+    * DuckDB oracle. */
   private def scatterMatrix(emb: DataFrame): DataFrame = {
     val qv = quantized(emb)
     val pe = qv.select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qj")))
     val sq = pe.groupBy("j").agg(sum("qj").as("s"))
     val nn = qv.agg(count(lit(1)).as("n"))
-    val gg = pe.as("a").join(pe.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
-      .agg(sum(col("a.qj") * col("b.qj")).as("sqq"))
+    val gg = qv
+      .select(col("q"), posexplode(col("q")).as(Seq("j", "qj")))
+      .select(col("j"), col("qj"), posexplode(col("q")).as(Seq("k", "qk")))
+      .groupBy("j", "k")
+      .agg(sum(col("qj") * col("qk")).as("sqq"))
     val m0 = gg
       .join(broadcast(sq.select(col("j"), col("s").as("sa"))), Seq("j"))
       .join(broadcast(sq.select(col("j").as("k"), col("s").as("sb"))), Seq("k"))
@@ -1010,6 +1072,7 @@ object Similarity {
     annPairsCache.clear()
     pcaCache.clear()
     gramCache.clear()
+    corpusNCache.clear()
   }
 
   /** ADC top-k served from a prebuilt [[pqIndex]]: probes re-quantize

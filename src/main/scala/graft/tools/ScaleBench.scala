@@ -192,17 +192,17 @@ object ScaleBench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val scratch = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale"))
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r14.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // default: one shuffle partition per core (the bench convention).
-    // At the 100× rung a 5 GB shuffle over 32 partitions outgrows
-    // per-task sort memory and spills — a deployment sizes this with
-    // the data (set SPARK_GRAFT_SHUFFLE; AQE coalesces the excess at
-    // the small rungs, so over-provisioning is safe, the production
-    // setting)
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // 256 — the over-provisioned production default shipped in every
+    // session builder since round 14 (SCALE_r13_shuf256: at the 100×
+    // rung a 5 GB shuffle over cores-many partitions outgrew per-task
+    // sort memory and spilled, q21 22.8 → 12.4 s at 256; AQE
+    // coalesces the excess at the small rungs, so over-provisioning
+    // costs nothing there)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -290,15 +290,22 @@ object ScaleBench {
           (s.toDouble, (b.shuffleRead + b.shuffleWrite).toDouble) }
       val inPts = byScale.collect { case (s, _, _, Some(b)) if b.input > 0 =>
         (s.toDouble, b.input.toDouble) }
+      // shuffle RECORDS (round 14): the work-vs-encoding separator —
+      // a byte exponent above a flat record exponent is compression
+      // decay (bytes/record rising toward the raw row width, a
+      // bounded one-time effect), not growing candidate volume
+      val recPts = byScale.collect { case (s, _, _, Some(b)) if b.records > 0 =>
+        (s.toDouble, b.records.toDouble) }
       val ladder = byScale.map { case (s, c, w, b) =>
-        val bj = b.map(x => s""","shuffle":${x.shuffleRead + x.shuffleWrite},"input":${x.input},"tasks":${x.tasks},"spill":${x.spill}""").getOrElse("")
+        val bj = b.map(x => s""","shuffle":${x.shuffleRead + x.shuffleWrite},"records":${x.records},"input":${x.input},"tasks":${x.tasks},"spill":${x.spill}""").getOrElse("")
         s""""x$s":{"cold":${j(c)},"warm":${j(w)}$bj}""" }.mkString(",")
       val aShuf = if (shufPts.size == Scales.size) j(slope(shufPts)) else "null"
       val aIn = if (inPts.size == Scales.size) j(slope(inPts)) else "null"
-      s""""$name":{"ladder":{$ladder},"alpha_cold":${j(slope(coldPts))},"alpha_warm":${j(slope(warmPts))},"alpha_shuffle_bytes":$aShuf,"alpha_input_bytes":$aIn}"""
+      val aRec = if (recPts.size == Scales.size) j(slope(recPts)) else "null"
+      s""""$name":{"ladder":{$ladder},"alpha_cold":${j(slope(coldPts))},"alpha_warm":${j(slope(warmPts))},"alpha_shuffle_bytes":$aShuf,"alpha_shuffle_records":$aRec,"alpha_input_bytes":$aIn}"""
     }
     val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"canary_sec":$canaryJson,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log y vs log scale; bytes from the last pass; alpha_shuffle_bytes/alpha_input_bytes are machine-window-immune","queries":{${rows.mkString(",")}}}"""
+    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"canary_sec":$canaryJson,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log y vs log scale; bytes/records from the last pass; alpha_shuffle_bytes/alpha_shuffle_records/alpha_input_bytes are machine-window-immune; a byte alpha above a flat record alpha is shuffle-compression decay (bounded by raw row width), not work growth","queries":{${rows.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()

@@ -25,6 +25,7 @@ final class TaskMetricsListener extends SparkListener {
   private val shuffleWrite = new AtomicLong
   private val spill = new AtomicLong
   private val input = new AtomicLong
+  private val records = new AtomicLong
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -34,27 +35,41 @@ final class TaskMetricsListener extends SparkListener {
       shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       input.addAndGet(m.inputMetrics.bytesRead)
+      // shuffle RECORDS (read + write, mirroring the byte pair): the
+      // row-count companion to shuffle bytes (round 14). Shuffle BYTES
+      // are records × bytes-per-record, and bytes-per-record is NOT
+      // scale-invariant — lz4 compresses a narrow key domain (the 1×
+      // rung) far below the raw UnsafeRow size and decays toward it
+      // as replicated id domains decorrelate, which reads as a
+      // super-linear byte exponent on a perfectly linear operator.
+      // Records separate the two: α_records says how the WORK scales,
+      // bytes/record says how the encoding scales (bounded above by
+      // the raw row width, so its growth can never compound).
+      records.addAndGet(
+        m.shuffleReadMetrics.recordsRead + m.shuffleWriteMetrics.recordsWritten)
     }
   }
 
   def snapshot(sc: SparkContext): TaskMetricsListener.Snap = {
     org.apache.spark.graftbus.BusFlush.flush(sc)
     TaskMetricsListener.Snap(
-      tasks.get(), shuffleRead.get(), shuffleWrite.get(), spill.get(), input.get())
+      tasks.get(), shuffleRead.get(), shuffleWrite.get(), spill.get(), input.get(),
+      records.get())
   }
 }
 
 object TaskMetricsListener {
   /** Cumulative counter snapshot; `-` yields the per-window delta. */
   final case class Snap(tasks: Long, shuffleRead: Long, shuffleWrite: Long,
-      spill: Long, input: Long) {
+      spill: Long, input: Long, records: Long = 0L) {
     def -(o: Snap): Snap = Snap(tasks - o.tasks, shuffleRead - o.shuffleRead,
-      shuffleWrite - o.shuffleWrite, spill - o.spill, input - o.input)
-    /** Compact JSON object: shuffle read/write, spill, task count,
-      * scan input bytes. */
+      shuffleWrite - o.shuffleWrite, spill - o.spill, input - o.input,
+      records - o.records)
+    /** Compact JSON object: shuffle read/write bytes + records, spill,
+      * task count, scan input bytes. */
     def json: String =
       s"""{"shuffle_read":$shuffleRead,"shuffle_write":$shuffleWrite,""" +
-        s""""spill":$spill,"tasks":$tasks,"input":$input}"""
+        s""""shuffle_records":$records,"spill":$spill,"tasks":$tasks,"input":$input}"""
   }
 
   def install(sc: SparkContext): TaskMetricsListener = {

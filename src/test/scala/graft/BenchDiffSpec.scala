@@ -1,0 +1,87 @@
+package graft
+
+import graft.tools.BenchDiff
+import graft.tools.BenchDiff.B
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the byte-regression gate's rules (round 14): growth beyond
+  * tolerance+floor fails, noise under either threshold doesn't, new
+  * spill always fails, the allowlist downgrades with a reason, missing
+  * queries are loud, shrinks/new queries never fail. Pure-function
+  * tests — the JSON plumbing is exercised once against a real
+  * bench_out-shaped file. */
+class BenchDiffSpec extends AnyFunSuite {
+
+  private val base = Map(
+    "q_flat" -> B(shuffle = 10L << 20, records = 1000000, input = 5L << 20, tasks = 100, spill = 0),
+    "q_tiny" -> B(shuffle = 500, records = 10, input = 800, tasks = 6, spill = 0),
+    "q_gone" -> B(shuffle = 1L << 20, records = 1000, input = 1L << 20, tasks = 10, spill = 0),
+    "q_allowed" -> B(shuffle = 10L << 20, records = 1000000, input = 5L << 20, tasks = 100, spill = 0),
+    "q_shrunk" -> B(shuffle = 50L << 20, records = 5000000, input = 5L << 20, tasks = 100, spill = 0))
+
+  test("unexplained shuffle growth past tolerance+floor regresses; jitter under either does not") {
+    val cur = (base
+      .updated("q_flat", base("q_flat").copy(shuffle = 13L << 20)) // x1.3, +3MiB: regress
+      .updated("q_tiny", base("q_tiny").copy(shuffle = 5000)) // x10 but under the 1MiB floor
+      -- Seq("q_gone", "q_allowed", "q_shrunk"))
+    val (fs, missing, _, _, _) = BenchDiff.diff(base -- Seq("q_gone", "q_allowed", "q_shrunk"), cur, Map.empty)
+    assert(fs.map(f => (f.query, f.metric)) == Seq(("q_flat", "shuffle")))
+    assert(fs.head.allowed.isEmpty && missing.isEmpty)
+  }
+
+  test("growth under tolerance never regresses even when the absolute delta is large") {
+    val cur = Map("q_flat" -> base("q_flat").copy(shuffle = (10L << 20) * 115 / 100))
+    val (fs, _, _, _, _) = BenchDiff.diff(Map("q_flat" -> base("q_flat")), cur, Map.empty)
+    assert(fs.isEmpty, s"x1.15 flagged: $fs")
+  }
+
+  test("new spill is a regression regardless of size; pre-existing spill is not re-flagged") {
+    val b = Map("q" -> B(1000, 10, 1000, 5, 0), "p" -> B(1000, 10, 1000, 5, 777))
+    val c = Map("q" -> B(1000, 10, 1000, 5, 123), "p" -> B(1000, 10, 1000, 5, 777))
+    val (fs, _, _, _, _) = BenchDiff.diff(b, c, Map.empty)
+    assert(fs.map(f => (f.query, f.metric)) == Seq(("q", "spill")))
+  }
+
+  test("allowlist downgrades a regression to allowed-with-reason; stale entries are reported") {
+    val cur = base
+      .updated("q_allowed", base("q_allowed").copy(tasks = 400))
+    val allow = Map("q_allowed" -> "intentional repartition", "q_flat" -> "stale reason")
+    val (fs, _, _, _, stale) = BenchDiff.diff(base, cur, allow)
+    val hard = fs.filter(_.allowed.isEmpty)
+    assert(hard.isEmpty, s"allowed regression failed hard: $hard")
+    assert(fs.exists(f => f.query == "q_allowed" && f.allowed.contains("intentional repartition")))
+    assert(stale == Seq("q_flat"), s"stale allow entries: $stale")
+  }
+
+  test("missing queries are loud; new queries and shrinks are reported, never failed") {
+    val cur = (base - "q_gone")
+      .updated("q_shrunk", base("q_shrunk").copy(shuffle = 10L << 20, records = 1000000))
+      .updated("q_new", B(1, 1, 1, 1, 0))
+    val (fs, missing, fresh, improved, _) = BenchDiff.diff(base, cur, Map.empty)
+    assert(fs.isEmpty)
+    assert(missing == Seq("q_gone"))
+    assert(fresh == Seq("q_new"))
+    assert(improved.exists(f => f.query == "q_shrunk" && f.metric == "shuffle"))
+  }
+
+  test("records growth gates independently of bytes (the work-vs-encoding separator)") {
+    // bytes flat, records x2 past the 50k floor: the WORK grew even
+    // though compression hid it in bytes — regress
+    val b = Map("q" -> B(10L << 20, 1000000, 1L << 20, 50, 0))
+    val c = Map("q" -> B(10L << 20, 2000000, 1L << 20, 50, 0))
+    val (fs, _, _, _, _) = BenchDiff.diff(b, c, Map.empty)
+    assert(fs.map(_.metric) == Seq("records"))
+  }
+
+  test("readBytes parses a bench_out-shaped file (records defaulting to 0 for pre-r14 baselines)") {
+    val f = java.nio.file.Files.createTempFile("graft_bd_", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","queries_bytes":{
+        |"a":{"shuffle_read":10,"shuffle_write":20,"spill":0,"tasks":3,"input":99},
+        |"b":{"shuffle_read":1,"shuffle_write":2,"shuffle_records":7,"spill":5,"tasks":1,"input":4}}}""".stripMargin)
+    val m = BenchDiff.readBytes(f.toString)
+    assert(m("a") == B(30, 0, 99, 3, 0))
+    assert(m("b") == B(3, 7, 4, 1, 5))
+    java.nio.file.Files.delete(f)
+  }
+}

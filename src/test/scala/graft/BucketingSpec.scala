@@ -405,6 +405,74 @@ class BucketingSpec extends SparkSpec {
     graft.core.Fs.rmTreeNoFollow(src)
   }
 
+  test("LayoutStore: a tag computed inside the distrust window is not memoized (residual memo race)") {
+    import graft.operators.LayoutStore
+    // r13 advice: the 2s window re-SAMPLED recently-touched files but
+    // still memoized the result — a same-size in-place rewrite landing
+    // in the same coarse mtime quantum after that put would validate
+    // against the stale tag once the window passed. The fix: never put
+    // under a distrusted mtime.
+    val src = java.nio.file.Files.createTempDirectory("graft_race2_src_")
+    val table = src.resolve("t.parquet")
+    java.nio.file.Files.createDirectories(table)
+    val part = table.resolve("part-0")
+    val bytes = Array.tabulate(9000)(i => (i % 251).toByte)
+    java.nio.file.Files.write(part, bytes)
+    // mtime = NOW: the first lookup is safely inside the 2s distrust
+    // window (and under the fix does NOT memoize)
+    val quantum = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    java.nio.file.Files.setLastModifiedTime(part, quantum)
+    val fp1 = LayoutStore.fingerprint(src.toString, Seq("t.parquet"))
+    // in-place same-size rewrite (same inode — fileKey cannot help),
+    // mtime pinned to the SAME quantum, as a coarse filesystem would
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
+    java.nio.file.Files.write(part, bytes)
+    java.nio.file.Files.setLastModifiedTime(part, quantum)
+    // let the distrust window expire: the memo (if one was wrongly
+    // stored) would now be TRUSTED — (size, mtime, fileKey) all match
+    Thread.sleep(2100)
+    assert(LayoutStore.fingerprint(src.toString, Seq("t.parquet")) != fp1,
+      "stale tag memoized during the distrust window was served after it")
+    graft.core.Fs.rmTreeNoFollow(src)
+  }
+
+  test("LayoutStore: publishing a successor kind sweeps retired-kind dirs off disk") {
+    import graft.operators.LayoutStore
+    // r13 advice: the bucketed->bucketedv2 rename orphaned every
+    // pre-r13 'bucketed-*' layout permanently (sweepStale groups by
+    // the published prefix, which a renamed kind never matches)
+    val root = java.nio.file.Files.createTempDirectory("graft_retire_")
+    def mk(name: String): java.nio.file.Path = {
+      val d = root.resolve(name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("data"), "x")
+      // age it past the 24h retention cutoff
+      val old = java.nio.file.attribute.FileTime.from(
+        java.time.Instant.now().minus(java.time.Duration.ofHours(25)))
+      java.nio.file.Files.setLastModifiedTime(d, old)
+      d
+    }
+    val legacyEra = mk("bucketed-0123456789abcdef") // pre-source-scoping name
+    val scopedOld = mk("bucketed-aaaaaaaa-fedcba9876543210")
+    val fresh = mk("bucketed-bbbbbbbb-1111111111111111")
+    java.nio.file.Files.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
+    val other = mk("zorder-cccccccc-2222222222222222") // unrelated kind
+    val v2 = LayoutStore.getOrBuild(
+      root.resolve("bucketedv2-dddddddd-3333333333333333")) { staging =>
+      java.nio.file.Files.writeString(staging.resolve("data"), "y")
+    }
+    assert(LayoutStore.ready(v2))
+    assert(!java.nio.file.Files.exists(legacyEra),
+      "legacy-era retired-kind dir survived the v2 publish")
+    assert(!java.nio.file.Files.exists(scopedOld),
+      "source-scoped retired-kind dir survived the v2 publish")
+    assert(java.nio.file.Files.exists(fresh),
+      "a <24h retired-kind dir was swept (a session may still be serving it)")
+    assert(java.nio.file.Files.exists(other), "an unrelated kind was swept")
+    graft.core.Fs.rmTreeNoFollow(root)
+  }
+
   test("LayoutStore rejects a layout kind containing '-' (name grammar stays parseable)") {
     // sweepStale derives the legacy kind from the published name's
     // first dash — a dashed kind would silently orphan legacy dirs

@@ -922,6 +922,47 @@ class PipelineSpec extends SparkSpec {
       s"lost ${(wanted -- found).size} of ${wanted.size} planted exact-dup pairs")
   }
 
+  test("adaptive LSH recall model: compensation below the family cap, documented decay above it") {
+    import Similarity._
+    // the model behind adaptiveLshParams' trade (r13 advice: make the
+    // post-cap decay OBSERVABLE): recall@refSim = 1-(1-s^planes)^fams
+    val refSim = 0.85
+    val base = estimatedLshRecall(NumPlanes, NumFamilies, refSim)
+    // WHILE THE COMPENSATION RULE IS UNCAPPED the widened params never
+    // fall below the fixed-width baseline recall: each plane divides
+    // per-family recall by s, families x(1/s)^extra buys it back
+    for (n <- Seq(10000L, 100000L, 1000000L)) {
+      val (p, f) = adaptiveLshParams(n)
+      val unc = math.max(NumFamilies,
+        math.ceil(NumFamilies * math.pow(1.0 / refSim, (p - NumPlanes).toDouble)).toInt)
+      assert(unc <= 8, s"cap unexpectedly binds at n=$n")
+      // within 0.05 of the fixed-width baseline (the multiplicative
+      // rule compensates the UNION BOUND f·s^planes exactly; the true
+      // OR-recall concedes a few points to overlap as f grows:
+      // 0.615/0.600/0.580 at these three n vs 0.612 fixed)
+      assert(estimatedLshRecall(p, f, refSim) >= base - 0.05,
+        s"uncapped compensation lost recall at n=$n: ${estimatedLshRecall(p, f, refSim)} < $base")
+    }
+    // FIRST CAPPED WIDTH (n ~ 2M -> planes 15, families capped at 8):
+    // recall is still above 0.5...
+    assert(adaptiveLshParams(2000000L) == (15, 8))
+    val atCap = estimatedLshRecall(15, 8, refSim)
+    assert(atCap > 0.5, s"recall at first capped width: $atCap")
+    // ...and beyond it the decay is real and monotone — the documented
+    // trade (raise maxFamilies/targetBucket to buy recall back; exact
+    // dups are width-invariant and never decay). These literals pin
+    // the curve so a model change is a visible diff, not a silent one.
+    val decay = Seq(15, 20, 26).map(p => estimatedLshRecall(p, 8, refSim))
+    assert(decay == decay.sorted.reverse && decay.last < 0.2,
+      s"post-cap decay curve moved: $decay")
+    // the binding cap is LOUD: adaptiveLshParams logs estimated recall
+    // (slf4j); cheap proxy pinned here = the uncapped demand really
+    // exceeds the cap at that n, so the warn branch is taken
+    val uncAt2M = math.ceil(
+      NumFamilies * math.pow(1.0 / refSim, (15 - NumPlanes).toDouble)).toInt
+    assert(uncAt2M > 8, s"warn branch not reachable at n=2M (uncapped=$uncAt2M)")
+  }
+
   test("annPairs banding: recall vs brute force is real and monotone in the family count") {
     val emb = Tables.embeddings(spark, sf0001)
     // ground truth: exact quantized-cosine pairs >= threshold over the
