@@ -25,21 +25,23 @@ import org.apache.spark.sql.SparkSession
   * is then self-labeling: queries_gc alongside queries_max lets a
   * reader separate "the query got slower" from "the JVM was busy".
   *
-  * The timed action is count() — kept stable across rounds so medians
-  * stay comparable. Catalyst optimizes under it like any action: maps
-  * prune to the counted columns, and a join that provably cannot
-  * change cardinality (e.g. dedup_spans_clean's left join against the
-  * aggregate-keyed ranges table — and, through the same elimination
-  * cascade, dedup_span_coverage's ungrouped aggregate over it) is
-  * eliminated outright, so such a query's bench number measures its
-  * COUNT cost, not its full materialization (the correctness gate
-  * writes every column and pays the full cost). Since round 9 both
-  * spans-family consumers serve from the build-once span index
-  * (Dedup.spanIndexCached), so the subtree the elimination drops is a
-  * checkpoint READ, not the positional self-join — the benched serve
-  * shape is the production shape; the train-inline build cost is
-  * visible in dedup_spans, which keeps it deliberately. Changing the
-  * action would re-baseline every query; not worth it mid-series.
+  * The timed action is FULL-PLAN MATERIALIZATION (round 14 —
+  * [[graft.tools.TaskMetricsListener.materialize]]): the DataFrame's
+  * own physical plan executed to completion, every row consumed
+  * distributed, no driver collect. The pre-r14 action was count(),
+  * "kept stable across rounds so medians stay comparable" — until the
+  * r14 shuffle-records metric showed HOW MUCH plan Catalyst prunes
+  * under a count: EliminateSorts drops every declared ORDER BY's range
+  * exchange, column pruning cascades below the count, and for
+  * ev_sessions it removed the lag WINDOW itself — the bench was
+  * timing a two-phase DISTINCT user_id (6k shuffled rows at sf0.1)
+  * instead of sessionization (203k). The r13 "super-linear ev_sessions
+  * byte curve" was entirely an artifact of that pruned plan. The
+  * re-baseline the old comment feared is paid once, here, with both
+  * actions measured and committed (the bytes gate compares
+  * like-for-like from now on); SPARK_GRAFT_BENCH_ACTION=count keeps
+  * the old action available for A/Bs against pre-r14 artifacts, and
+  * every emitted JSON line now carries its `action`.
   *
   * Failure accounting: a query's headline number is the median of its
   * SUCCESSFUL samples; -1 means every pass failed. Queries with a
@@ -96,10 +98,16 @@ object Bench {
     val metrics = graft.tools.TaskMetricsListener.install(spark.sparkContext)
     val canary = collection.mutable.ArrayBuffer(graft.tools.TaskMetricsListener.cpuCanarySec())
 
+    // the measured action: full-plan materialization by default (the
+    // pre-r14 count() action let Catalyst prune the plan under
+    // measurement — see TaskMetricsListener.materialize)
+    val action = graft.tools.TaskMetricsListener.benchAction
+    val actionName = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "full")
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
+      try action(fn(spark, warmDir)) catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // samples(q) = one Sample per pass; a failing sample has sec = -1
@@ -114,7 +122,7 @@ object Bench {
         val m0 = metrics.snapshot(spark.sparkContext)
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { action(fn(spark, sfDir)); true }
           catch { case scala.util.control.NonFatal(_) => false }
         val sec = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMillis() - gc0) / 1e3
@@ -172,7 +180,7 @@ object Bench {
     val failed = results.collect { case (k, st) if st.allFailed => "\"" + k + "\"" }
     val total = ok.map(_._2.median).sum
     val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
@@ -190,7 +198,7 @@ object Bench {
     // marked truncated; bench_out.json carries the full maps).
     val top20 = ok.sortBy(-_._2.median).take(20)
       .map { case (k, st) => k -> st.median }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","n_queries":${results.size},"canary_sec":$canaryJson,"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","n_queries":${results.size},"canary_sec":$canaryJson,"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

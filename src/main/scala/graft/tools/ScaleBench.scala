@@ -225,10 +225,15 @@ object ScaleBench {
 
     val sel = ScaleSet.filter(n => only.forall(_.contains(n)))
       .map(n => n -> graft.SparkEntry.queries(n))
+    // the measured action: full-plan materialization (round 14 — the
+    // count() action measured Catalyst's count-pruned plans; see
+    // TaskMetricsListener.materialize)
+    val action = TaskMetricsListener.benchAction
+    val actionName = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "full")
     // one warm-up pass: JIT/codegen/parquet-footer costs are
     // per-process, not per-measurement
     sel.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
+      try action(fn(spark, warmDir)) catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // machine-independent metrics (round 13): byte/task deltas per
@@ -250,7 +255,7 @@ object ScaleBench {
       for ((name, fn) <- sel) {
         val m0 = metrics.snapshot(spark.sparkContext)
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true }
+        val ok = try { action(fn(spark, dir)); true }
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scale] x$scale $name pass $pass FAILED: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -305,7 +310,7 @@ object ScaleBench {
       s""""$name":{"ladder":{$ladder},"alpha_cold":${j(slope(coldPts))},"alpha_warm":${j(slope(warmPts))},"alpha_shuffle_bytes":$aShuf,"alpha_shuffle_records":$aRec,"alpha_input_bytes":$aIn}"""
     }
     val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"canary_sec":$canaryJson,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log y vs log scale; bytes/records from the last pass; alpha_shuffle_bytes/alpha_shuffle_records/alpha_input_bytes are machine-window-immune; a byte alpha above a flat record alpha is shuffle-compression decay (bounded by raw row width), not work growth","queries":{${rows.mkString(",")}}}"""
+    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${Scales.mkString(",")}],"passes":$Passes,"cpus":$cpus,"action":"$actionName","canary_sec":$canaryJson,"protocol":"pass1=cold (pays build-once artifacts), warm=min(pass2,pass3); alpha = least-squares slope of log y vs log scale; bytes/records from the last pass; alpha_shuffle_bytes/alpha_shuffle_records/alpha_input_bytes are machine-window-immune; a byte alpha above a flat record alpha is shuffle-compression decay (bounded by raw row width), not work growth","queries":{${rows.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()

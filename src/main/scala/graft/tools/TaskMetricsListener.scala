@@ -78,6 +78,30 @@ object TaskMetricsListener {
     l
   }
 
+  /** The bench's measured ACTION (round 14): execute the query's OWN
+    * physical plan and consume every row, distributed (no driver
+    * collect). `df.count()` is NOT that — Catalyst plans the count
+    * from scratch and prunes everything the count doesn't need:
+    * EliminateSorts drops the declared ORDER BY's range exchange, and
+    * column pruning can remove whole operators (ev_sessions' count
+    * collapsed to a two-phase DISTINCT user_id — the lag window never
+    * ran, and three rounds of its bench history measured the wrong
+    * plan: the r13 "super-linear byte curve" was the pruned distinct's
+    * map-side-combine decay, not sessionization). toRdd materializes
+    * the DataFrame's declared plan exactly as Verify/collect would,
+    * and RDD.count consumes each partition's iterator in place. */
+  def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  /** Bench action selected by SPARK_GRAFT_BENCH_ACTION: `full`
+    * (default — [[materialize]]) or `count` (the pre-r14 action, kept
+    * for byte-baseline A/Bs against pre-r14 artifacts). */
+  def benchAction: org.apache.spark.sql.DataFrame => Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "full") match {
+      case "count" => df => df.count()
+      case _       => materialize
+    }
+
   /** Fixed spark-free CPU canary: a pinned xorshift64* integer loop
     * whose work is identical every call, timed in seconds. Indexes the
     * machine window's speed so cross-round wall-clock comparisons can

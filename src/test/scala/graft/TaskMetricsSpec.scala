@@ -48,6 +48,30 @@ class TaskMetricsSpec extends SparkSpec {
     assert(whole == parts, s"window deltas don't tile: $whole vs $parts")
   }
 
+  test("materialize executes the DECLARED plan; count() measures a pruned one") {
+    // the round-14 bench-action fix: under count() Catalyst prunes the
+    // lag window (its output feeds nothing the count needs) and the
+    // declared ORDER BY (EliminateSorts under an aggregate), so the
+    // bench was timing a two-phase distinct, not sessionization. The
+    // materialized plan must ship the full event rows through the
+    // window exchange — strictly more shuffle records than the pruned
+    // count plan, and at least one record per input event row.
+    val l = TaskMetricsListener.install(spark.sparkContext)
+    val q = SparkEntry.queries("ev_sessions")
+    val nEvents = spark.read.parquet(s"$sf0001/events.parquet").count()
+    val m0 = l.snapshot(spark.sparkContext)
+    q(spark, sf0001).count()
+    val viaCount = l.snapshot(spark.sparkContext) - m0
+    val m1 = l.snapshot(spark.sparkContext)
+    val rows = TaskMetricsListener.materialize(q(spark, sf0001))
+    val viaFull = l.snapshot(spark.sparkContext) - m1
+    assert(rows > 0, "materialize consumed no rows")
+    assert(viaFull.records >= nEvents,
+      s"window exchange did not ship the event rows: ${viaFull.records} < $nEvents")
+    assert(viaFull.records > viaCount.records,
+      s"materialize measured no more work than the pruned count: $viaFull vs $viaCount")
+  }
+
   test("CPU canary runs the pinned workload (fold literal matches)") {
     // cpuCanarySec REQUIREs the fold internally — a drifted loop throws
     val sec = TaskMetricsListener.cpuCanarySec()
