@@ -9,7 +9,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q6_filter", "q3_join", "q5_join", "wc_wordcount", "kv_state")
-    val spark = Tables.session("graft-explain", 4)
+    val spark = Tables.session("graft-explain",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)

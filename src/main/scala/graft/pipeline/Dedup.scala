@@ -401,7 +401,21 @@ object Dedup {
     val overCap = dfs.filter(col("df") > maxDf).select("shingle")
     // the capped universe: everything the scores are computed over
     val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // doc sizes attached to the shingle rows BEFORE the self-join
+    // (round 14): the old shape joined sizes onto the candidate
+    // AGGREGATE — one row per surviving pair, the FATTEST table in the
+    // query (~5× the shingle index at 100×) — which rode broadcasts
+    // only while `sizes` (one row per doc) stayed under AQE's
+    // threshold. The 100× rung caught the flip: sizes' estimate
+    // crossed 10 MB, both post-agg joins went SMJ, and the candidate
+    // table shuffled TWICE (records 2.08× the linear projection,
+    // SCALE_r14_x100). One row per doc never broadcasts at 100 TB, so
+    // the scale-correct shape pays +8 bytes per shingle row through
+    // the one exchange the query already does (sizes ⋈ kept is
+    // doc-keyed, partial-agg-sized) and the candidate aggregate simply
+    // CARRIES both sizes (functionally dependent on the grouping key —
+    // max() picks the one value) — zero post-agg joins at any scale.
+    val sized = kept.join(sizes(kept), Seq("doc_id"))
     // The self-join runs on the FULL capped universe — deliberately no
     // df=1 semi-join prune (df=1 shingles match nothing, so results
     // are identical either way). The sort-merge self-join duplicates
@@ -410,23 +424,23 @@ object Dedup {
     // pass TWICE on top of the same full-index sort it was meant to
     // shrink — measured +25% on the whole query. df=1 rows cost one
     // extra streamed sort pass and zero join output.
-    val inter = kept.as("a")
-      .join(kept.as("b"),
+    sized.as("a")
+      .join(sized.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    // sizes joins are plain shuffle joins on purpose: sizes has one
-    // row per DOC — O(corpus) — so an explicit broadcast would ship
-    // the whole corpus's doc list to the driver and every executor.
-    // AQE still broadcasts it when it is genuinely small.
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Per-doc df-capped distinct-shingle counts over a `kept` universe
+    * — shared by [[jaccardPairs]]' sized self-join and [[lshRecall]]'s
+    * scored sample. */
+  private def sizes(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
   /** LSH RECALL audit over a deterministic pair sample — the
     * false-negative dial [[minhashError]] cannot see (it audits only

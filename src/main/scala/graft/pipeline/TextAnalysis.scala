@@ -235,11 +235,11 @@ object TextAnalysis {
     *
     * The count prune IS the scale story: a corpus's bigram table is
     * zipfian — most entries are singletons, together ~corpus-sized —
-    * so the JOINED table keeps only rows with cnt >= minCount
-    * (vocabulary-shaped, partial-aggregated before the prune), while
-    * the pruned tail routes through the vocabulary-sized unigram
-    * table. Context totals keep the pruned mass (sum over the FULL
-    * bigram aggregate), so kept conditionals stay true probabilities.
+    * so pairs below minCount route through the vocabulary-sized
+    * unigram table, scored by the cnt2 >= minCount branch of the lp
+    * expression. Context totals keep the pruned mass (sum over the
+    * FULL bigram aggregate), so kept conditionals stay true
+    * probabilities.
     * All ratios are exact-integer divisions; ln/multiply are IEEE ops
     * whose ulp-level engine differences vanish under the 4-decimal
     * rounding of a length-normalized mean (the [[logProb]] contract).
@@ -258,20 +258,36 @@ object TextAnalysis {
         element_at(col("toks"), col("pos") + 1).as("w2"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    val kept = bi.filter(col("cnt2") >= minCount)
     // context totals over the FULL aggregate (pruned mass included)
     val ctx = bi.groupBy("w1").agg(sum("cnt2").as("ctx"))
     val toks = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val uni = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = uni.agg(sum("cnt").as("total"))
-    pairs
-      .join(kept, Seq("w1", "w2"), "left")
+    // ONE instance-side exchange (round 14): the serve side used to
+    // join the n_tokens-row instance table against kept/ctx/uni
+    // SEPARATELY (keys (w1,w2), w1, w2) — three chances to shuffle the
+    // fat side, and at the 30× rung AQE's estimated sizes flipped two
+    // of them to SMJ (measured: 36.6M shuffled records, 3.46 segment
+    // slope, on ~1 MB of actual model data). The model tables are
+    // VOCABULARY-sized, so join them together FIRST — bi ⋈ ctx on w1,
+    // ⋈ uni on w2, vocab×vocab work, cheap at any scale — into one
+    // (w1, w2) lookup carrying (cnt2, ctx, ucnt). Every instance
+    // bigram exists in bi by construction (bi aggregates the same
+    // instances), so one INNER join serves all three lookups and the
+    // pruning rule moves into the lp expression (cnt2 >= minCount
+    // replaces the old left-join IS NOT NULL — same rows, same math).
+    // At 100 TB the model outgrows broadcast (Heaps' law vocab) and
+    // this shape shuffles the corpus once, not three times; below the
+    // threshold AQE still broadcasts the single lookup.
+    val model = bi
       .join(ctx, Seq("w1"))
       .join(uni.select(col("word").as("w2"), col("cnt").as("ucnt")), Seq("w2"))
+    pairs
+      .join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(total))
       .withColumn("lp",
-        when(col("cnt2").isNotNull,
+        when(col("cnt2") >= minCount,
           log(col("cnt2").cast("double") / col("ctx").cast("double")))
           .otherwise(
             log(lit(backoff) * col("ucnt").cast("double") / col("total").cast("double"))))

@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   *    corpus (k× the docs, k× the near-dup pairs);
   *  - embeddings: ids shifted in lockstep with doc ids (paired
   *    queries keep their pairing); vectors are cyclically rotated by
-  *    r components — norms and within-replica distances are exactly
-  *    preserved, cross-replica vectors decorrelate;
+  *    r components AND sign-flipped per replica (dimension j negated
+  *    iff murmur3(r, j) is odd — gen=v3) — norms and within-replica
+  *    distances are exactly preserved, cross-replica vectors
+  *    decorrelate even when the components are mean-dominated
+  *    (rotation alone left every cross-replica cosine near
+  *    mu²/E[x²], whose >= threshold tail grew the verified-pair
+  *    workload quadratically in k) and even past k = dim where
+  *    rotations wrap;
   *  - events: event/user ids shifted, timestamps kept — the 10×
   *    corpus is 10× the traffic over the same wall-clock range, so
   *    state-per-key operators (sessionization, stream joins) see 10×
@@ -84,7 +90,7 @@ object ScaleBench {
     * (TPC-H tables copied verbatim). */
   def generate(spark: SparkSession, base: String, out: java.nio.file.Path, k: Int): Unit = {
     val marker = out.resolve("_SCALE_OK")
-    val stamp = s"base=${java.nio.file.Paths.get(base).toAbsolutePath.normalize} k=$k gen=v2"
+    val stamp = s"base=${java.nio.file.Paths.get(base).toAbsolutePath.normalize} k=$k gen=v3"
     if (java.nio.file.Files.exists(marker)) {
       // the marker RECORDS what the replicas were built from — a
       // reused scale dir pointed at a different base corpus must
@@ -126,11 +132,32 @@ object ScaleBench {
       // rotate by r mod dim — replica counts beyond the vector
       // dimension must wrap, not slice negatively
       val rot = pmod(lit(r), size(col("embedding")))
+      val rotated = when(rot === 0, col("embedding")).otherwise(concat(
+        slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+        slice(col("embedding"), lit(1), rot)))
+      // PER-REPLICA SIGN PATTERN (gen=v3): rotation alone does not
+      // decorrelate MEAN-DOMINATED vectors — with all-positive
+      // components every cross-replica cosine sits near
+      // mu^2/E[x^2] regardless of index rotation, and the >= 0.9
+      // tail of that baseline grew the verified-pair table
+      // QUADRATICALLY in k (measured: pairs fit ~2.9k*k + 437*k^2;
+      // at 30x, 3.3x the linear projection — the 100x embedding-pair
+      // rung was measuring workload construction, not the operator).
+      // Rotation also wraps at r >= dim, making replicas r and r+dim
+      // byte-identical (guaranteed cross-replica EXACT dups past
+      // 64x). Deterministic per-replica sign flips fix both: each
+      // replica negates dimension j iff murmur3(r, j) is odd — norms
+      // and all WITHIN-replica dots are exactly preserved (one
+      // pattern per replica: sign(s_j x_j)*(s_j y_j) = x_j y_j),
+      // while cross-replica dots become sign-scrambled sums that
+      // cancel the mean term. Replica 0 keeps the identity pattern —
+      // and r > 0 replicas all change, so every gate-scale artifact
+      // is v2-incompatible and the gen stamp bump rebuilds them.
+      val signed = transform(rotated, (x, j) =>
+        when(pmod(hash(lit(r), j), lit(2)) === 1, -x).otherwise(x))
       e.select(
         (col("vec_id") + r * IdShift).as("vec_id"),
-        when(rot === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
-          slice(col("embedding"), lit(1), rot))).as("embedding"),
+        signed.as("embedding"),
         col("label"))
     }.repartition(math.max(4, 2 * k))
       .write.mode("overwrite").parquet(out.resolve("embeddings.parquet").toString)

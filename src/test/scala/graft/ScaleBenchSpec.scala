@@ -65,6 +65,20 @@ class ScaleBenchSpec extends SparkSpec {
         "rotation changed a vector norm")
       // lockstep shift: doc 1's replica-2 twin pairs with vec 1's
       assert(er.filter(col("vec_id") === 2L * 10000000L + 1L).count() == 1)
+      // gen=v3 sign flips actually applied: a replica twin must NOT be
+      // the bare rotation of its base vector (rotation alone leaves
+      // mean-dominated cross-replica cosines near mu^2/E[x^2] — the
+      // quadratic verified-pair creep — and wraps to IDENTITY at
+      // r >= dim). Sign-scrambled twin dot / norm stays far from 1.
+      val b1 = e0.filter(col("vec_id") === 1L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val t1 = er.filter(col("vec_id") === 10000001L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val rot1 = b1.drop(1) ++ b1.take(1)
+      val twinCos = rot1.zip(t1).map { case (a, b) => a * b }.sum /
+        math.max(1e-12, b1.map(x => x * x).sum)
+      assert(math.abs(math.abs(twinCos) - 1.0) > 0.05,
+        s"replica twin is (+-) the bare rotation — sign pattern not applied (cos=$twinCos)")
 
       // --- events: 3x rows, same time horizon, disjoint users ---
       val ev0 = spark.read.parquet(s"$sf0001/events.parquet")
