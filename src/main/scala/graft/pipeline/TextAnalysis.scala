@@ -127,6 +127,23 @@ object TextAnalysis {
     * symbol table — still persisted; the caller frees it — plus one
     * (step, l, r, pair_n, n_after) tuple per completed merge. */
   private def bpeLoop(docs: DataFrame,
+      iters: Int): (DataFrame, Seq[(Int, String, String, Long, Long)]) =
+    // per-loop shuffle sizing (round 14): every merge round launches
+    // windows/aggregates over the VOCABULARY-sized symbol table, and
+    // under the session's over-provisioned 256-partition default each
+    // tiny round paid 8× the task-scheduling overhead (measured:
+    // text_bpe_apply 2.4 → 4.2 s at sf0.1 when the default shipped).
+    // Size the loop's shuffles to the core count instead — the
+    // StreamReplay.StatePartitions stance: iterative bounded state is
+    // a deliberate per-query layout choice, not the big-shuffle
+    // default's job. At real corpus scale vocab grows (Heaps) and a
+    // deployment raises this with it.
+    graft.core.Confs.withShufflePartitions(docs.sparkSession,
+      docs.sparkSession.sparkContext.defaultParallelism) {
+      bpeLoopBody(docs, iters)
+    }
+
+  private def bpeLoopBody(docs: DataFrame,
       iters: Int): (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(explode(split(col("text"), " ")).as("word"))

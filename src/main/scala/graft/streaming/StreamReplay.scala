@@ -109,12 +109,8 @@ object StreamReplay {
     * same knob goes UP instead; the point is that it is a deliberate
     * state-layout choice, set per query. */
   private def withShufflePartitions[T](
-      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T =
+    graft.core.Confs.withShufflePartitions(spark, n)(body)
 
   /** State-store partition count for the replay queries' stateful
     * operators — kilobytes of state at any test sf (≤ 50 KV keys /

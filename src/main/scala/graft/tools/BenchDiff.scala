@@ -88,7 +88,11 @@ object BenchDiff {
           improved += Finding(q, metric, bv, cv, None)
       }
       check("shuffle", b.shuffle, c.shuffle, ShuffleFloor)
-      check("records", b.records, c.records, RecordFloor)
+      // a pre-r14 baseline has no shuffle_records field: zero records
+      // against nonzero shuffle bytes means UNMEASURED, not zero work
+      // — comparing against it would flag every query
+      if (b.records > 0 || b.shuffle == 0)
+        check("records", b.records, c.records, RecordFloor)
       check("input", b.input, c.input, InputFloor)
       check("tasks", b.tasks, c.tasks, TaskFloor)
       if (c.spill > 0 && b.spill == 0) findings += Finding(q, "spill", 0, c.spill, allow.get(q))

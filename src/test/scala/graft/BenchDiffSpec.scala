@@ -73,6 +73,18 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(fs.map(_.metric) == Seq("records"))
   }
 
+  test("a pre-r14 baseline (no records field) never flags records growth — unmeasured, not zero") {
+    val b = Map("q" -> B(10L << 20, 0, 1L << 20, 50, 0)) // shuffle>0, records unmeasured
+    val c = Map("q" -> B(10L << 20, 5000000, 1L << 20, 50, 0))
+    val (fs, _, _, _, _) = BenchDiff.diff(b, c, Map.empty)
+    assert(fs.isEmpty, s"unmeasured baseline records flagged: $fs")
+    // but a genuinely-zero baseline (no shuffle at all) still gates
+    val b2 = Map("q" -> B(0, 0, 1L << 20, 50, 0))
+    val c2 = Map("q" -> B(0, 5000000, 1L << 20, 50, 0))
+    val (fs2, _, _, _, _) = BenchDiff.diff(b2, c2, Map.empty)
+    assert(fs2.map(_.metric) == Seq("records"))
+  }
+
   test("readBytes parses a bench_out-shaped file (records defaulting to 0 for pre-r14 baselines)") {
     val f = java.nio.file.Files.createTempFile("graft_bd_", ".json")
     java.nio.file.Files.writeString(f,
