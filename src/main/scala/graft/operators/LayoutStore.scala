@@ -231,16 +231,33 @@ object LayoutStore {
   }
 
   /** Layout kinds RETIRED by a format bump: publishing the successor
-    * kind sweeps the predecessor's dirs (any source, > 24 h old). A
-    * format rename alone would leak the old kind's layouts forever —
-    * sweepStale groups by the PUBLISHED name's prefix, which a renamed
-    * kind can never match (r13 advice: every reused host kept a full
-    * pre-r13 multi-file-bucket lineitem+orders copy on disk). Kinds
-    * are dash-free (REQUIREd in layoutDir), so a `kind + "-"` prefix
-    * test is unambiguous — "bucketed-" cannot match a "bucketedv2-"
-    * sibling. */
+    * kind sweeps the predecessor's dirs (any source, older than
+    * [[RetiredGrace]]). A format rename alone would leak the old
+    * kind's layouts forever — sweepStale groups by the PUBLISHED
+    * name's prefix, which a renamed kind can never match (r13 advice:
+    * every reused host kept a full pre-r13 multi-file-bucket
+    * lineitem+orders copy on disk). Kinds are dash-free (REQUIREd in
+    * layoutDir), so a `kind + "-"` prefix test is unambiguous —
+    * "bucketed-" cannot match a "bucketedv2-" sibling.
+    *
+    * Mixed-version caveat (advice r14): reads do not bump mtime, so a
+    * NOT-yet-upgraded process sharing the layout root could have a
+    * layout it is actively serving swept by an upgraded sibling's
+    * first publish. The sweep therefore uses its own grace period,
+    * sized to an upgrade WINDOW rather than a staleness window:
+    * retired-kind dirs survive [[RetiredGrace]] past their last
+    * write, long beyond any rolling upgrade of a shared-cache fleet
+    * (same-kind staleness keeps the 24 h rule — those dirs are only
+    * ever read by code that also knows the current fingerprint). A
+    * deployment that pins mixed versions indefinitely should not
+    * share a layout root across versions — the store's documented
+    * contract. */
   private val RetiredKinds: Map[String, Seq[String]] =
     Map("bucketedv2" -> Seq("bucketed"))
+
+  /** Grace for RETIRED-kind sweeps: 7 days (vs 24 h for same-kind
+    * staleness) — see the mixed-version caveat on [[RetiredKinds]]. */
+  private val RetiredGrace = java.time.Duration.ofDays(7)
 
   /** Delete sibling layouts of the same kind AND SOURCE (and their
     * abandoned stagings) whose last modification is older than 24 h.
@@ -268,7 +285,9 @@ object LayoutStore {
     val kind = name.take(name.indexOf('-'))
     val legacy = s"^${java.util.regex.Pattern.quote(kind)}-[0-9a-f]{16}(\\..*)?$$".r
     val retired = RetiredKinds.getOrElse(kind, Nil).map(_ + "-")
-    val cutoff = java.time.Instant.now().minus(java.time.Duration.ofHours(24))
+    val now = java.time.Instant.now()
+    val cutoff = now.minus(java.time.Duration.ofHours(24))
+    val retiredCutoff = now.minus(RetiredGrace)
     try {
       val s = Files.list(published.getParent)
       try {
@@ -276,10 +295,11 @@ object LayoutStore {
         s.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
+            val isRetired = retired.exists(n.startsWith)
             p != published &&
-              (n.startsWith(prefix) || legacy.matches(n) ||
-                retired.exists(n.startsWith)) &&
-              Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
+              (n.startsWith(prefix) || legacy.matches(n) || isRetired) &&
+              Files.getLastModifiedTime(p).toInstant
+                .isBefore(if (isRetired) retiredCutoff else cutoff)
           }
           .toVector // materialize before deleting under the stream
           .foreach(p => try graft.core.Fs.rmTreeNoFollow(p)

@@ -447,14 +447,41 @@ object Dedup {
     * pairs the bands already caught). Docs sharing a hash bucket
     * (md5 byte mod `nBuckets`) form the sampled pair set — N²/B
     * pairs, so B sized ~N keeps the audit linear while sampling pairs
-    * uniformly. Per pair: the TRUE df-capped distinct-shingle Jaccard
-    * (computed only for sampled pairs: pair × shingles-of-a rows
-    * semi-joined against b's shingles — never the all-pairs
-    * self-join), and whether [[minhashCandidates]]' banding caught
-    * it. Output per Jaccard decile: pair count, caught count, capture
-    * rate, and the theoretical S-curve 1 − (1 − j^r)^b at the bucket
-    * midpoint — observed-vs-theory is the number that sizes
-    * (bands × rows) before a 100 TB dedup run trusts its recall. */
+    * uniformly. Per pair: the TRUE df-capped distinct-shingle Jaccard,
+    * and whether [[minhashCandidates]]' banding caught it. Output per
+    * Jaccard decile: pair count, caught count, capture rate, and the
+    * theoretical S-curve 1 − (1 − j^r)^b at the bucket midpoint —
+    * observed-vs-theory is the number that sizes (bands × rows)
+    * before a 100 TB dedup run trusts its recall.
+    *
+    * CARRY SHAPE (round 15 — the [[jaccardPairs]] surgery applied to
+    * the audit's scoring joins, which were the last measured
+    * super-linear records segments in the engine): the old shape
+    * materialized pair × shingles-of-a (16·N pairs fanned by every
+    * shingle of their left doc — the fattest table in the query,
+    * there only to be semi-joined away) and then LEFT-JOINED sizes
+    * twice and `caught` once onto the 16·N-row pair table; at the
+    * 100× rung AQE flipped those doc-keyed joins to SMJ and the pair
+    * table shuffled four times (records 2.25× the linear slope, 30 GB
+    * sort spill — SCALE_r14_x100). Now:
+    *
+    *  - the sample-bucket id is a PURE FUNCTION of doc_id, so it is
+    *    computed map-side on the shingle rows (no join) and the true
+    *    intersections come from a self-join of the bucket-tagged
+    *    shingle index ON (pb, shingle) — emitting one row per shared
+    *    shingle of a SAME-BUCKET pair, i.e. only the audit's actual
+    *    output, never the pair × shingle fan (per-key fan ≤ bucket
+    *    occupancy ~32 by construction, and the one exchange is
+    *    ReuseExchange-shared by both sides);
+    *  - per-doc sizes ride the pair rows from birth: sizes join the
+    *    N-row doc table BEFORE the bucket self-join (doc-keyed,
+    *    partial-agg-sized — never a fat-side re-shuffle), and the
+    *    pair output carries (sz_a, sz_b) the way jaccardPairs'
+    *    candidate aggregate carries them;
+    *  - the two remaining joins (inter, caught) are both keyed on
+    *    (doc_a, doc_b) — inter's groupBy output is ALREADY hash-
+    *    partitioned on that key, so the scoring stage shuffles the
+    *    pair table exactly once at any scale. */
   /** `caughtPairs`: a prebuilt candidate-pair table for THIS banding
     * preset (e.g. [[nearDupIndexCached]].pairs for the default) — the
     * audit then reads the artifact instead of re-running the band
@@ -471,36 +498,45 @@ object Dedup {
     val buckets =
       if (nBuckets > 0) nBuckets.toLong
       else math.max(16L, docs.count() / 32)
-    val pb = docs.select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
-        % buckets).as("pb"))
-    val pairs = pb.as("a").join(pb.as("b"),
-        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    def pbOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
     val sh = TextAnalysis.shingles(docs, k)
       .select(col("doc_id"), col("shingle")).distinct()
     val overCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
     val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(kept.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // sizes attach to the N-row doc table (left: a doc whose every
+    // shingle was capped away legitimately has sz=0), bucket id is
+    // computed in place — the pair rows are born complete
+    val pbSized = docs.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sz"), lit(0L)).as("sz"),
+        pbOf(col("doc_id")).as("pb"))
+    val pairs = pbSized.as("a").join(pbSized.as("b"),
+        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    // true intersections INSIDE the sample buckets: the bucket-tagged
+    // shingle index self-joined on (pb, shingle) emits exactly one row
+    // per shared shingle of a same-bucket pair — identical counts to
+    // the old pair × shingle fan, at the output's own row volume
+    val keptB = kept.withColumn("pb", pbOf(col("doc_id")))
+    val inter = keptB.as("a").join(keptB.as("b"),
+        col("a.pb") === col("b.pb") && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     val caught = caughtPairs
       .getOrElse(minhashCandidates(docs, k, bandRows = bandRows))
       .select(col("doc_a"), col("doc_b"))
       .withColumn("caught", lit(1L))
     val scored = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"), "left")
       .join(caught, Seq("doc_a", "doc_b"), "left")
       .select(
         coalesce(col("inter"), lit(0L)).as("inter"),
-        (coalesce(col("sz_a"), lit(0L)) + coalesce(col("sz_b"), lit(0L))
-          - coalesce(col("inter"), lit(0L))).as("den"),
+        (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))).as("den"),
         coalesce(col("caught"), lit(0L)).as("caught"))
       .withColumn("jac_bp",
         when(col("den") === 0, lit(0L)).otherwise(expr("inter * 10000 div den")))

@@ -391,14 +391,28 @@ object PipelineQueries extends QueryPack {
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(docs(s, d), 3).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(emb(s, d), 0L to 9L, 5).orderBy("probe_id", "rank")),
-    "sim_ann_pairs" -> ((s, d) => Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
-    // corpus-sized LSH: signature width grows with n so bucket
+    // the DEFAULT name serves the corpus-sized (adaptive-width) plan
+    // (round 15 — the r14 verdict's naming inversion: the undecorated
+    // name used to serve the fixed-width control, whose recall
+    // collapses at 100× corpora while its records curve stays flat —
+    // SCALE_r14_x100c measured it finding ~6% of the adaptive pair
+    // volume at the 100× rung. Defaults must be safe; the control is
+    // now explicit at _fixed). Signature width grows with n so bucket
     // occupancy (hence candidate volume) stays linear at any scale; at
     // gate scale the params degenerate to the fixed ones, so the same
-    // static-width oracle gates both (adaptivity spec-pinned +
-    // ladder-measured — see Similarity.adaptiveLshParams)
+    // static-width oracle gates all three names (adaptivity
+    // spec-pinned + ladder-measured — see Similarity.adaptiveLshParams)
+    "sim_ann_pairs" -> ((s, d) =>
+      Similarity.annPairsAdaptive(emb(s, d)).orderBy("id_a", "id_b")),
+    // stable alias of the adaptive plan (pre-r15 artifact/baseline
+    // continuity — BenchDiff fails loud on missing baseline queries)
     "sim_ann_pairs_adaptive" -> ((s, d) =>
       Similarity.annPairsAdaptive(emb(s, d)).orderBy("id_a", "id_b")),
+    // the FIXED-WIDTH CONTROL: kept as the ladder's contrast arm — at
+    // scale its bucket occupancy grows with n until the skew cap
+    // truncates recall. Never the production path.
+    "sim_ann_pairs_fixed" -> ((s, d) =>
+      Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
     // threshold range search: no window, pure map+filter over the scan
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(emb(s, d), 0L to 9L).orderBy("probe_id", "neighbor_id")),
@@ -2316,16 +2330,21 @@ object PipelineQueries extends QueryPack {
          |                                   ORDER BY cos DESC, vec_id) AS rn
          |      FROM scored)
          |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // the adaptive path (now the default name AND its _adaptive alias)
+    // degenerates to the fixed (planes, families) at every gate sf
+    // (n <= 2^NumPlanes * targetBucket), so the static CTE is the
+    // exact oracle for all three names there; a mis-fired adaptivity
+    // (wider sigs at gate scale) would change the candidate set and
+    // FAIL this hash gate — the degeneracy itself is what's checked
     "sim_ann_pairs" ->
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
-    // the adaptive path degenerates to the fixed (planes, families) at
-    // every gate sf (n <= 2^NumPlanes * targetBucket), so the static
-    // CTE is its exact oracle there; a mis-fired adaptivity (wider
-    // sigs at gate scale) would change the candidate set and FAIL this
-    // hash gate — the degeneracy itself is what's being checked
     "sim_ann_pairs_adaptive" ->
+      s"""${annPairsCtes(Similarity.AnnThreshold)}
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_ann_pairs_fixed" ->
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,

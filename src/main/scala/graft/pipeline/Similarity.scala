@@ -220,7 +220,17 @@ object Similarity {
     * bit-identical to [[annPairs]] there, which is what lets the
     * driver's SQL oracle (static plane count) gate it; the adaptivity
     * itself is spec-pinned on a replicated corpus and measured by the
-    * scale ladder's byte exponents. */
+    * scale ladder's byte exponents.
+    *
+    * RECALL FLOOR AT CAPPED WIDTHS (round 15 — measured, not just
+    * modeled): the post-cap trade is gated by a spec that runs the
+    * banded join itself at planes > NumPlanes with families held at
+    * the cap, on a corpus of planted ~0.8-cosine pairs
+    * (PipelineSpec "capped-width LSH"): observed recall must sit
+    * within [model − 0.15, model + 0.25] of [[estimatedLshRecall]]
+    * applied per pair (per-plane agreement 1 − θ/π) and strictly
+    * below 0.9 — the trade is real, bounded by the model, and
+    * exact-dup pairs (cos = 1, width-invariant) are never lost. */
   def adaptiveLshParams(n: Long, targetBucket: Long = 64L,
       refSim: Double = 0.85, maxFamilies: Int = 8): (Int, Int) = {
     require(n >= 0 && targetBucket > 0 && refSim > 0 && refSim < 1)

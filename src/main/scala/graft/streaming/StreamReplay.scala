@@ -125,6 +125,34 @@ object StreamReplay {
     * count — the point stays: it is a deliberate per-query knob. */
   private val StatePartitions = 2
 
+  /** SCALE-AWARE state-partition count for the event-corpus replays
+    * (round 15 — r14's x100 rung: stream_sessions' shuffle records
+    * stayed exactly linear to 100× while its WALL segment bent to
+    * 1.31, because the pinned 2-partition state layout caps each
+    * micro-batch's state work at 2 tasks; at 10M events the knob
+    * saturates). Derived from the corpus's events.parquet byte size —
+    * a filesystem stat, no action: ~1 state partition per 8 MB of
+    * event data, floored at [[StatePartitions]] (so every gate sf and
+    * the bench's sf0.1 keep today's measured 2-partition layout and
+    * its per-partition commit tax — sf0.1 events are 2 MB) and capped
+    * at 64 (the commit tax is per partition PER STORE per batch; a
+    * stream-stream join carries 4 stores). SPARK_GRAFT_STATE_PARTITIONS
+    * overrides — production sizes this to state volume / executor
+    * count. The op-log replays keep the flat constant: their state is
+    * ≤ 50 KV keys at any sf, bounded by construction. */
+  private def statePartitionsFor(sfDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      val dir = java.nio.file.Paths.get(sfDir, "events.parquet")
+      val bytes =
+        try {
+          val s = java.nio.file.Files.walk(dir)
+          try s.filter(p => java.nio.file.Files.isRegularFile(p))
+            .mapToLong(p => java.nio.file.Files.size(p)).sum()
+          finally s.close()
+        } catch { case _: java.io.IOException => 0L }
+      math.max(StatePartitions, math.min(64L, bytes / (8L << 20)).toInt)
+    }
+
   /** Checkpoint the prepared events frame `e0` (projected — and
     * filtered, where the replay has a row filter: filters belong
     * BEFORE the checkpoint so the checkpoint holds only needed rows —
@@ -188,7 +216,7 @@ object StreamReplay {
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
       val name = s"stream_hourly_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", root.resolve("ck").toString)
@@ -298,7 +326,7 @@ object StreamReplay {
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/b*")
       val name = s"stream_hll_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val updates = src.as[(Long, Long, Long)]
           .groupByKey(_._1)
           .mapGroupsWithState[HllState, HllUpdate](
@@ -408,7 +436,7 @@ object StreamReplay {
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
       val name = s"stream_hourly_late_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .option("checkpointLocation", root.resolve("ck").toString)
@@ -482,7 +510,7 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_late_")
     try {
       val name = s"stream_sessions_late_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val src = spark.readStream
           .schema("user_id LONG, ts_utc TIMESTAMP")
           .option("maxFilesPerTrigger", "1")
@@ -545,7 +573,7 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_sessions_")
     try {
       val name = s"stream_sessions_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val src = spark.readStream
           .schema("user_id LONG, ts_utc TIMESTAMP")
           .option("maxFilesPerTrigger", "1")
@@ -614,7 +642,7 @@ object StreamReplay {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
       val name = s"stream_static_join_${runCounter.incrementAndGet()}"
-      withShufflePartitions(spark, StatePartitions) {
+      withShufflePartitions(spark, statePartitionsFor(sfDir)) {
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", root.resolve("ck").toString)
@@ -699,6 +727,24 @@ object StreamReplay {
       inDir
     })
 
+  /** Drop (and delete from disk) every cached fixture built for
+    * `sfDir` — the per-rung release a ladder harness calls when a
+    * scale rung completes: fixtures are keyed by corpus dir and a
+    * finished rung never returns to its corpus, so holding its bucket
+    * dirs (10M-event parquet at the 100× rung) until JVM shutdown is
+    * pure scratch-disk growth (ScaleBench's per-rung free, r14 advice
+    * #4 — session caches accumulated across rungs OOM'd the default
+    * driver heap). Safe mid-session: the next request for a dropped
+    * (sfDir, kind) simply rebuilds. */
+  def dropCachedFixtures(sfDir: String): Unit =
+    fixtureCache.keys.filter(_._1 == sfDir).foreach { key =>
+      fixtureCache.remove(key).foreach { inDir =>
+        val root = inDir.getParent
+        fixtureRoots.remove(root)
+        try rmTree(root) catch { case _: java.io.IOException => () }
+      }
+    }
+
   /** Time-ordered (purchase|click) buckets + sentinel bucket, built
     * once per session per (sfDir, nBatches). Returns the bucket dir. */
   private def orderedIntervalFixture(spark: org.apache.spark.sql.SparkSession,
@@ -730,7 +776,8 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_")
     try {
       drainIntervalJoin(spark, inDir, root,
-        s"stream_interval_join_${runCounter.incrementAndGet()}")
+        s"stream_interval_join_${runCounter.incrementAndGet()}",
+        stateParts = statePartitionsFor(sfDir))
         .filter(col("purchase_id") >= 0) // sentinel can't match; belt-and-braces
     } finally rmTree(root)
   }
@@ -744,8 +791,9 @@ object StreamReplay {
     * inner/leftOuter, where p_user is never null). */
   private def drainIntervalJoin(spark: org.apache.spark.sql.SparkSession,
       inDir: java.nio.file.Path, root: java.nio.file.Path, name: String,
-      joinType: String = "inner"): DataFrame = {
-    withShufflePartitions(spark, StatePartitions) {
+      joinType: String = "inner",
+      stateParts: Int = StatePartitions): DataFrame = {
+    withShufflePartitions(spark, stateParts) {
       val schema = "event_id LONG, user_id LONG, event_type STRING, ts_utc TIMESTAMP"
       def side(kind: String, prefix: String) = spark.readStream
         .schema(schema)
@@ -798,7 +846,8 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_outer_")
     try {
       drainIntervalJoin(spark, inDir, root,
-        s"stream_interval_join_outer_${runCounter.incrementAndGet()}", "leftOuter")
+        s"stream_interval_join_outer_${runCounter.incrementAndGet()}", "leftOuter",
+        stateParts = statePartitionsFor(sfDir))
         .filter(col("purchase_id") >= 0) // drop the flush sentinel
     } finally rmTree(root)
   }
@@ -819,7 +868,8 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_full_")
     try {
       drainIntervalJoin(spark, inDir, root,
-        s"stream_interval_join_full_${runCounter.incrementAndGet()}", "fullOuter")
+        s"stream_interval_join_full_${runCounter.incrementAndGet()}", "fullOuter",
+        stateParts = statePartitionsFor(sfDir))
         .filter(coalesce(col("purchase_id"), lit(0L)) >= 0 &&
           coalesce(col("click_id"), lit(0L)) >= 0) // drop both flush sentinels
     } finally rmTree(root)
@@ -869,7 +919,8 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj_late_")
     try {
       drainIntervalJoin(spark, inDir, root,
-        s"stream_interval_join_late_${runCounter.incrementAndGet()}")
+        s"stream_interval_join_late_${runCounter.incrementAndGet()}",
+        stateParts = statePartitionsFor(sfDir))
     } finally rmTree(root)
   }
 

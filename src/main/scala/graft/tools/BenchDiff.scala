@@ -53,6 +53,17 @@ object BenchDiff {
   val RecordFloor = 50000L
   val TaskFloor = 64L
 
+  /** The run's measured action (`full` / `count`). Pre-r14 artifacts
+    * carry no `action` field; they were all count-action, so the
+    * absent case reads as "count" — which makes an accidental diff of
+    * a pre-r14 baseline against a full-action run fail the action
+    * gate instead of silently comparing incomparable byte profiles. */
+  def readAction(path: String): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    Option(root.get("action")).map(_.asText("count")).getOrElse("count")
+  }
+
   def readBytes(path: String): Map[String, B] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
@@ -110,6 +121,18 @@ object BenchDiff {
     val allowPath = rest.headOption.getOrElse(
       java.nio.file.Paths.get(basePath).toAbsolutePath.getParent
         .resolve("BENCHDIFF_ALLOW.json").toString)
+    // count-action and full-action byte profiles are incomparable by
+    // construction (count measures Catalyst's count-pruned plans —
+    // the round-14 finding that created the action field). A
+    // mismatched diff in the shrinking direction would pass silently
+    // with every query "improved"; fail it loudly in both directions.
+    val (baseAct, curAct) = (readAction(basePath), readAction(curPath))
+    if (baseAct != curAct) {
+      println(s"[benchdiff] FAIL: action mismatch — baseline=$baseAct current=$curAct " +
+        "(byte profiles across actions are incomparable; re-baseline or rerun with " +
+        "SPARK_GRAFT_BENCH_ACTION matching the baseline)")
+      sys.exit(2)
+    }
     val (fs, missing, fresh, improved, stale) =
       diff(readBytes(basePath), readBytes(curPath), readAllow(allowPath))
     improved.foreach(f => println(s"[benchdiff] IMPROVED  $f"))

@@ -79,8 +79,10 @@ object ScaleBench {
     "rel_merge", "rel_bucket_join",
     // fixed vs corpus-sized LSH (round 13): the pair whose byte
     // exponents demonstrate the adaptive-width fix — fixed 6-bit
-    // sigs grow candidate volume ~occupancy², adaptive stays linear
-    "sim_ann_pairs", "sim_ann_pairs_adaptive")
+    // sigs grow candidate volume ~occupancy², adaptive stays linear.
+    // Round 15: the default name now serves the ADAPTIVE plan; the
+    // fixed-width control is explicit at _fixed (r14 verdict #2)
+    "sim_ann_pairs", "sim_ann_pairs_fixed")
 
   private val IdShift = 10000000L
 
@@ -291,6 +293,19 @@ object ScaleBench {
         System.err.println(f"[scale] x$scale $name pass $pass: $sec%.2f s")
       }
       if (pass == Passes) canary += TaskMetricsListener.cpuCanarySec()
+      // per-rung cache release (r14 advice #4): every session cache —
+      // retained checkpoints (near-dup/span/ANN/PQ indexes, BPE
+      // tables), the PCA/corpusN memos, the streaming fixtures — is
+      // keyed by corpus dir, and a completed rung never returns to its
+      // corpus; accumulating them across the ladder OOM'd the default
+      // 8 GB driver heap at the 100× rung (the committed r14 artifacts
+      // needed SPARK_DRIVER_MEM=48g). Freed blocks rebuild on demand,
+      // so correctness is untouched; the warm-dir caches pass 1 of the
+      // NEXT rung rebuilds are that rung's cold cost, as designed.
+      if (pass == Passes) {
+        graft.pipeline.Dedup.freeRetained()
+        graft.streaming.StreamReplay.dropCachedFixtures(dir)
+      }
     }
 
     /** least-squares slope of log t over log scale. */

@@ -99,7 +99,13 @@ object TaskMetricsListener {
   def benchAction: org.apache.spark.sql.DataFrame => Long =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "full") match {
       case "count" => df => df.count()
-      case _       => materialize
+      case "full"  => materialize
+      // the raw env string is echoed into the artifact's `action`
+      // field and BenchDiff gates on it — a typo silently running
+      // the full action under a mislabeled name would poison the
+      // committed baseline; fail fast instead
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_ACTION must be 'full' or 'count', got '$other'")
     }
 
   /** Fixed spark-free CPU canary: a pinned xorshift64* integer loop

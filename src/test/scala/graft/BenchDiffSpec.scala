@@ -96,4 +96,23 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(m("b") == B(3, 7, 4, 1, 5))
     java.nio.file.Files.delete(f)
   }
+
+  test("readAction: explicit action is returned; a pre-r14 file (no field) reads as count") {
+    // r14 advice (medium): count-action and full-action byte profiles
+    // are incomparable — main() exits non-zero when baseline and
+    // current actions differ. The absent-field default of "count" is
+    // what makes an accidental pre-r14-baseline-vs-full-run diff FAIL
+    // the action gate instead of passing silently with every query
+    // "improved".
+    val full = java.nio.file.Files.createTempFile("graft_bda_", ".json")
+    java.nio.file.Files.writeString(full,
+      """{"metric":"total","action":"full","queries_bytes":{}}""")
+    val legacy = java.nio.file.Files.createTempFile("graft_bdl_", ".json")
+    java.nio.file.Files.writeString(legacy,
+      """{"metric":"total","queries_bytes":{}}""")
+    assert(BenchDiff.readAction(full.toString) == "full")
+    assert(BenchDiff.readAction(legacy.toString) == "count")
+    java.nio.file.Files.delete(full)
+    java.nio.file.Files.delete(legacy)
+  }
 }

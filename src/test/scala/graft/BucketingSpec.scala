@@ -442,22 +442,24 @@ class BucketingSpec extends SparkSpec {
     // pre-r13 'bucketed-*' layout permanently (sweepStale groups by
     // the published prefix, which a renamed kind never matches)
     val root = java.nio.file.Files.createTempDirectory("graft_retire_")
-    def mk(name: String): java.nio.file.Path = {
+    def mk(name: String, age: java.time.Duration): java.nio.file.Path = {
       val d = root.resolve(name)
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.writeString(d.resolve("data"), "x")
-      // age it past the 24h retention cutoff
-      val old = java.nio.file.attribute.FileTime.from(
-        java.time.Instant.now().minus(java.time.Duration.ofHours(25)))
-      java.nio.file.Files.setLastModifiedTime(d, old)
+      java.nio.file.Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.from(java.time.Instant.now().minus(age)))
       d
     }
-    val legacyEra = mk("bucketed-0123456789abcdef") // pre-source-scoping name
-    val scopedOld = mk("bucketed-aaaaaaaa-fedcba9876543210")
-    val fresh = mk("bucketed-bbbbbbbb-1111111111111111")
-    java.nio.file.Files.setLastModifiedTime(fresh,
-      java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
-    val other = mk("zorder-cccccccc-2222222222222222") // unrelated kind
+    // retired-kind sweeps use the 7-DAY upgrade-window grace (advice
+    // r14: reads don't bump mtime, so a pre-upgrade process sharing
+    // the root could be serving a dir that is merely >24h old)
+    val d8 = java.time.Duration.ofDays(8)
+    val legacyEra = mk("bucketed-0123456789abcdef", d8) // pre-source-scoping name
+    val scopedOld = mk("bucketed-aaaaaaaa-fedcba9876543210", d8)
+    val inWindow = mk("bucketed-eeeeeeee-4444444444444444",
+      java.time.Duration.ofHours(25)) // stale by the 24h rule, inside the upgrade window
+    val fresh = mk("bucketed-bbbbbbbb-1111111111111111", java.time.Duration.ZERO)
+    val other = mk("zorder-cccccccc-2222222222222222", d8) // unrelated kind
     val v2 = LayoutStore.getOrBuild(
       root.resolve("bucketedv2-dddddddd-3333333333333333")) { staging =>
       java.nio.file.Files.writeString(staging.resolve("data"), "y")
@@ -467,8 +469,11 @@ class BucketingSpec extends SparkSpec {
       "legacy-era retired-kind dir survived the v2 publish")
     assert(!java.nio.file.Files.exists(scopedOld),
       "source-scoped retired-kind dir survived the v2 publish")
+    assert(java.nio.file.Files.exists(inWindow),
+      "a retired-kind dir inside the 7-day upgrade window was swept " +
+        "(a pre-upgrade session may still be serving it)")
     assert(java.nio.file.Files.exists(fresh),
-      "a <24h retired-kind dir was swept (a session may still be serving it)")
+      "a fresh retired-kind dir was swept (a session may still be serving it)")
     assert(java.nio.file.Files.exists(other), "an unrelated kind was swept")
     graft.core.Fs.rmTreeNoFollow(root)
   }

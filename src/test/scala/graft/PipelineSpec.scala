@@ -963,6 +963,73 @@ class PipelineSpec extends SparkSpec {
     assert(uncAt2M > 8, s"warn branch not reachable at n=2M (uncapped=$uncAt2M)")
   }
 
+  test("capped-width LSH: measured non-exact recall floor on a planes>NumPlanes corpus") {
+    // r14 advice parenthetical, closed: the family-cap trade
+    // (adaptiveLshParams stops buying recall back once maxFamilies
+    // binds) was model-pinned and log-surfaced but never MEASURED.
+    // This runs the actual banded join at a capped width — planes
+    // well past NumPlanes with families held at the fixed count, the
+    // exact shape a corpus past the cap sees — on a corpus with
+    // planted near-pairs of known cosine, and asserts the observed
+    // recall against the documented floor: real (above the model's
+    // prediction minus slack), genuinely non-exact (far below 1 — the
+    // trade exists), and exact-dup-lossless (cos=1 pairs are
+    // width-invariant: every plane agrees on identical vectors).
+    import spark.implicits._
+    val rnd = new scala.util.Random(20250816L)
+    val dim = 16
+    val nPairs = 200
+    def vec(): Array[Float] = Array.fill(dim)((rnd.nextInt(201) - 100).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], String)]
+    var id = 0L
+    for (_ <- 0 until nPairs) {
+      val base = vec()
+      val partner = base.clone()
+      // perturb 3 of 16 dims -> planted cosine ~0.8 (computed exactly
+      // below; spread comes from the random magnitudes)
+      for (d <- Seq(2, 7, 11)) partner(d) = (rnd.nextInt(201) - 100).toFloat
+      rows += ((id, base, "a")); rows += ((id + 1, partner, "a")); id += 2
+    }
+    // 10 planted EXACT duplicates (identical vectors, distinct ids)
+    for (_ <- 0 until 10) {
+      val b = vec(); rows += ((id, b, "a")); rows += ((id + 1, b.clone(), "a")); id += 2
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding", "label")
+    val cappedPlanes = 12 // adaptiveLshParams' width for n ~ 250k
+    val caught = Similarity
+      .annPairs(emb, threshold = 0.5, numPlanes = cappedPlanes,
+        numFamilies = Similarity.NumFamilies)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dx = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      dx / math.sqrt(x.map(a => a.toDouble * a.toDouble).sum *
+        y.map(a => a.toDouble * a.toDouble).sum)
+    }
+    val planted = (0 until nPairs).map { p =>
+      val (a, b) = (rows(2 * p), rows(2 * p + 1))
+      (a._1, b._1, cos(a._2, b._2))
+    }.filter(_._3 >= 0.5)
+    assert(planted.size > 150, s"fixture drifted: only ${planted.size} planted pairs above threshold")
+    val got = planted.count(p => caught((p._1, p._2)))
+    val observed = got.toDouble / planted.size
+    // the model's prediction for THIS corpus: per-plane agreement of a
+    // pair at angle θ is ~(1 − θ/π) for random hyperplanes
+    val model = planted.map(p => Similarity.estimatedLshRecall(
+      cappedPlanes, Similarity.NumFamilies, 1.0 - math.acos(p._3) / math.Pi)).sum / planted.size
+    assert(observed >= model - 0.15,
+      f"capped-width recall $observed%.3f fell below the documented floor (model $model%.3f - 0.15)")
+    assert(observed <= model + 0.25,
+      f"capped-width recall $observed%.3f implausibly above the model $model%.3f — fixture no longer tests the cap")
+    assert(observed < 0.9,
+      f"capped-width recall $observed%.3f is near-exact — the width isn't binding; the trade isn't being tested")
+    // exact duplicates are width-invariant: all 10 planted cos=1 pairs
+    val exactPlanted = (0 until 10).map { p =>
+      (rows(2 * nPairs + 2 * p)._1, rows(2 * nPairs + 2 * p + 1)._1)
+    }
+    val lostExact = exactPlanted.filterNot(caught)
+    assert(lostExact.isEmpty, s"capped width lost exact-dup pairs: $lostExact")
+  }
+
   test("annPairs banding: recall vs brute force is real and monotone in the family count") {
     val emb = Tables.embeddings(spark, sf0001)
     // ground truth: exact quantized-cosine pairs >= threshold over the

@@ -20,11 +20,14 @@ class TaskMetricsSpec extends SparkSpec {
     assert(d1.shuffleWrite > 0 && d1.shuffleRead > 0,
       s"groupBy produced no shuffle bytes: $d1")
     // records ride along with bytes (round 14: the work-vs-encoding
-    // separator the byte-curve adjudication rests on) and can never
-    // exceed bytes — a shuffled record is at least one byte
+    // separator the byte-curve adjudication rests on). Shuffle byte
+    // metrics are POST-compression, so lz4 on highly repetitive
+    // narrow rows can legitimately dip below one byte per record —
+    // the sanity bound is a generous compression ratio, not 1:1
+    // (advice r14: the strict bound could flake on codec change)
     assert(d1.records > 0, s"groupBy produced no shuffle records: $d1")
-    assert(d1.records <= d1.shuffleRead + d1.shuffleWrite,
-      s"more shuffle records than bytes: $d1")
+    assert(d1.records <= (d1.shuffleRead + d1.shuffleWrite) * 64,
+      s"implausibly many shuffle records for the byte volume: $d1")
     assert(d1.input > 0, "parquet scan produced no input bytes")
     // an idle window must delta to exactly zero — async task-end
     // events may not leak across the flush boundary
