@@ -738,7 +738,16 @@ object Dedup {
     spanCache.clear()
     Similarity.clearIndexCaches()
     TextAnalysis.clearCaches()
-    retainedCps.foreach(_.get.foreach(_.unpersist(false)))
+    // best-effort per RDD: retention is hygiene, not correctness — an
+    // unpersist can NPE on a context mid-teardown (the BlockManager
+    // master endpoint nulls before SparkContext.stop completes), and
+    // one dead handle must not abort freeing the rest or crash a
+    // harness that frees between rungs (measured: ScaleBench lost a
+    // full 12-minute ladder to exactly that NPE after its last rung)
+    retainedCps.foreach(_.get.foreach { r =>
+      try r.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    })
     retainedCps.clear()
   }
 

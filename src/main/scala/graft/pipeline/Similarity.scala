@@ -105,36 +105,49 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (dim i,
-    * plane j): integer arithmetic only, identical in any engine.
-    * Keep in sync with the SQL spelling in SimilarityQueries. */
-  private def planeComponent(i: org.apache.spark.sql.Column, j: Int) =
-    ((i + 1) * (j + 3) * lit(2654435761L)) % 2000001L - 1000000L
+  // The deterministic hyperplane-component formula
+  // ((i+1) * (plane+3) * 2654435761) % 2000001 − 1000000 lives in
+  // graft.functions.PlaneDotLong (round 15); keep it in sync with the
+  // SQL spelling in the oracle CTEs.
 
   /** Sign-of-dot LSH signatures, one row per (vector, family):
-    * `numFamilies` independent families of `numPlanes` bits each, all
-    * computed in ONE aggregate pass (family f uses global plane
-    * indices f*numPlanes .. f*numPlanes+numPlanes-1). Carries q/n2
-    * through the aggregation so callers don't re-quantize + re-join. */
+    * `numFamilies` independent families of `numPlanes` bits each
+    * (family f uses global plane indices f*numPlanes ..
+    * f*numPlanes+numPlanes-1). Carries q/n2 so callers don't
+    * re-quantize + re-join.
+    *
+    * A pure per-row PROJECTION (round 15): each sig bit is one
+    * codegen'd [[graft.functions.PlaneDotLong]] loop over the vector.
+    * The previous spelling posexploded every vector into a row per
+    * dimension and summed the plane dots under a groupBy(vec_id) —
+    * 64× the rows, each dragging the full q array through a hash
+    * aggregate whose sort-fallback spilled 4.3 GB at the 100× rung
+    * (SCALE_r15_lsh solo run: identical 4,305,084,906-byte spill on
+    * both ANN variants — the shared signature stage — on a query
+    * whose entire shuffle is 178 MB). Map-side expressions need no
+    * fan, no aggregate, and no exchange at all before the bucket
+    * join.
+    *
+    * The sig columns live in the codegen'd child PROJECTION (never in
+    * the generator expression — GenerateExec evaluates generators
+    * INTERPRETED, a measured 11 s → 103 s cliff), and each family is
+    * ONE [[graft.functions.PlaneSignature]] expression whose
+    * generated code is a single static call — see that scaladoc for
+    * the second, JIT-side cliff this shape dodges. */
   def lshFamilySignatures(emb: DataFrame,
       numFamilies: Int = NumFamilies,
       numPlanes: Int = NumPlanes): DataFrame = {
-    val totalPlanes = numFamilies * numPlanes
+    val spark = emb.sparkSession
     val qv = quantized(emb)
-    val withPos = qv.select(col("vec_id"), col("q"), col("n2"),
-      posexplode(col("q")).as(Seq("pos", "qi")))
-    val dAggs = (0 until totalPlanes).map { p =>
-      sum(col("qi") * planeComponent(col("pos").cast("long"), p)).as(s"d$p")
-    } ++ Seq(first(col("q")).as("q"), first(col("n2")).as("n2"))
-    val bits = withPos
-      .groupBy("vec_id")
-      .agg(dAggs.head, dAggs.tail: _*)
-    val famStructs = (0 until numFamilies).map { f =>
-      val sig = concat((0 until numPlanes).map(j =>
-        when(col(s"d${f * numPlanes + j}") >= 0, "1").otherwise("0")): _*)
-      struct(lit(f).as("family"), sig.as("sig"))
+    val sigCols = (0 until numFamilies).map { f =>
+      graft.functions.PlaneSignature
+        .planeSig(spark, col("q"), f * numPlanes, numPlanes).as(s"sig$f")
     }
-    bits
+    val famStructs = (0 until numFamilies).map { f =>
+      struct(lit(f).as("family"), col(s"sig$f").as("sig"))
+    }
+    qv
+      .select(Seq(col("vec_id"), col("q"), col("n2")) ++ sigCols: _*)
       .select(col("vec_id"), col("q"), col("n2"),
         explode(array(famStructs: _*)).as("fs"))
       .select(col("vec_id"), col("fs.family").as("family"), col("fs.sig").as("sig"),
