@@ -43,6 +43,19 @@ import org.apache.spark.sql.SparkSession
   * the old action available for A/Bs against pre-r14 artifacts, and
   * every emitted JSON line now carries its `action`.
   *
+  * The artifact SELF-ADJUDICATES machine windows (round 16):
+  * `queries_window_suspect` lists every query whose median is
+  * suspect-inflated by the run's own evidence — med/min spread > 2×
+  * at ≥ 0.5 s with flat GC and flat byte volume across the compared
+  * samples ([[graft.tools.BenchDiff.windowSuspect]] + the byte check
+  * above). Interleaving bounds a window to one sample per query
+  * USUALLY; when a window spans 2 of 3 passes (the r15 driver
+  * artifact: 11 queries, +40% on the total), the median picks a slow
+  * sample and the spread-vs-flat-bytes signature is the receipt. A
+  * suspect median is still REPORTED — the field tells the reader
+  * (and BenchDiff) to adjudicate from `queries_min`, it never edits
+  * the measurement.
+  *
   * Failure accounting: a query's headline number is the median of its
   * SUCCESSFUL samples; -1 means every pass failed. Queries with a
   * partial failure keep their good median and show up in
@@ -145,13 +158,14 @@ object Bench {
     // sentinel into columns where a valid measurement never existed.
     case class QStat(median: Double, min: Double, max: Double, gc: Double,
         bytes: graft.tools.TaskMetricsListener.Snap,
-        failedPasses: Int, allFailed: Boolean)
+        failedPasses: Int, allFailed: Boolean, windowSuspect: Boolean)
     val zeroSnap = graft.tools.TaskMetricsListener.Snap(0, 0, 0, 0, 0)
     val results = ordered.map { case (name, _) =>
       val s = samples(name)
       val good = s.filter(_.sec >= 0).sortBy(_.sec)
       val nFailed = s.size - good.size
-      if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, zeroSnap, nFailed, allFailed = true)
+      if (good.isEmpty) name -> QStat(-1.0, 0, 0, 0, zeroSnap, nFailed,
+        allFailed = true, windowSuspect = false)
       else {
         // byte metrics from the last SUCCESSFUL pass, not the
         // median-selected one: pass 1 pays every build-once artifact
@@ -161,8 +175,26 @@ object Bench {
         // a partial run and must never represent the query.
         val med = good(good.size / 2)
         val lastOk = s.reverse.find(_.sec >= 0).get
+        // WINDOW-SUSPECT self-adjudication (round 16): the driver's
+        // BENCH_r15 overstated the engine ~40% via a transient I/O
+        // window that hit 2 of 3 interleaved passes, and only a manual
+        // re-run of 11 queries could prove it. The artifact's own data
+        // contains the proof: a median ≫ min spread whose GC is flat
+        // AND whose byte volume is flat across the compared samples is
+        // the machine, not the code (bytes move when the work moves).
+        // The predicate lives in BenchDiff.windowSuspect so the gate's
+        // fallback recomputation of pre-r16 artifacts cannot drift
+        // from what the bench emits.
+        def vol(x: Sample) =
+          x.bytes.shuffleRead + x.bytes.shuffleWrite + x.bytes.input
+        val (vMed, vMin) = (vol(med), vol(good.head))
+        val bytesFlat =
+          math.max(vMed, vMin) <=
+            math.max(math.min(vMed, vMin) * 1.3, math.min(vMed, vMin) + (1L << 20))
+        val suspect = bytesFlat &&
+          graft.tools.BenchDiff.windowSuspect(med.sec, good.head.sec, med.gcSec)
         name -> QStat(med.sec, good.head.sec, good.last.sec, med.gcSec,
-          lastOk.bytes, nFailed, allFailed = false)
+          lastOk.bytes, nFailed, allFailed = false, windowSuspect = suspect)
       }
     }
     def jmap(rows: Seq[(String, Double)]) =
@@ -178,9 +210,10 @@ object Bench {
       "\"" + k + "\":" + st.failedPasses
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, st) if st.allFailed => "\"" + k + "\"" }
+    val suspects = results.collect { case (k, st) if st.windowSuspect => "\"" + k + "\"" }
     val total = ok.map(_._2.median).sum
     val canaryJson = canary.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","cpus":"$cpus","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"queries_window_suspect":[${suspects.mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
     // driver's JSON parse in round 1 — also write the line to a file
@@ -198,7 +231,7 @@ object Bench {
     // marked truncated; bench_out.json carries the full maps).
     val top20 = ok.sortBy(-_._2.median).take(20)
       .map { case (k, st) => k -> st.median }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","n_queries":${results.size},"canary_sec":$canaryJson,"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","cpus":"$cpus","n_queries":${results.size},"canary_sec":$canaryJson,"n_window_suspect":${suspects.size},"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -39,8 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * monomorphic JVM method the JIT always compiles (custom-operator
   * tier (b), SURVEY §4 — same reasoning as [[DotProductLong]]).
   *
-  * Null semantics: null array or null element → NULL signature
-  * (embeddings are non-null by schema).
+  * Null semantics: null array, null element, or EMPTY array → NULL
+  * signature (embeddings are non-null and non-empty by schema; an
+  * empty vector has sign-of-dot 0 against every plane, so an all-'1'
+  * signature would collide every empty vector into one bucket — the
+  * posexplode spelling this expression replaced dropped empties
+  * instead, and null preserves that "no signature" semantics).
   */
 case class PlaneSignature(child: Expression, firstPlane: Int, numPlanes: Int)
     extends UnaryExpression {
@@ -71,9 +75,11 @@ object PlaneSignature {
 
   /** The signature loop — static and expression-free so the generated
     * call site stays tiny and the JIT owns the hot path. Returns null
-    * on a null element (propagated to a NULL signature). */
+    * on a null element or an empty array (propagated to a NULL
+    * signature — see the class doc's empty-vector rationale). */
   def sig(a: ArrayData, firstPlane: Int, numPlanes: Int): UTF8String = {
     val dims = a.numElements()
+    if (dims == 0) return null
     val bytes = new Array[Byte](numPlanes)
     var j = 0
     while (j < numPlanes) {

@@ -135,23 +135,50 @@ object StreamReplay {
     * event data, floored at [[StatePartitions]] (so every gate sf and
     * the bench's sf0.1 keep today's measured 2-partition layout and
     * its per-partition commit tax — sf0.1 events are 2 MB) and capped
-    * at 64 (the commit tax is per partition PER STORE per batch; a
-    * stream-stream join carries 4 stores). SPARK_GRAFT_STATE_PARTITIONS
-    * overrides — production sizes this to state volume / executor
-    * count. The op-log replays keep the flat constant: their state is
-    * ≤ 50 KV keys at any sf, bounded by construction. */
-  private def statePartitionsFor(sfDir: String): Int =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse {
+    * at 2 × the cluster's default parallelism (round 16 — the r15
+    * spelling capped at the literal 64, which is 2×cores ON THIS
+    * box but encoded local[32] into what reads as "the" formula: a
+    * 1000-executor cluster replaying 100 TB of events would have been
+    * throttled to 64 state tasks. The commit tax that motivates a cap
+    * at all is per partition PER STORE per batch — a stream-stream
+    * join carries 4 stores — so the cap tracks how many tasks can
+    * actually commit concurrently, not a constant).
+    * SPARK_GRAFT_STATE_PARTITIONS overrides — production sizes this to
+    * state volume / executor count. The op-log replays keep the flat
+    * constant: their state is ≤ 50 KV keys at any sf, bounded by
+    * construction. */
+  private def statePartitionsFor(sfDir: String): Int = {
+    val overridden = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map { s =>
+      s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$s'"))
+    }
+    overridden.getOrElse {
       val dir = java.nio.file.Paths.get(sfDir, "events.parquet")
+      // NonFatal, not just IOException: the lazy walk stream surfaces
+      // a file vanishing mid-walk as UncheckedIOException (a
+      // RuntimeException) — any stat failure means "size unknown",
+      // and the floor is the safe layout (r15 advice)
       val bytes =
         try {
           val s = java.nio.file.Files.walk(dir)
           try s.filter(p => java.nio.file.Files.isRegularFile(p))
             .mapToLong(p => java.nio.file.Files.size(p)).sum()
           finally s.close()
-        } catch { case _: java.io.IOException => 0L }
-      math.max(StatePartitions, math.min(64L, bytes / (8L << 20)).toInt)
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      val parallelism = org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      derivedStatePartitions(bytes, parallelism)
     }
+  }
+
+  /** The pure derivation behind [[statePartitionsFor]], spec-pinned:
+    * ~1 state partition per 8 MB of event bytes, floored at
+    * [[StatePartitions]], capped at 2 × `parallelism`. On local[32]
+    * the cap is 64 — byte-identical to the r15 artifacts at every
+    * measured rung (x100 derives 25, below either cap). */
+  private[graft] def derivedStatePartitions(bytes: Long, parallelism: Int): Int =
+    math.max(StatePartitions,
+      math.min(2L * math.max(1, parallelism), bytes / (8L << 20)).toInt)
 
   /** Checkpoint the prepared events frame `e0` (projected — and
     * filtered, where the replay has a row filter: filters belong

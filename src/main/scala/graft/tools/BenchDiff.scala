@@ -32,7 +32,26 @@ import scala.jdk.CollectionConverters._
   *
   * SHRINKS are reported as improvements, never failed — but they mean
   * the committed baseline should be refreshed (the gate is sharpest
-  * when the baseline is the last intentional state). */
+  * when the baseline is the last intentional state).
+  *
+  * MACHINE-WINDOW ADJUDICATION (round 16): the r15 driver artifact
+  * overstated the engine ~40% — a transient I/O window hit 2 of its 3
+  * interleaved passes and median-of-3 kept the slow samples for 11
+  * queries — and nothing in the artifact said so; a judge re-ran 11
+  * queries by hand to prove it. The gate now applies the repo's
+  * bytes-first convention mechanically, in two layers:
+  *  - SUSPECT-WINDOW: per-query med/min spread > [[SuspectSpread]] at
+  *    ≥ [[SuspectFloorSec]] with flat GC ([[windowSuspect]]) — read
+  *    from the artifact's own `queries_window_suspect` when present
+  *    (r16+ benches also require flat per-sample bytes) and
+  *    recomputed from queries/queries_min/queries_gc for older
+  *    artifacts, so BENCH_r15 adjudicates itself retroactively;
+  *  - WALL-WINDOW: current median > baseline × [[WallWindowRatio]]
+  *    with flat GC and NO byte finding for that query — wall moved,
+  *    work didn't: the window, not the code.
+  * Both are printed for SURVEY to cite and NEVER fail the gate: the
+  * exit code reads byte metrics exclusively, so a suspect-wall-only
+  * delta cannot fail a round by construction. */
 object BenchDiff {
 
   final case class B(shuffle: Long, records: Long, input: Long, tasks: Long, spill: Long)
@@ -53,6 +72,31 @@ object BenchDiff {
   val RecordFloor = 50000L
   val TaskFloor = 64L
 
+  /** Window-suspect thresholds (round 16). Calibrated on the r15
+    * driver artifact: at spread 2.0 / floor 0.5 s the rule flags
+    * exactly the 9 widest of the 11 judge-adjudicated inflated queries
+    * and ZERO healthy ones (the widest healthy spread in that artifact
+    * is 1.72); the remaining 2 ride the cross-baseline WALL-WINDOW
+    * rule at [[WallWindowRatio]]. */
+  val SuspectSpread = 2.0
+  val SuspectFloorSec = 0.5
+  val WallWindowRatio = 1.5
+
+  /** GC explains at most 20% of the spread (or 0.1 s absolute) for a
+    * delta to read as machine-window: a genuinely memory-pressured
+    * sample self-labels through its GC seconds and is NOT a window. */
+  def gcFlat(gcSec: Double, deltaSec: Double): Boolean =
+    gcSec <= math.max(0.1, 0.2 * deltaSec)
+
+  /** The per-run self-adjudication predicate — med/min spread with
+    * flat GC. Bench ANDs this with flat per-sample byte volume before
+    * emitting `queries_window_suspect`; the fallback recomputation for
+    * pre-r16 artifacts (one byte snapshot per query) applies it as-is,
+    * which is exactly the judge-stated rule for BENCH_r15. */
+  def windowSuspect(medSec: Double, minSec: Double, medGcSec: Double): Boolean =
+    minSec > 0 && medSec / minSec > SuspectSpread &&
+      medSec - minSec >= SuspectFloorSec && gcFlat(medGcSec, medSec - minSec)
+
   /** The run's measured action (`full` / `count`). Pre-r14 artifacts
     * carry no `action` field; they were all count-action, so the
     * absent case reads as "count" — which makes an accidental diff of
@@ -62,6 +106,20 @@ object BenchDiff {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
     Option(root.get("action")).map(_.asText("count")).getOrElse("count")
+  }
+
+  /** The run's core count (`cpus`), absent for pre-r16 artifacts.
+    * Round-16 finding: task counts scale with the session's core count
+    * (AQE coalescing, per-core-sized shuffles like the BPE merge loop,
+    * leaf scan parallelism) — the builder's r15 closing bench ran at
+    * the local[4] DEFAULT against the driver's local[32] baseline, and
+    * every "tasks ×0.15-0.38 improvement" in BENCHDIFF_r15.txt was
+    * that environment delta, not round-15 code. Like the action gate:
+    * a mismatch makes byte profiles incomparable and fails loudly. */
+  def readCpus(path: String): Option[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    Option(root.get("cpus")).map(_.asText())
   }
 
   def readBytes(path: String): Map[String, B] = {
@@ -76,6 +134,60 @@ object BenchDiff {
         l("input"), l("tasks"), l("spill"))
     }.toMap
   }
+
+  final case class Wall(med: Double, min: Double, gc: Double)
+
+  /** Per-query wall stats (median / min-of-passes / median-sample GC)
+    * from a bench_out-shaped artifact. Queries with no successful pass
+    * (absent from queries_min) are skipped. */
+  def readWall(path: String): Map[String, Wall] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def m(f: String): Map[String, Double] = Option(root.get(f)).map {
+      _.properties().asScala.map(e => e.getKey -> e.getValue.asDouble(0.0)).toMap
+    }.getOrElse(Map.empty)
+    val (med, mn, gc) = (m("queries"), m("queries_min"), m("queries_gc"))
+    mn.keys.map(q => q -> Wall(med.getOrElse(q, -1.0), mn(q), gc.getOrElse(q, 0.0))).toMap
+  }
+
+  /** The artifact's own window-suspect set: `queries_window_suspect`
+    * when the bench emitted it (r16+), else recomputed from the wall
+    * stats via [[windowSuspect]] — so pre-r16 artifacts (the driver's
+    * BENCH_r15 among them) adjudicate themselves retroactively. */
+  def readSuspects(path: String): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    Option(root.get("queries_window_suspect")) match {
+      case Some(arr) if arr.isArray =>
+        arr.elements().asScala.map(_.asText()).toSeq.sorted
+      case _ =>
+        readWall(path).toSeq.collect {
+          case (q, w) if windowSuspect(w.med, w.min, w.gc) => q
+        }.sorted
+    }
+  }
+
+  final case class WallWindow(query: String, base: Double, cur: Double) {
+    override def toString: String =
+      f"$query%-28s wall     ${base}%12.2f -> ${cur}%12.2f  x${cur / base}%.2f (bytes flat, gc flat — machine window, not code)"
+  }
+
+  /** Cross-baseline wall adjudication: queries whose wall median grew
+    * past [[WallWindowRatio]] with flat GC and NO byte finding —
+    * bytes-first says the machine moved, not the code. `byteRegressed`
+    * is the query set with any (allowed or not) byte finding this
+    * diff; those adjudicate as code, never window. */
+  def wallWindows(base: Map[String, Wall], cur: Map[String, Wall],
+      byteRegressed: Set[String]): Seq[WallWindow] =
+    base.toSeq.sortBy(_._1).flatMap { case (q, b) =>
+      cur.get(q) match {
+        case Some(c) if b.med > 0 && c.med > b.med * WallWindowRatio &&
+            c.med - b.med >= SuspectFloorSec && gcFlat(c.gc, c.med - b.med) &&
+            !byteRegressed(q) =>
+          Some(WallWindow(q, b.med, c.med))
+        case _ => None
+      }
+    }
 
   def readAllow(path: String): Map[String, String] = {
     val p = java.nio.file.Paths.get(path)
@@ -133,8 +245,35 @@ object BenchDiff {
         "SPARK_GRAFT_BENCH_ACTION matching the baseline)")
       sys.exit(2)
     }
+    // core-count gate (round 16): task counts and core-sized shuffles
+    // scale with local[N] — a cpus=4 run diffed against a cpus=32
+    // baseline reports 4-7× task "improvements" that are pure
+    // environment (the exact mistake in the builder's r15 closing
+    // bench). Pre-r16 artifacts carry no cpus field: warn, don't fail
+    // — the reader owns the comparison.
+    (readCpus(basePath), readCpus(curPath)) match {
+      case (Some(b), Some(c)) if b != c =>
+        println(s"[benchdiff] FAIL: cpus mismatch — baseline=$b current=$c " +
+          "(task counts and core-sized shuffles are incomparable across core counts; " +
+          "rerun with SPARK_GRAFT_CPUS matching the baseline)")
+        sys.exit(2)
+      case (b, c) if b.isEmpty || c.isEmpty =>
+        println(s"[benchdiff] note: cpus unknown for ${if (b.isEmpty) "baseline" else "current"} " +
+          "(pre-r16 artifact) — task-count deltas may be environment, verify core counts match")
+      case _ => ()
+    }
     val (fs, missing, fresh, improved, stale) =
       diff(readBytes(basePath), readBytes(curPath), readAllow(allowPath))
+    // machine-window adjudication: printed for SURVEY to cite, never
+    // part of the exit code (the gate reads bytes exclusively — a
+    // suspect-wall-only delta cannot fail a round by construction)
+    val suspects = readSuspects(curPath)
+    suspects.foreach(q => println(s"[benchdiff] SUSPECT-WINDOW $q " +
+      "(med/min spread with flat gc — adjudicate from queries_min)"))
+    val walls = wallWindows(readWall(basePath), readWall(curPath),
+      fs.map(_.query).toSet)
+    walls.filterNot(w => suspects.contains(w.query))
+      .foreach(w => println(s"[benchdiff] WALL-WINDOW $w"))
     improved.foreach(f => println(s"[benchdiff] IMPROVED  $f"))
     fresh.foreach(q => println(s"[benchdiff] NEW       $q"))
     stale.foreach(q => println(s"[benchdiff] STALE-ALLOW $q (no longer regressing — retire the entry)"))
@@ -146,6 +285,8 @@ object BenchDiff {
       println(s"[benchdiff] FAIL: ${hard.size} unexplained regressions, ${missing.size} missing")
       sys.exit(1)
     }
-    println(s"[benchdiff] OK: ${fs.size} allowed regressions, ${improved.size} improvements, ${fresh.size} new")
+    val nWindows = (suspects.toSet ++ walls.map(_.query)).size
+    println(s"[benchdiff] OK: ${fs.size} allowed regressions, ${improved.size} improvements, " +
+      s"${fresh.size} new, $nWindows machine-window suspects (wall-only, not gated)")
   }
 }

@@ -97,6 +97,76 @@ class BenchDiffSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("windowSuspect: spread past 2x with flat gc flags; gc-explained or small spreads don't") {
+    import BenchDiff.windowSuspect
+    // the r15 driver signature: 23.9 med over a 1.8 min with zero gc
+    assert(windowSuspect(23.88, 1.78, 0.0))
+    // boundary: spread must EXCEED 2x and clear the 0.5 s floor
+    assert(!windowSuspect(1.0, 0.5, 0.0), "exact 2x flagged")
+    assert(!windowSuspect(0.7, 0.25, 0.0), "sub-floor delta flagged")
+    // the widest healthy spread in the r15 driver artifact (1.72) —
+    // calibration pin: healthy queries never flag
+    assert(!windowSuspect(1.13, 0.66, 0.0))
+    // a memory-pressured sample self-labels via gc and is NOT a window
+    assert(!windowSuspect(10.0, 2.0, 4.0), "gc-explained spread flagged as window")
+    // ...but trace gc under 20% of the spread still reads as window
+    assert(windowSuspect(10.0, 2.0, 1.0))
+    // all passes failed (min sentinel) never flags
+    assert(!windowSuspect(-1.0, 0.0, 0.0))
+  }
+
+  test("wallWindows: wall growth with flat gc and no byte finding is the machine, not the code") {
+    import BenchDiff.{wallWindows, Wall}
+    val base = Map("q_win" -> Wall(2.0, 1.8, 0.0), "q_code" -> Wall(2.0, 1.8, 0.0),
+      "q_flat" -> Wall(2.0, 1.8, 0.0), "q_gcy" -> Wall(2.0, 1.8, 0.0))
+    val cur = Map(
+      "q_win" -> Wall(3.5, 1.9, 0.0), // x1.75, gc flat, bytes flat -> window
+      "q_code" -> Wall(3.5, 3.4, 0.0), // same wall growth but bytes moved
+      "q_flat" -> Wall(2.2, 1.9, 0.0), // x1.1 — in-tolerance drift
+      "q_gcy" -> Wall(3.5, 1.9, 1.2)) // gc explains the delta
+    val ws = wallWindows(base, cur, byteRegressed = Set("q_code"))
+    assert(ws.map(_.query) == Seq("q_win"), s"wall windows: $ws")
+    // the exit-code contract: wallWindows is adjudication output only —
+    // diff() (the function the exit code reads) never sees wall stats,
+    // so a suspect-wall-only delta cannot fail the gate by construction
+  }
+
+  test("readSuspects: r16 artifacts carry the field; pre-r16 artifacts self-adjudicate from wall stats") {
+    val r16 = java.nio.file.Files.createTempFile("graft_bds_", ".json")
+    java.nio.file.Files.writeString(r16,
+      """{"metric":"total","queries":{"a":9.0,"b":1.0},"queries_min":{"a":1.0,"b":0.9},
+        |"queries_gc":{"a":0.0,"b":0.0},"queries_window_suspect":["b"]}""".stripMargin)
+    // the emitted field WINS over recomputation (the bench saw
+    // per-sample bytes the artifact doesn't carry)
+    assert(BenchDiff.readSuspects(r16.toString) == Seq("b"))
+    val r15 = java.nio.file.Files.createTempFile("graft_bdo_", ".json")
+    java.nio.file.Files.writeString(r15,
+      """{"metric":"total","queries":{"a":9.0,"b":1.0},"queries_min":{"a":1.0,"b":0.9},
+        |"queries_gc":{"a":0.0,"b":0.0}}""".stripMargin)
+    assert(BenchDiff.readSuspects(r15.toString) == Seq("a"),
+      "pre-r16 artifact did not self-adjudicate")
+    java.nio.file.Files.delete(r16)
+    java.nio.file.Files.delete(r15)
+  }
+
+  test("readCpus: r16 artifacts carry the core count; older ones read as unknown, never a default") {
+    // unlike action (absent = count, a known historical fact), an
+    // absent cpus is genuinely UNKNOWN — defaulting it would let a
+    // cpus=4-vs-32 diff pass the gate silently, which is exactly the
+    // environment delta that produced BENCHDIFF_r15's phantom 4-7×
+    // task "improvements"
+    val r16 = java.nio.file.Files.createTempFile("graft_bdc_", ".json")
+    java.nio.file.Files.writeString(r16,
+      """{"metric":"total","action":"full","cpus":"32","queries_bytes":{}}""")
+    val old = java.nio.file.Files.createTempFile("graft_bdn_", ".json")
+    java.nio.file.Files.writeString(old,
+      """{"metric":"total","action":"full","queries_bytes":{}}""")
+    assert(BenchDiff.readCpus(r16.toString).contains("32"))
+    assert(BenchDiff.readCpus(old.toString).isEmpty)
+    java.nio.file.Files.delete(r16)
+    java.nio.file.Files.delete(old)
+  }
+
   test("readAction: explicit action is returned; a pre-r14 file (no field) reads as count") {
     // r14 advice (medium): count-action and full-action byte profiles
     // are incomparable — main() exits non-zero when baseline and

@@ -1008,7 +1008,14 @@ class PipelineSpec extends SparkSpec {
     val planted = (0 until nPairs).map { p =>
       val (a, b) = (rows(2 * p), rows(2 * p + 1))
       (a._1, b._1, cos(a._2, b._2))
-    }.filter(_._3 >= 0.5)
+      // truth is float cosine but annPairs filters on QUANTIZED-integer
+      // cosine at 0.5 — a borderline pair can be planted-true yet
+      // legitimately quantization-excluded, silently consuming the
+      // model−0.15 slack (r15 advice). A 0.05 margin above the serve
+      // threshold keeps every planted pair unambiguously above it
+      // under quantization (|Δcos| from ±0.5-per-component rounding is
+      // ≪ 0.05 at these magnitudes).
+    }.filter(_._3 >= 0.55)
     assert(planted.size > 150, s"fixture drifted: only ${planted.size} planted pairs above threshold")
     val got = planted.count(p => caught((p._1, p._2)))
     val observed = got.toDouble / planted.size
@@ -1028,6 +1035,50 @@ class PipelineSpec extends SparkSpec {
     }
     val lostExact = exactPlanted.filterNot(caught)
     assert(lostExact.isEmpty, s"capped width lost exact-dup pairs: $lostExact")
+  }
+
+  test("annRecall audit: exact dups always captured, arithmetic exact, theory = the shared literals") {
+    // the hyperplane-family recall audit (round 16). nBuckets = 1
+    // puts EVERY pair in the sample (C(n,2) — fine at fixture n), so
+    // the planted structure is guaranteed to be scored.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20250816L)
+    val dim = 16
+    def vec(): Array[Float] = Array.fill(dim)((rnd.nextInt(201) - 100).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], String)]
+    var id = 0L
+    for (_ <- 0 until 50) { rows += ((id, vec(), "a")); id += 1 }
+    // 5 planted EXACT duplicates — cos = 1 -> decile 9, and identical
+    // vectors share every family signature, so the banding can only
+    // miss one to the bucket CAP, which this fixture stays far under
+    for (_ <- 0 until 5) {
+      val b = vec(); rows += ((id, b, "a")); rows += ((id + 1, b.clone(), "a")); id += 2
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding", "label")
+    val out = Similarity.annRecall(emb, nBuckets = 1)
+      .orderBy("decile")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    val n = rows.size.toLong
+    assert(out.map(_._2).sum == n * (n - 1) / 2,
+      s"nBuckets=1 sample is not all pairs: ${out.map(_._2).sum}")
+    out.foreach { case (d, np, nc, bp, _) =>
+      assert(nc <= np, s"decile $d caught more than sampled")
+      assert(bp == nc * 10000 / np, s"decile $d capture_bp arithmetic drifted")
+    }
+    val top = out.find(_._1 == 9).get
+    assert(top._3 >= 5, s"decile 9 lost planted exact dups: ${top._3} caught")
+    // low-cosine deciles are near-uncaptured (the model's floor)
+    out.filter(_._1 <= 1).foreach { case (d, _, _, bp, _) =>
+      assert(bp < 2000, s"decile $d capture $bp bp — banding catching noise pairs")
+    }
+    // the theory column IS the shared literal table (both the plan and
+    // the SQL oracle embed annRecallTheory's output verbatim; fixture
+    // n degenerates the adaptive width to the fixed one)
+    val expect = Similarity.annRecallTheory(
+      Similarity.NumPlanes, Similarity.NumFamilies).toMap
+    out.foreach { case (d, _, _, _, th) =>
+      assert(th == expect(d), s"decile $d theory $th != literal ${expect(d)}")
+    }
   }
 
   test("annPairs banding: recall vs brute force is real and monotone in the family count") {

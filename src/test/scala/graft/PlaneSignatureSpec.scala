@@ -65,6 +65,24 @@ class PlaneSignatureSpec extends SparkSpec {
     assert(out(2L), "null array did not propagate to a NULL signature")
   }
 
+  test("plane_sig empty-array semantics: NULL, never an all-'1' bucket magnet") {
+    // r15 advice: an empty vector has sign-of-dot 0 against every
+    // plane, so a non-null signature would collide all empty vectors
+    // into one bucket; the posexplode spelling dropped them. Pin the
+    // null on both eval paths.
+    import spark.implicits._
+    val df = Seq((1L, Array(1L, 2L)), (2L, Array.empty[Long])).toDF("vec_id", "q")
+    val out = df.select(col("vec_id"),
+        PlaneSignature.planeSig(spark, col("q"), 0, 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L), s"empty-array signature not NULL: $out")
+    val expr = PlaneSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      0, 4)
+    assert(expr.eval(null) == null, "interpreted eval of an empty array was non-null")
+  }
+
   test("signature build stays a map-side projection: no aggregate, no exchange before the bucket join") {
     // the §20.8 regression guard: a reintroduced posexplode+groupBy
     // (or any exchange) in the signature stage would show up here
@@ -77,5 +95,25 @@ class PlaneSignatureSpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e }
     assert(aggs.isEmpty, s"signature build reintroduced an aggregate:\n$plan")
     assert(exchanges.isEmpty, s"signature build reintroduced an exchange:\n$plan")
+    // the §20.8 cliff-1 guard (r15 advice): GenerateExec evaluates its
+    // generator INTERPRETED — an optimizer change collapsing the sig
+    // projection into the family explode would reintroduce the
+    // measured 11 s → 103 s cliff without moving aggregates or
+    // exchanges. Pin that no PlaneSignature lives inside a generator:
+    // the sigs must be computed in the codegen'd CHILD projection.
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, s"family explode vanished from the plan:\n$plan")
+    gens.foreach { g =>
+      val sigInGen = g.generator.exists(_.isInstanceOf[graft.functions.PlaneSignature])
+      assert(!sigInGen,
+        s"plane_sig moved INSIDE the generator (interpreted eval cliff):\n$plan")
+    }
+    val sigInProjection = plan.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p }
+      .flatMap(_.projectList)
+      .exists(_.exists(_.isInstanceOf[graft.functions.PlaneSignature]))
+    assert(sigInProjection,
+      s"plane_sig not found in any codegen'd projection:\n$plan")
   }
 }

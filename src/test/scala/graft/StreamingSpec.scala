@@ -582,4 +582,22 @@ class StreamingSpec extends SparkSpec {
       assert(!got.exists(_._1 == base - 600))
     } finally query.stop()
   }
+
+  test("derivedStatePartitions: 8 MB/partition, floor 2, cap 2x parallelism — not a literal 64") {
+    import graft.streaming.StreamReplay.derivedStatePartitions
+    val MB = 1L << 20
+    // gate scales and the sf0.1 bench (2 MB of events) keep the
+    // measured 2-partition layout
+    assert(derivedStatePartitions(2 * MB, 32) == 2)
+    assert(derivedStatePartitions(0L, 32) == 2)
+    // the r15 x100 rung: ~200 MB of events -> 25 partitions, below
+    // either cap — the artifact rows are byte-identical to r15's
+    assert(derivedStatePartitions(200 * MB, 32) == 25)
+    // on local[32] the cap is 64, exactly the r15 literal...
+    assert(derivedStatePartitions(100L * 1024 * MB, 32) == 64)
+    // ...but it is 2 x parallelism, not a constant: a wider cluster is
+    // not throttled to one box's ceiling (the r15 verdict's ask)
+    assert(derivedStatePartitions(100L * 1024 * MB, 4000) == 8000)
+    assert(derivedStatePartitions(100L * 1024 * MB, 1) == 2)
+  }
 }
