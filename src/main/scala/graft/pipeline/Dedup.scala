@@ -495,9 +495,10 @@ object Dedup {
     // at ~16·N pairs at any corpus size (a static B would make the
     // sample quadratic again — the epochShuffle autoShards stance);
     // 48 hash bits make the mod-B bias negligible at arbitrary B
+    val nDocs = docs.count()
     val buckets =
       if (nBuckets > 0) nBuckets.toLong
-      else math.max(16L, docs.count() / 32)
+      else math.max(16L, nDocs / 32)
     def pbOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
     val sh = TextAnalysis.shingles(docs, k)
@@ -520,8 +521,27 @@ object Dedup {
     // true intersections INSIDE the sample buckets: the bucket-tagged
     // shingle index self-joined on (pb, shingle) emits exactly one row
     // per shared shingle of a same-bucket pair — identical counts to
-    // the old pair × shingle fan, at the output's own row volume
-    val keptB = kept.withColumn("pb", pbOf(col("doc_id")))
+    // the old pair × shingle fan, at the output's own row volume.
+    // SORT PARALLELISM (round 16 — r15 verdict #5): this SMJ's
+    // per-partition sorts are the audit's only spill, and at the 300×
+    // rung (1.8M docs, ~270M shingle rows over 256 partitions) the
+    // fixed-memory sorts went MULTI-PASS — 89-114 GiB of merge
+    // traffic for a 3.4 GB single-pass-equivalent sort. Corpora past
+    // ~0.5M docs pin the self-join's exchange at ~1 partition per
+    // 2000 docs (an explicit repartition on the join keys — satisfies
+    // the SMJ's distribution, so no extra exchange, and ReuseExchange
+    // still shares it across both sides); gate scales and the sf0.1
+    // bench derive below the session default and keep their plans
+    // byte-identical. The same rows-per-task logic a cluster applies
+    // by sizing executor counts to data.
+    val sortParts = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      (nDocs / 2000L).toInt)
+    val keptB0 = kept.withColumn("pb", pbOf(col("doc_id")))
+    val keptB =
+      if (sortParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        keptB0.repartition(sortParts, col("pb"), col("shingle"))
+      else keptB0
     val inter = keptB.as("a").join(keptB.as("b"),
         col("a.pb") === col("b.pb") && col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))

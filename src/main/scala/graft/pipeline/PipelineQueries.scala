@@ -413,6 +413,14 @@ object PipelineQueries extends QueryPack {
     // truncates recall. Never the production path.
     "sim_ann_pairs_fixed" -> ((s, d) =>
       Similarity.annPairs(emb(s, d)).orderBy("id_a", "id_b")),
+    // RECALL AUDIT of the adaptive default (round 16 — the lshRecall
+    // pattern on the hyperplane family): sampled same-hash-bucket
+    // pairs, exact quantized cosine, caught = annPairsAdaptive's own
+    // banding at the same adaptive width; deciled capture vs the
+    // sign-agreement model. At gate scale the width degenerates like
+    // sim_ann_pairs', so the static-width oracle is exact
+    "sim_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(emb(s, d)).orderBy("decile")),
     // threshold range search: no window, pure map+filter over the scan
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(emb(s, d), 0L to 9L).orderBy("probe_id", "neighbor_id")),
@@ -775,7 +783,10 @@ object PipelineQueries extends QueryPack {
         + s" * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
 
-  private def annPairsCtes(threshold: Double): String = {
+  /** Signature + bucket-cap CTE chain ending in `fams(vec_id, fam,
+    * sig)` — the static-width hyperplane banding shared by the ANN
+    * pair oracle and the recall-audit oracle. */
+  private def annSigCtes: String = {
     val totalPlanes = Similarity.NumFamilies * Similarity.NumPlanes
     val dSums = (0 until totalPlanes)
       .map(p => s"SUM(qi * ${planeSql(p)}) AS d$p").mkString(",\n    ")
@@ -785,7 +796,7 @@ object PipelineQueries extends QueryPack {
         .mkString(" || ")
       s"SELECT vec_id, $f AS fam, $bits AS sig FROM ds"
     }.mkString("\n    UNION ALL ")
-    s"""WITH qv AS ($QV2),
+    s"""qv AS ($QV2),
        |pe AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv),
        |ds AS (SELECT vec_id,
        |    $dSums
@@ -794,7 +805,11 @@ object PipelineQueries extends QueryPack {
        |  SELECT vec_id, fam, sig FROM (
        |    SELECT *, count(*) OVER (PARTITION BY fam, sig) AS bucket_n
        |    FROM ($famSelects))
-       |  WHERE bucket_n <= ${Dedup.MaxBandBucket}),
+       |  WHERE bucket_n <= ${Dedup.MaxBandBucket})""".stripMargin
+  }
+
+  private def annPairsCtes(threshold: Double): String = {
+    s"""WITH $annSigCtes,
        |wb AS (SELECT f.fam, f.sig, v.vec_id,
        |              list_transform(v.q, x -> CAST(x AS DOUBLE)) AS q, v.n2
        |       FROM fams f JOIN qv v USING (vec_id)),
@@ -810,6 +825,48 @@ object PipelineQueries extends QueryPack {
        |         round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
        |  FROM dots
        |  WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= $threshold)""".stripMargin
+  }
+
+  /** Recall-audit oracle for [[Similarity.annRecall]] at the
+    * static gate-scale width: sampled same-hash-bucket pairs with
+    * exact quantized cosine, caught via the capped banding's candidate
+    * set (no threshold — candidate recall IS served recall, the verify
+    * filter being exact). `theory_t` embeds the SAME Scala-computed
+    * literals the Spark plan attaches ([[Similarity.annRecallTheory]]).
+    * Keep the sampling spelling in sync with lshRecallOracleSql's. */
+  private def annRecallOracleSql: String = {
+    val theoryVals = Similarity
+      .annRecallTheory(Similarity.NumPlanes, Similarity.NumFamilies)
+      .map { case (d, v) => s"($d, CAST($v AS DOUBLE))" }.mkString(", ")
+    s"""WITH $annSigCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM fams a JOIN fams b
+       |           ON a.fam = b.fam AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |nbk AS (SELECT greatest(16, count(*) // 32) AS b FROM embeddings),
+       |pbt AS (SELECT vec_id, ${hex48Sql("hx")} % (SELECT b FROM nbk) AS pb
+       |        FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS hx FROM embeddings)),
+       |qd AS (SELECT q.vec_id, list_transform(q.q, x -> CAST(x AS DOUBLE)) AS qdd,
+       |              q.n2, p.pb
+       |       FROM qv q JOIN pbt p USING (vec_id)),
+       |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |              list_dot_product(a.qdd, b.qdd)
+       |                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |       FROM qd a JOIN qd b ON a.pb = b.pb AND a.vec_id < b.vec_id),
+       |sc AS (SELECT CAST(greatest(0, least(9, CAST(floor(cos * 10) AS BIGINT)))
+       |                AS INTEGER) AS decile,
+       |              CASE WHEN EXISTS (SELECT 1 FROM cand c
+       |                                WHERE c.id_a = sp.id_a AND c.id_b = sp.id_b)
+       |                   THEN 1 ELSE 0 END AS caught
+       |       FROM sp),
+       |g AS (SELECT decile, count(*) AS n_pairs, sum(caught) AS n_caught
+       |      FROM sc GROUP BY decile),
+       |theory_t(decile, theory) AS (VALUES $theoryVals)
+       |SELECT g.decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_caught AS BIGINT) AS n_caught,
+       |       CAST(n_caught * 10000 // n_pairs AS BIGINT) AS capture_bp,
+       |       t.theory
+       |FROM g JOIN theory_t t ON t.decile = g.decile
+       |ORDER BY g.decile""".stripMargin
   }
 
   /** The sequence-pack core over a `cnt(doc_id, n_tokens)` CTE:
@@ -2348,6 +2405,12 @@ object PipelineQueries extends QueryPack {
       s"""${annPairsCtes(Similarity.AnnThreshold)}
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // recall audit of the adaptive default: sampled same-bucket pairs
+    // (derived B ~ N/32, the lshRecall sampling), exact quantized
+    // cosine, caught = the SAME banding's candidate set pre-threshold;
+    // theory literals are Scala-computed once (annRecallTheory) and
+    // embedded verbatim on both sides — no cross-engine acos/pow
+    "sim_ann_recall" -> annRecallOracleSql,
     // unranked threshold variant of the sim_topk oracle — filter on
     // the UNROUNDED cosine, round only for output (matches
     // Similarity.rangeSearch)

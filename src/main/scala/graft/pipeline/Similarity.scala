@@ -107,8 +107,8 @@ object Similarity {
 
   // The deterministic hyperplane-component formula
   // ((i+1) * (plane+3) * 2654435761) % 2000001 − 1000000 lives in
-  // graft.functions.PlaneDotLong (round 15); keep it in sync with the
-  // SQL spelling in the oracle CTEs.
+  // graft.functions.PlaneSignature (round 15); keep it in sync with
+  // the SQL spelling in the oracle CTEs.
 
   /** Sign-of-dot LSH signatures, one row per (vector, family):
     * `numFamilies` independent families of `numPlanes` bits each
@@ -117,7 +117,7 @@ object Similarity {
     * re-quantize + re-join.
     *
     * A pure per-row PROJECTION (round 15): each sig bit is one
-    * codegen'd [[graft.functions.PlaneDotLong]] loop over the vector.
+    * codegen'd [[graft.functions.PlaneSignature]] loop over the vector.
     * The previous spelling posexploded every vector into a row per
     * dimension and summed the plane dots under a groupBy(vec_id) —
     * 64× the rows, each dragging the full q array through a hash
@@ -307,6 +307,109 @@ object Similarity {
     val (planes, fams) = adaptiveLshParams(n, targetBucket)
     log.info(s"annPairsAdaptive: n=$n -> planes=$planes families=$fams")
     annPairs(emb, threshold, maxBucket, numFamilies = fams, numPlanes = planes)
+  }
+
+  /** The candidate-pair set of [[annPairs]]' banding BEFORE cosine
+    * verification — same signatures, same two-phase skew cap, same
+    * (family, sig) self-join, minus the q/n2 carry and the threshold.
+    * This is what a recall audit must score against: the verify step
+    * is EXACT, so on true pairs ≥ threshold the banding's candidate
+    * recall IS the served output's recall. */
+  private[graft] def annCandidates(emb: DataFrame,
+      maxBucket: Long = Dedup.MaxBandBucket,
+      numFamilies: Int = NumFamilies,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val sigs = lshFamilySignatures(emb, numFamilies, numPlanes)
+      .select("family", "sig", "vec_id")
+    val overCap = sigs
+      .groupBy("family", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("family"), col("sig"))
+    val kept = sigs.join(broadcast(overCap), Seq("family", "sig"), "left_anti")
+    kept.select(col("family"), col("sig"), col("vec_id").as("id_a"))
+      .join(kept.select(col("family"), col("sig"), col("vec_id").as("id_b")),
+        Seq("family", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** ANN RECALL audit over a deterministic pair sample — the
+    * hyperplane-family analogue of [[Dedup.lshRecall]] (r15 verdict
+    * #4: the adaptive default's candidate VOLUME was measured linear
+    * to 100×, but its observed recall vs the exact pair set had only
+    * ever been measured at fixture scale and for the minhash family).
+    * Vectors sharing a hash bucket (md5 48-bit mod B, B derived ~N/32)
+    * form the sampled pair set — ~16·N pairs at any corpus size, fan
+    * per bucket ~32 by construction. Per sampled pair: the EXACT
+    * quantized cosine (integer dot, the only doubles are final
+    * sqrt/div — IEEE-exact in both engines), and whether
+    * [[annPairsAdaptive]]'s banding ([[annCandidates]] at the SAME
+    * adaptive width) caught it. Output per cosine decile: pair count,
+    * caught count, capture rate, and the hyperplane model's prediction
+    * [[estimatedLshRecall]](planes, fams, 1 − acos(mid)/π) at the
+    * decile midpoint — observed-vs-theory is the number that sizes
+    * (planes × families) before a 100 TB corpus trusts its ANN recall.
+    *
+    * The theory column is a pure function of (planes, fams, decile):
+    * its 10 values are computed HERE, once, driver-side, and attached
+    * as literals — the SQL oracle embeds the same Scala-computed
+    * values, so no transcendental (acos/pow) is ever evaluated by two
+    * engines and rounded to agreement.
+    *
+    * CARRY SHAPE, audited against [[Dedup.lshRecall]]'s r15 surgery:
+    * the bucket id is a pure function of vec_id computed map-side; the
+    * pair sample is ONE self-join of the bucket-tagged quantized table
+    * (both q vectors ride the join output only as far as the adjacent
+    * cosine projection — never shuffled again); caught joins on the
+    * (id_a, id_b) key the sample is already partitioned by. No
+    * pair × dimension fan anywhere. */
+  /** The 10 decile-midpoint theory values for an (planes, fams)
+    * banding — [[estimatedLshRecall]] at per-plane agreement
+    * 1 − acos((d + 0.5)/10)/π, rounded to 4 decimals ONCE, here.
+    * [[annRecall]] attaches them as literals and the SQL oracle embeds
+    * the same call's output, so both engines display identical
+    * constants instead of agreeing on transcendentals. */
+  def annRecallTheory(planes: Int, fams: Int): Seq[(Int, Double)] =
+    (0 to 9).map { d =>
+      val mid = (d + 0.5) / 10.0
+      d -> BigDecimal(estimatedLshRecall(planes, fams, 1.0 - math.acos(mid) / math.Pi))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  def annRecall(emb: DataFrame, nBuckets: Int = 0,
+      maxBucket: Long = Dedup.MaxBandBucket,
+      targetBucket: Long = 64L): DataFrame = {
+    val spark = emb.sparkSession
+    val n = corpusN(emb)
+    val (planes, fams) = adaptiveLshParams(n, targetBucket)
+    val buckets = if (nBuckets > 0) nBuckets.toLong else math.max(16L, n / 32)
+    def pbOf(id: org.apache.spark.sql.Column) =
+      conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
+    val qv = quantized(emb)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .withColumn("pb", pbOf(col("vec_id")))
+    val pairs = qv.as("a").join(qv.as("b"),
+        col("a.pb") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(spark, col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))).as("cos"))
+    val caught = annCandidates(emb, maxBucket, fams, planes)
+      .withColumn("caught", lit(1L))
+    val theoryCol = annRecallTheory(planes, fams).foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(col("decile") === d, lit(v)).otherwise(acc)
+    }
+    pairs
+      .join(caught, Seq("id_a", "id_b"), "left")
+      .withColumn("decile",
+        greatest(lit(0L), least(lit(9L), floor(col("cos") * 10))).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("capture_bp", expr("n_caught * 10000 div n_pairs"))
+      .withColumn("theory", theoryCol)
+      .select(col("decile"), col("n_pairs"), col("n_caught"),
+        col("capture_bp"), col("theory"))
   }
 
   /** IVF (inverted-file) top-k — the ANN scale path: a coarse

@@ -82,7 +82,10 @@ object ScaleBench {
     // sigs grow candidate volume ~occupancy², adaptive stays linear.
     // Round 15: the default name now serves the ADAPTIVE plan; the
     // fixed-width control is explicit at _fixed (r14 verdict #2)
-    "sim_ann_pairs", "sim_ann_pairs_fixed")
+    "sim_ann_pairs", "sim_ann_pairs_fixed",
+    // round 16: the adaptive default's OBSERVED recall at scale
+    // (CaptureQuery dumps its decile rows; the ladder rides its bytes)
+    "sim_ann_recall")
 
   private val IdShift = 10000000L
 
