@@ -501,7 +501,31 @@ object Dedup {
       else math.max(16L, nDocs / 32)
     def pbOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
-    val sh = TextAnalysis.shingles(docs, k)
+    // MAP-SIDE SORT PRESSURE (round 16, measured at the 300× rung):
+    // the shingle EXPLODE runs inside the scan stage, so a 192 MB
+    // compressed doc scan becomes ~800M shingle rows across a handful
+    // of input splits — and the distinct's PARTIAL hash aggregate,
+    // falling back to sort-based aggregation under fixed task memory,
+    // multi-pass-merges hundreds of millions of rows per map task.
+    // That was the real bulk of the x300 spill (§21.5): raising reduce
+    // partitions barely moved it (96 → 88 GB with the self-join at
+    // 900 partitions) and a global 1024-partition A/B made it WORSE
+    // (100 GB — AQE re-coalesces reduce sides; the map side never
+    // changes). The lever is to spread the COMPACT form: repartition
+    // the doc table (tiny rows) before exploding, so each map task
+    // partial-aggregates a bounded shingle slice. Below the session
+    // default this is skipped and the plan is byte-identical.
+    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // /1500, not /2000: the x100 replica corpus is 500k docs, and the
+    // first divisor left it at 250 — just under the 256 default, so
+    // the 100× rung kept the fallback (3.2 GB spill, ~170M
+    // under-combined rows) while 300× was fixed. The threshold should
+    // bind BEFORE the fallback does, not one rung after.
+    val sortParts = math.max(defaultParts, (nDocs / 1500L).toInt)
+    val spread =
+      if (sortParts > defaultParts) docs.repartition(sortParts, col("doc_id"))
+      else docs
+    val sh = TextAnalysis.shingles(spread, k)
       .select(col("doc_id"), col("shingle")).distinct()
     val overCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
@@ -522,24 +546,17 @@ object Dedup {
     // shingle index self-joined on (pb, shingle) emits exactly one row
     // per shared shingle of a same-bucket pair — identical counts to
     // the old pair × shingle fan, at the output's own row volume.
-    // SORT PARALLELISM (round 16 — r15 verdict #5): this SMJ's
-    // per-partition sorts are the audit's only spill, and at the 300×
-    // rung (1.8M docs, ~270M shingle rows over 256 partitions) the
-    // fixed-memory sorts went MULTI-PASS — 89-114 GiB of merge
-    // traffic for a 3.4 GB single-pass-equivalent sort. Corpora past
-    // ~0.5M docs pin the self-join's exchange at ~1 partition per
-    // 2000 docs (an explicit repartition on the join keys — satisfies
-    // the SMJ's distribution, so no extra exchange, and ReuseExchange
-    // still shares it across both sides); gate scales and the sf0.1
-    // bench derive below the session default and keep their plans
-    // byte-identical. The same rows-per-task logic a cluster applies
-    // by sizing executor counts to data.
-    val sortParts = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      (nDocs / 2000L).toInt)
+    // REDUCE-SIDE sort parallelism (r15 verdict #5, the first half of
+    // the spill): corpora past ~0.5M docs pin the self-join's exchange
+    // at the same ~1 partition per 2000 docs (explicit repartition ON
+    // the join keys — satisfies the SMJ's distribution, so no extra
+    // exchange, and ReuseExchange still shares it across both sides;
+    // also exempt from AQE re-coalescing, which is what made the
+    // global-1024 A/B a no-op). Measured alone this cut ~8 GB of the
+    // x300 spill; the map-side spread above removes the bulk.
     val keptB0 = kept.withColumn("pb", pbOf(col("doc_id")))
     val keptB =
-      if (sortParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+      if (sortParts > defaultParts)
         keptB0.repartition(sortParts, col("pb"), col("shingle"))
       else keptB0
     val inter = keptB.as("a").join(keptB.as("b"),
@@ -999,7 +1016,26 @@ object Dedup {
     log.info(s"spanPairs: shingles in > $maxDf distinct docs are removed from " +
       "the positional index (bounded d^2 blowup); spans made only of " +
       "corpus-wide boilerplate k-grams are not reported per-pair")
-    val sh = TextAnalysis.shingles(docs, k)
+    // scale-derived sort parallelism — ~1 partition per 500 docs, the
+    // bounded scalar-count stance lshRecall uses. (First spelled as
+    // plan-statistics sizeInBytes / 64 KB to avoid the count action,
+    // but Catalyst size ESTIMATES multiply through derived plans: a
+    // test corpus built by transforms claimed 3.9 GB and derived a
+    // 62k-partition shuffle. An exact count is one cheap metadata
+    // job; an estimate that can be arbitrarily wrong is not a
+    // partitioning input.)
+    val nDocs = docs.select("doc_id").count()
+    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sortParts = math.max(defaultParts, (nDocs / 500L).toInt)
+    // MAP-SIDE spread (round 16, the lshRecall finding at 300×): the
+    // shingle explode runs inside the scan stage, so the over-cap
+    // distinct's PARTIAL aggregate sort-fallbacks over hundreds of
+    // millions of exploded rows per input split. Spreading the
+    // COMPACT doc table first bounds each map task's slice.
+    val docsSpread =
+      if (sortParts > defaultParts) docs.repartition(sortParts, col("doc_id"))
+      else docs
+    val sh = TextAnalysis.shingles(docsSpread, k)
     // df = distinct docs (positions within one doc must not count
     // toward the cap); tiny over-cap set -> broadcast anti-join drops
     // hot shingles map-side, before the self-join shuffle
@@ -1007,13 +1043,32 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("shingle")
-    val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
-    val hits = kept.as("a")
+    val kept0 = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    // SORT PARALLELISM (round 16 — the lshRecall x300 treatment,
+    // applied after the r16 100× rung measured dedup_spans spilling
+    // 24.5/86.5 GB at x30/x100 with records exactly linear at 1.04:
+    // the positional self-join's shingle sort and the island window's
+    // (doc_a, doc_b, diag) sort both outgrow fixed task sort memory).
+    // The /500 constant is the measured inflation: 500k docs became
+    // 556M shuffle records at the 100× rung (~1k hit rows per doc),
+    // so 500 docs is ~0.5M hit rows — one task's worth of sort. Gate
+    // scales and the sf0.1 bench (5,000 docs) derive far below the
+    // session default and keep their plans byte-identical; the
+    // explicit repartitions are ON the join/window keys, so they
+    // satisfy the required distributions instead of adding exchanges.
+    val kept =
+      if (sortParts > defaultParts) kept0.repartition(sortParts, col("shingle"))
+      else kept0
+    val hits0 = kept.as("a")
       .join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"),
         (col("a.pos") - col("b.pos")).as("diag"))
+    val hits =
+      if (sortParts > defaultParts)
+        hits0.repartition(sortParts, col("doc_a"), col("doc_b"), col("diag"))
+      else hits0
     // islands: consecutive pos_a on one diagonal = one maximal run.
     // (pos_a, diag) is unique per pair — (doc, pos) is unique in the
     // shingle table — so row_number is exact, no pre-distinct needed.
