@@ -899,6 +899,37 @@ object Similarity {
     explode(array((0 until PqM).map(m =>
       struct(lit(m).as("m"), slice(q, m * PqSubDim + 1, PqSubDim).as(out))): _*))
 
+  /** Spread the compact quantized table before the PqM-way subspace
+    * explode (round 16 — the §21.5 partial-agg-fallback mechanism,
+    * found here by the r16 100× rung: sim_ivfpq_topk spilled 10.7 GB
+    * at x100 with records exactly linear). The explode runs inside
+    * the scan stage, and a 200k-vector parquet scan is a couple of
+    * input splits — so the assignment joins' fan (PqM × PqK rows per
+    * vector) hits the per-(vec, m) argmin PARTIAL aggregate tens of
+    * millions of rows per map task, which sort-fallbacks under fixed
+    * memory. ~1 partition per 500 vectors (fan 256 → ~128k fan rows
+    * per task); gate scales derive below the session default and
+    * keep their plans byte-identical. The count is a bounded
+    * metadata-cheap scalar (the Lloyd loop already collects per
+    * iteration). */
+  private def spreadForSubspaces(qv: DataFrame): DataFrame = {
+    val defaultParts = qv.sparkSession.sessionState.conf.numShufflePartitions
+    // /500 balances the two failure modes, both MEASURED on the x100
+    // ladder: too few partitions → pass-through inflation + spill
+    // (pre-fix: 28M records, 10.7 GB); too many → task-scheduling
+    // overhead (a /150 A/B, SCALE_r16_ivfpq_spread150.json: x100 wall
+    // 11.3 → 17.0 s at 7,364 tasks, spill still 0). Rungs below the
+    // threshold (x ≤ 30) keep bounded pass-through inflation in their
+    // record counts WITHOUT spilling — the /150 A/B quantifies it
+    // (x30 records 8.5M inflated vs 2.7M honest). The count rides the
+    // [[corpusN]] session memo: a per-call count() scanned the vec_id
+    // column on every bench pass, and the round-16 BenchDiff gate
+    // caught itself the +27% input on sim_pq_topk — memoized, the
+    // steady state pays zero sizing actions.
+    val parts = math.max(defaultParts, (corpusN(qv) / 500L).toInt)
+    if (parts > defaultParts) qv.repartition(parts, col("vec_id")) else qv
+  }
+
   /** Product-quantization codebook, Lloyd-refined per subspace: init is
     * the sub-vectors of the `k` seed vectors with the smallest
     * md5(vec_id) (the deterministic draw [[kmeansCentroids]] uses),
@@ -946,7 +977,7 @@ object Similarity {
       cb.select(col("m"), col("code"), col("cq"), col("cn2"))
         .as[(Int, Long, Seq[Long], Long)].collect().toSeq
         .toDF("m", "code", "cq", "cn2")
-    val sub = qv
+    val sub = spreadForSubspaces(qv)
       .select(col("vec_id"), subspaces(col("q"), "sq").as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -987,7 +1018,7 @@ object Similarity {
     * compressed to PqM small ints per vector — the ~32x memory cut
     * that lets an ANN index of 10^10 vectors live in executor RAM. */
   def pqCodes(qv: DataFrame, cb: DataFrame): DataFrame =
-    qv
+    spreadForSubspaces(qv)
       .select(col("vec_id"), subspaces(col("q"), "sq").as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
       .join(broadcast(cb), Seq("m"))
