@@ -88,7 +88,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 — the artifact protocol requires cpus=32 for diffable
+    // benches (r16: a forgotten env var at local[4] produced phantom
+    // 4-7× task "improvements"; the gate now carries cpus, and the
+    // default must match the protocol, not fight it)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // 256, not cores: the over-provisioned production setting — AQE
@@ -127,7 +131,7 @@ object Bench {
     // and marks the pass failed for the query — never reported as its
     // elapsed-time-to-exception.
     case class Sample(sec: Double, gcSec: Double,
-        bytes: graft.tools.TaskMetricsListener.Snap)
+        bytes: graft.tools.TaskMetricsListener.Snap, pass: Int)
     val samples = collection.mutable.Map.empty[String, Vector[Sample]]
       .withDefaultValue(Vector.empty)
     for (pass <- 1 to Passes) {
@@ -140,7 +144,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMillis() - gc0) / 1e3
         val delta = metrics.snapshot(spark.sparkContext) - m0
-        samples(name) = samples(name) :+ Sample(if (ok) sec else -1.0, gcSec, delta)
+        samples(name) = samples(name) :+ Sample(if (ok) sec else -1.0, gcSec, delta, pass)
       }
       canary += graft.tools.TaskMetricsListener.cpuCanarySec()
     }
@@ -187,7 +191,18 @@ object Bench {
         // from what the bench emits.
         def vol(x: Sample) =
           x.bytes.shuffleRead + x.bytes.shuffleWrite + x.bytes.input
-        val (vMed, vMin) = (vol(med), vol(good.head))
+        // the byte-flat pool excludes pass 1 when at least two later
+        // samples exist (r16 advice): pass 1 pays build-once artifacts,
+        // so a median landing on it carries legitimately larger input
+        // bytes and would defeat bytesFlat in exactly the multi-pass-
+        // window case the adjudication was built for. `good` is sorted
+        // by sec, and filter preserves that, so head/middle of the pool
+        // are its min-time and median-time samples.
+        val volPool = {
+          val laterPasses = good.filter(_.pass > 1)
+          if (laterPasses.size >= 2) laterPasses else good
+        }
+        val (vMed, vMin) = (vol(volPool(volPool.size / 2)), vol(volPool.head))
         val bytesFlat =
           math.max(vMed, vMin) <=
             math.max(math.min(vMed, vMin) * 1.3, math.min(vMed, vMin) + (1L << 20))

@@ -118,7 +118,14 @@ object Dedup {
     // The 8 hash families are 8-hex (32-bit) slices of just TWO md5
     // digests per shingle — 4x less hashing than 8 salted digests,
     // and 32 bits is ample for a min over <= a few hundred shingles.
-    val sh = TextAnalysis.shingles(docs, k)
+    // Spread the compact doc table before the shingle explode
+    // ([[Spread]] — the §21.5 fallback: the per-doc signature
+    // aggregate's PARTIAL pass otherwise sort-fallbacks over the
+    // whole fan inside the scan stage's few input splits). doc_id is
+    // the grouping key, so the spread ALSO makes partials exact and
+    // satisfies the aggregate's distribution — no second exchange.
+    val sh = TextAnalysis.shingles(
+        Spread.byId(docs, "doc_id", Spread.ShingleSetDocsPerPart), k)
       .select(col("doc_id"), col("shingle"))
       .withColumn("h0", md5(col("shingle")))
       .withColumn("h1", md5(concat(lit("x|"), col("shingle"))))
@@ -208,7 +215,10 @@ object Dedup {
     val est = cand.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nEq.as("n_eq"))
       .withColumn("est_q", expr(s"n_eq * 10000 div $NumHashes"))
-    val ds = TextAnalysis.shingles(docs, k)
+    // spread before the explode ([[Spread]] — the distinct's partial
+    // aggregate is the §21.5 fallback shape inside the scan stage)
+    val ds = TextAnalysis.shingles(
+        Spread.byId(docs, "doc_id", Spread.ShingleSetDocsPerPart), k)
       .select(col("doc_id"), col("shingle")).distinct()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -254,6 +264,24 @@ object Dedup {
 
   def nearDupIndexCached(docs: DataFrame, tag: String, k: Int = 3): NearDupIndex =
     indexCache.getOrElseUpdate((docs.sparkSession, tag, k), nearDupIndex(docs, k))
+
+  /** Session-scoped cache of the raw candidate-PAIR table per banding
+    * preset — the build-once serve path for NON-default bandings
+    * (e.g. the b8 recall-audit arm), which need the pairs but not the
+    * cluster map [[nearDupIndexCached]] also builds (the components
+    * fixpoint is eager and would be dead work). Round 17: the b8
+    * arm's inline `minhashCandidates(bandRows=1)` rebuild was the
+    * last big-rung spill in the repo (23.3 GB at x300) — serving the
+    * checkpointed pair table instead gives its warm passes read-path
+    * cost, the same stance as the default arm's [[NearDupIndex]]
+    * read. Retained-checkpoint lifecycle: [[freeRetained]]. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
+  def candidatePairsCached(docs: DataFrame, tag: String, k: Int = 3,
+      bandRows: Int = BandRows): DataFrame =
+    pairsCache.getOrElseUpdate((docs.sparkSession, tag, k, bandRows),
+      retain(minhashCandidates(docs, k, bandRows = bandRows).localCheckpoint(true)))
 
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the minhash candidate graph's connected components form, with the
@@ -381,8 +409,13 @@ object Dedup {
     // IDENTICAL: the inner sizes-joins infer isnotnull(doc_id) onto
     // their branch of the index, and a subtree that differs by an
     // inferred filter defeats ReuseExchange — each branch would rescan
-    // documents instead of reading the one shuffled index copy
-    val sh = TextAnalysis.shingles(docs, k)
+    // documents instead of reading the one shuffled index copy.
+    // Spread the COMPACT doc table before the explode ([[Spread]] —
+    // round 17, closing the r16 `weak`: the distinct's partial
+    // aggregate was the §21.5 fallback shape, 7.0 GB of x30 spill
+    // for three rounds running).
+    val sh = TextAnalysis.shingles(
+        Spread.byId(docs, "doc_id", Spread.ShingleSetDocsPerPart), k)
       .select(col("doc_id"), col("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
@@ -494,38 +527,25 @@ object Dedup {
     // DERIVED sample-bucket count: B ~ N/32 keeps the sampled pair set
     // at ~16·N pairs at any corpus size (a static B would make the
     // sample quadratic again — the epochShuffle autoShards stance);
-    // 48 hash bits make the mod-B bias negligible at arbitrary B
-    val nDocs = docs.count()
+    // 48 hash bits make the mod-B bias negligible at arbitrary B.
+    // Memoized ([[Spread.memoCount]]) — plan-building no longer fires
+    // a count job per invocation (r16 advice).
+    val nDocs = Spread.memoCount(docs, "doc_id")
     val buckets =
       if (nBuckets > 0) nBuckets.toLong
       else math.max(16L, nDocs / 32)
     def pbOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
-    // MAP-SIDE SORT PRESSURE (round 16, measured at the 300× rung):
-    // the shingle EXPLODE runs inside the scan stage, so a 192 MB
-    // compressed doc scan becomes ~800M shingle rows across a handful
-    // of input splits — and the distinct's PARTIAL hash aggregate,
-    // falling back to sort-based aggregation under fixed task memory,
-    // multi-pass-merges hundreds of millions of rows per map task.
-    // That was the real bulk of the x300 spill (§21.5): raising reduce
-    // partitions barely moved it (96 → 88 GB with the self-join at
-    // 900 partitions) and a global 1024-partition A/B made it WORSE
-    // (100 GB — AQE re-coalesces reduce sides; the map side never
-    // changes). The lever is to spread the COMPACT form: repartition
-    // the doc table (tiny rows) before exploding, so each map task
+    // MAP-SIDE SORT PRESSURE (round 16, measured at the 300× rung —
+    // the finding that became the shared [[Spread]] helper, which
+    // carries the full mechanism + divisor rationale): spread the
+    // COMPACT doc table before exploding so each map task
     // partial-aggregates a bounded shingle slice. Below the session
     // default this is skipped and the plan is byte-identical.
     val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // /1500, not /2000: the x100 replica corpus is 500k docs, and the
-    // first divisor left it at 250 — just under the 256 default, so
-    // the 100× rung kept the fallback (3.2 GB spill, ~170M
-    // under-combined rows) while 300× was fixed. The threshold should
-    // bind BEFORE the fallback does, not one rung after.
-    val sortParts = math.max(defaultParts, (nDocs / 1500L).toInt)
-    val spread =
-      if (sortParts > defaultParts) docs.repartition(sortParts, col("doc_id"))
-      else docs
-    val sh = TextAnalysis.shingles(spread, k)
+    val sortParts = Spread.parts(docs, nDocs, Spread.ShingleSetDocsPerPart)
+    val sh = TextAnalysis.shingles(
+        Spread.byKey(docs, nDocs, Spread.ShingleSetDocsPerPart, col("doc_id")), k)
       .select(col("doc_id"), col("shingle")).distinct()
     val overCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
@@ -772,9 +792,12 @@ object Dedup {
     // about to be freed — a cleared eager checkpoint cannot be read or
     // recomputed, so the cache entries must go with the blocks
     indexCache.clear()
+    pairsCache.clear()
     spanCache.clear()
     Similarity.clearIndexCaches()
     TextAnalysis.clearCaches()
+    // the spread memo keys on corpus plans that die with the rung
+    Spread.clearCache()
     // best-effort per RDD: retention is hygiene, not correctness — an
     // unpersist can NPE on a context mid-teardown (the BlockManager
     // master endpoint nulls before SparkContext.stop completes), and
@@ -927,7 +950,12 @@ object Dedup {
     * fits. */
   def contamination(train: DataFrame, probes: DataFrame, k: Int = 3,
       minHits: Long = 2, maxDf: Long = MaxShingleDf): DataFrame = {
-    val t = TextAnalysis.shingles(train, k).select(col("doc_id"), col("shingle")).distinct()
+    // spread the corpus side before the explode ([[Spread]] — the
+    // distinct's partial aggregate is the §21.5 fallback shape); the
+    // probe side is benchmark-sized by contract and stays un-spread
+    val t = TextAnalysis.shingles(
+        Spread.byId(train, "doc_id", Spread.ShingleSetDocsPerPart), k)
+      .select(col("doc_id"), col("shingle")).distinct()
     val p = TextAnalysis.shingles(
         probes.select(col("probe_id").as("doc_id"), col("text")), k)
       .select(col("doc_id").as("probe_id"), col("shingle")).distinct()
@@ -1024,18 +1052,14 @@ object Dedup {
     // 62k-partition shuffle. An exact count is one cheap metadata
     // job; an estimate that can be arbitrarily wrong is not a
     // partitioning input.)
-    val nDocs = docs.select("doc_id").count()
+    val nDocs = Spread.memoCount(docs, "doc_id")
     val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sortParts = math.max(defaultParts, (nDocs / 500L).toInt)
-    // MAP-SIDE spread (round 16, the lshRecall finding at 300×): the
-    // shingle explode runs inside the scan stage, so the over-cap
-    // distinct's PARTIAL aggregate sort-fallbacks over hundreds of
-    // millions of exploded rows per input split. Spreading the
-    // COMPACT doc table first bounds each map task's slice.
-    val docsSpread =
-      if (sortParts > defaultParts) docs.repartition(sortParts, col("doc_id"))
-      else docs
-    val sh = TextAnalysis.shingles(docsSpread, k)
+    val sortParts = Spread.parts(docs, nDocs, Spread.PositionalDocsPerPart)
+    // MAP-SIDE spread (round 16, the lshRecall finding at 300× — now
+    // the shared [[Spread]] helper, which carries the mechanism and
+    // divisor rationale): bound each map task's exploded slice.
+    val sh = TextAnalysis.shingles(
+      Spread.byKey(docs, nDocs, Spread.PositionalDocsPerPart, col("doc_id")), k)
     // df = distinct docs (positions within one doc must not count
     // toward the cap); tiny over-cap set -> broadcast anti-join drops
     // hot shingles map-side, before the self-join shuffle
@@ -1104,7 +1128,12 @@ object Dedup {
   def spanPairsIncremental(base: DataFrame, batch: DataFrame, k: Int = 3,
       minRun: Int = 10, maxDf: Long = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shB = TextAnalysis.shingles(base)
+    // spread the standing BASE before its positional explode
+    // ([[Spread]] — the over-cap distinct's partial aggregate is the
+    // §21.5 fallback shape at corpus scale); the batch is ingest-sized
+    // (batch << base by contract) and stays un-spread
+    val shB = TextAnalysis.shingles(
+      Spread.byId(base, "doc_id", Spread.PositionalDocsPerPart))
     val shN = TextAnalysis.shingles(batch)
     val overCap = shB.select("doc_id", "shingle").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))

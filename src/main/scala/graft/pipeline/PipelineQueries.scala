@@ -62,9 +62,14 @@ object PipelineQueries extends QueryPack {
     // the audit USED: the bands×rows knob at its other preset — 8
     // bands of 1 row lifts low-Jaccard capture exactly as the S-curve
     // predicts (1-(1-j)^8 vs 1-(1-j²)^4); comparing the two recall
-    // tables is how a 100 TB run sizes its banding before committing
+    // tables is how a 100 TB run sizes its banding before committing.
+    // The b8 "caught" set reads the build-once per-preset pair cache
+    // (rows identical to the inline band self-join it replaces) —
+    // round 17, killing the arm's last x300 rebuild spill.
     "dedup_lsh_recall_b8" -> ((s, d) =>
-      Dedup.lshRecall(docs(s, d), bandRows = 1).orderBy("decile")),
+      Dedup.lshRecall(docs(s, d), bandRows = 1,
+        caughtPairs = Some(Dedup.candidatePairsCached(docs(s, d), d, bandRows = 1)))
+        .orderBy("decile")),
     // cross-source near-dup overlap matrix (mirror detection), served
     // from the build-once pair table
     "dedup_source_overlap" -> ((s, d) =>

@@ -913,21 +913,18 @@ object Similarity {
     * metadata-cheap scalar (the Lloyd loop already collects per
     * iteration). */
   private def spreadForSubspaces(qv: DataFrame): DataFrame = {
-    val defaultParts = qv.sparkSession.sessionState.conf.numShufflePartitions
     // /500 balances the two failure modes, both MEASURED on the x100
-    // ladder: too few partitions → pass-through inflation + spill
-    // (pre-fix: 28M records, 10.7 GB); too many → task-scheduling
-    // overhead (a /150 A/B, SCALE_r16_ivfpq_spread150.json: x100 wall
-    // 11.3 → 17.0 s at 7,364 tasks, spill still 0). Rungs below the
-    // threshold (x ≤ 30) keep bounded pass-through inflation in their
-    // record counts WITHOUT spilling — the /150 A/B quantifies it
-    // (x30 records 8.5M inflated vs 2.7M honest). The count rides the
-    // [[corpusN]] session memo: a per-call count() scanned the vec_id
-    // column on every bench pass, and the round-16 BenchDiff gate
-    // caught itself the +27% input on sim_pq_topk — memoized, the
-    // steady state pays zero sizing actions.
-    val parts = math.max(defaultParts, (corpusN(qv) / 500L).toInt)
-    if (parts > defaultParts) qv.repartition(parts, col("vec_id")) else qv
+    // ladder (the divisor rationale now lives in [[Dedup]]'s shared
+    // [[graft.pipeline.Spread]] helper): too few partitions →
+    // pass-through inflation + spill (pre-fix: 28M records, 10.7 GB);
+    // too many → task-scheduling overhead (a /150 A/B,
+    // SCALE_r16_ivfpq_spread150.json: x100 wall 11.3 → 17.0 s at
+    // 7,364 tasks, spill still 0). Rungs below the threshold (x ≤ 30)
+    // keep bounded pass-through inflation in their record counts
+    // WITHOUT spilling — the /150 A/B quantifies it (x30 records
+    // 8.5M inflated vs 2.7M honest). The count rides the [[corpusN]]
+    // session memo.
+    Spread.byKey(qv, corpusN(qv), Spread.SubspaceVecsPerPart, col("vec_id"))
   }
 
   /** Product-quantization codebook, Lloyd-refined per subspace: init is

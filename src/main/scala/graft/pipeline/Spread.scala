@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** MAP-SIDE SPREAD of a compact table before a row-exploding
+  * transform — the shared fix for the explode-stage partial-aggregate
+  * fallback, the engine's single biggest spill mechanism (round 16,
+  * SURVEY §21.5; measured at the 300× LSH-recall rung and re-found
+  * independently at the 100× span and PQ rungs).
+  *
+  * The mechanism: a parquet scan of a compact table (docs, quantized
+  * vectors) is a handful of input splits, so any EXPLODE planned into
+  * the scan stage fans hundreds of millions of rows inside those few
+  * map tasks — and the first partial hash aggregate downstream
+  * (a distinct, a per-doc groupBy, a per-(vec,m) argmin) falls back
+  * to sort-based aggregation under fixed task memory, external-sorting
+  * the whole fan per task AND emitting ~2× phantom pass-through
+  * shuffle records. Reduce-side partition counts tune NOTHING here:
+  * raising them moved the 300× spill 96 → 88 GB, and a global
+  * 1024-partition A/B made it WORSE (AQE re-coalesces reduce sides;
+  * the map side never changes). The lever is to repartition the
+  * COMPACT form (tiny rows — the shuffle is cheap) on the downstream
+  * key, so each map task explodes and partial-aggregates a bounded
+  * slice; keying by the aggregate's own grouping column also makes
+  * the partials exact (one output row per key per task).
+  *
+  * `rowsPerPart` is the per-family measured divisor — docs (or
+  * vectors) per partition, sized so one task's exploded fan is about
+  * one task's worth of sort memory:
+  *  - 1500 for k-shingle set consumers (distinct / per-doc minhash:
+  *    ~100-200 distinct shingles per doc; /2000 left the 100× rung at
+  *    250 partitions — just under the 256 session default, so the
+  *    rung kept the fallback: 3.2 GB spill, ~170M under-combined
+  *    rows. The threshold must bind BEFORE the fallback does.);
+  *  - 500 for POSITIONAL shingle consumers (span/winnow planes: every
+  *    position survives, ~1k hit rows per doc at the 100× rung);
+  *  - 500 for PQ subspace explodes (fan PqM × PqK = 256 per vector;
+  *    a /150 A/B traded spill for task-scheduling overhead — x100
+  *    wall 11.3 → 17.0 s at 7,364 tasks — so finer is not better).
+  *
+  * Below the session default the input is returned UNCHANGED — gate
+  * scales (sf0.01/sf0.1: thousands of rows) derive far below 256
+  * partitions and keep their plans byte-identical, so the oracle gate
+  * exercises the same plan shape production runs at small corpora.
+  */
+object Spread {
+
+  /** Docs per partition for k-shingle SET consumers (distinct /
+    * per-doc minhash aggregates) — see the rowsPerPart rationale
+    * above. */
+  val ShingleSetDocsPerPart = 1500L
+
+  /** Docs per partition for POSITIONAL shingle consumers (span /
+    * winnow planes — every position survives the explode). */
+  val PositionalDocsPerPart = 500L
+
+  /** Vectors per partition for PQ subspace explodes (fan PqM × PqK
+    * per vector). */
+  val SubspaceVecsPerPart = 500L
+
+  /** Memoized exact row count of a compact table — partitioning
+    * INPUT, so it must be exact (Catalyst size estimates multiply
+    * through derived plans: a test corpus built by transforms claimed
+    * 3.9 GB and derived a 62k-partition shuffle) but must not re-run
+    * per plan build (a per-call count() scanned the id column on
+    * every bench pass; the round-16 BenchDiff gate caught the +27%
+    * input on sim_pq_topk). Plan-keyed like [[Similarity.corpusN]] —
+    * no call-site threading; assumes the corpus behind a plan is
+    * immutable for the session (the testdata/lake contract — at
+    * 100 TB catalog statistics supply the count with no action). */
+  private val nCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  def memoCount(df: DataFrame, idCol: String): Long =
+    nCache.getOrElseUpdate(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      df.select(idCol).count())
+
+  /** Partition count the spread (and any downstream keyed repartition
+    * sharing its scale) should use: ~1 partition per `rowsPerPart`
+    * compact rows, never below the session default. */
+  def parts(df: DataFrame, n: Long, rowsPerPart: Long): Int = {
+    val defaultParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(defaultParts, (n / rowsPerPart).toInt)
+  }
+
+  /** Spread `df` (n rows, compact) across [[parts]] partitions hashed
+    * on `keys` — identity below the session default. */
+  def byKey(df: DataFrame, n: Long, rowsPerPart: Long, keys: Column*): DataFrame = {
+    val defaultParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val p = parts(df, n, rowsPerPart)
+    if (p > defaultParts) df.repartition(p, keys: _*) else df
+  }
+
+  /** [[byKey]] with the count supplied by [[memoCount]] on `idCol`,
+    * which is also the hash key — the common "spread docs by doc_id"
+    * call shape. */
+  def byId(df: DataFrame, idCol: String, rowsPerPart: Long): DataFrame =
+    byKey(df, memoCount(df, idCol), rowsPerPart, org.apache.spark.sql.functions.col(idCol))
+
+  private[pipeline] def clearCache(): Unit = nCache.clear()
+}

@@ -36,11 +36,28 @@ object CaptureQuery {
     val fn = graft.SparkEntry.queries(query)
     val metrics = TaskMetricsListener.install(spark.sparkContext)
 
+    // valid JSON for every cell (r16 advice): non-finite doubles have
+    // no JSON literal (bare NaN/Infinity breaks the artifact's
+    // parsers) → null; control characters inside strings must be
+    // \u-escaped, not just backslash and quote.
+    def jsonString(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
     def jsonCell(v: Any): String = v match {
       case null => "null"
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case d: Double => d.toString
-      case f: Float => f.toString
+      case s: String => jsonString(s)
+      case d: Double => if (java.lang.Double.isFinite(d)) d.toString else "null"
+      case f: Float => if (java.lang.Float.isFinite(f)) f.toString else "null"
       case x => x.toString
     }
     val perDir = dirs.map { dir =>

@@ -62,6 +62,9 @@ object ScaleBench {
   val ScaleSet: Seq[String] = Seq(
     "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_minhash_err",
     "dedup_lsh_recall", "dedup_lsh_recall_b8", "dedup_spans",
+    // round 17: the remaining shingle consumers, prove-or-patch
+    // (r16 verdict #2 — no big-rung evidence either way before this)
+    "dedup_incremental", "pipeline_contamination",
     "dedup_components", "dedup_embedding_components", "dedup_winnow",
     "dedup_simhash", "sim_ivfpq_topk", "sim_pq_topk", "sim_topk",
     "emb_pca", "text_bpe_apply", "text_bm25", "text_gopher",
@@ -87,7 +90,43 @@ object ScaleBench {
     // (CaptureQuery dumps its decile rows; the ladder rides its bytes)
     "sim_ann_recall")
 
-  private val IdShift = 10000000L
+  private[tools] val IdShift = 10000000L
+
+  /** Replica `r` of an embedding table — the gen=v3 isomorphic-domain
+    * transform, factored out so [[AnnCapProbe]] can build
+    * embeddings-only rungs past the full ladder's disk budget.
+    *
+    * Rotate by r mod dim (replica counts beyond the vector dimension
+    * must wrap, not slice negatively), then apply the PER-REPLICA SIGN
+    * PATTERN: rotation alone does not decorrelate MEAN-DOMINATED
+    * vectors — with all-positive components every cross-replica cosine
+    * sits near mu²/E[x²] regardless of index rotation, and the >= 0.9
+    * tail of that baseline grew the verified-pair table QUADRATICALLY
+    * in k (measured: pairs fit ~2.9k·k + 437·k²; at 30×, 3.3× the
+    * linear projection — the 100× embedding-pair rung was measuring
+    * workload construction, not the operator). Rotation also wraps at
+    * r >= dim, making replicas r and r+dim byte-identical (guaranteed
+    * cross-replica EXACT dups past 64×). Deterministic per-replica
+    * sign flips fix both: each replica negates dimension j iff
+    * murmur3(r, j) is odd — norms and all WITHIN-replica dots are
+    * exactly preserved (one pattern per replica:
+    * sign(s_j x_j)·(s_j y_j) = x_j y_j), while cross-replica dots
+    * become sign-scrambled sums that cancel the mean term. Replica 0
+    * keeps the identity pattern — and r > 0 replicas all change, so
+    * every gate-scale artifact is v2-incompatible and the gen stamp
+    * bump rebuilds them. */
+  private[tools] def embReplica(e: DataFrame, r: Int): DataFrame = {
+    val rot = pmod(lit(r), size(col("embedding")))
+    val rotated = when(rot === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+      slice(col("embedding"), lit(1), rot)))
+    val signed = transform(rotated, (x, j) =>
+      when(pmod(hash(lit(r), j), lit(2)) === 1, -x).otherwise(x))
+    e.select(
+      (col("vec_id") + r * IdShift).as("vec_id"),
+      signed.as("embedding"),
+      col("label"))
+  }
 
   /** Build (once) the scale-`k` replica of `base` under `out`.
     * gen=v2 (round 13): lineitem/orders/customer join the replicated
@@ -133,38 +172,7 @@ object ScaleBench {
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     assertIdsFit(emb, "vec_id", IdShift, "embeddings")
-    replicas(emb) { (e, r) =>
-      // rotate by r mod dim — replica counts beyond the vector
-      // dimension must wrap, not slice negatively
-      val rot = pmod(lit(r), size(col("embedding")))
-      val rotated = when(rot === 0, col("embedding")).otherwise(concat(
-        slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
-        slice(col("embedding"), lit(1), rot)))
-      // PER-REPLICA SIGN PATTERN (gen=v3): rotation alone does not
-      // decorrelate MEAN-DOMINATED vectors — with all-positive
-      // components every cross-replica cosine sits near
-      // mu^2/E[x^2] regardless of index rotation, and the >= 0.9
-      // tail of that baseline grew the verified-pair table
-      // QUADRATICALLY in k (measured: pairs fit ~2.9k*k + 437*k^2;
-      // at 30x, 3.3x the linear projection — the 100x embedding-pair
-      // rung was measuring workload construction, not the operator).
-      // Rotation also wraps at r >= dim, making replicas r and r+dim
-      // byte-identical (guaranteed cross-replica EXACT dups past
-      // 64x). Deterministic per-replica sign flips fix both: each
-      // replica negates dimension j iff murmur3(r, j) is odd — norms
-      // and all WITHIN-replica dots are exactly preserved (one
-      // pattern per replica: sign(s_j x_j)*(s_j y_j) = x_j y_j),
-      // while cross-replica dots become sign-scrambled sums that
-      // cancel the mean term. Replica 0 keeps the identity pattern —
-      // and r > 0 replicas all change, so every gate-scale artifact
-      // is v2-incompatible and the gen stamp bump rebuilds them.
-      val signed = transform(rotated, (x, j) =>
-        when(pmod(hash(lit(r), j), lit(2)) === 1, -x).otherwise(x))
-      e.select(
-        (col("vec_id") + r * IdShift).as("vec_id"),
-        signed.as("embedding"),
-        col("label"))
-    }.repartition(math.max(4, 2 * k))
+    replicas(emb)(embReplica).repartition(math.max(4, 2 * k))
       .write.mode("overwrite").parquet(out.resolve("embeddings.parquet").toString)
 
     val ev = spark.read.parquet(s"$base/events.parquet")

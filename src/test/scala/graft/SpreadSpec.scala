@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Spread}
+
+/** Pins for the shared map-side spread helper (round 17 — the §21.5
+  * explode-stage fallback fix, consolidated from three hand-applied
+  * copies) and for the b8 recall arm's cached-pairs serve path. */
+class SpreadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs100 = (0 until 100)
+    .map(i => (i.toLong, s"alpha bravo charlie delta echo f$i g$i h$i"))
+    .toDF("doc_id", "text")
+
+  test("byKey below the session default is the identity — plan untouched") {
+    val d = docs100
+    // 100 docs / 1500 per part = 0 parts -> stays at the session
+    // default -> the INPUT object comes back (byte-identical plan,
+    // the gate-scale contract)
+    val out = Spread.byKey(d, 100L, Spread.ShingleSetDocsPerPart, col("doc_id"))
+    assert(out eq d, "sub-threshold spread must not touch the plan")
+  }
+
+  test("byKey above the session default repartitions on the key, rows intact") {
+    val d = docs100
+    val default = spark.sessionState.conf.numShufflePartitions
+    // rowsPerPart=1 forces n partitions; n must exceed the default
+    // for the test to exercise the binding branch
+    val n = math.max(100L, default + 44L)
+    val dd = (0L until n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Spread.byKey(dd, n, 1L, col("doc_id"))
+    assert(Spread.parts(dd, n, 1L) == n.toInt)
+    assert(out.rdd.getNumPartitions == n.toInt)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (0L until n))
+  }
+
+  test("memoCount returns the exact count and survives clearCache") {
+    val d = docs100
+    assert(Spread.memoCount(d, "doc_id") == 100L)
+    // a fresh DataFrame with the same canonicalized plan hits the memo
+    assert(Spread.memoCount(docs100, "doc_id") == 100L)
+    graft.pipeline.Dedup.freeRetained() // clears the spread memo too
+    assert(Spread.memoCount(docs100, "doc_id") == 100L)
+  }
+
+  test("b8 recall arm: cached candidate pairs serve identical rows to the inline rebuild") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val inline = Dedup.lshRecall(d, bandRows = 1).collect().toSet
+    val cached = Dedup.lshRecall(d, bandRows = 1,
+      caughtPairs = Some(Dedup.candidatePairsCached(d, "spreadspec-b8", bandRows = 1)))
+      .collect().toSet
+    assert(cached == inline,
+      "the cached per-preset pair table must reproduce the inline band self-join")
+    // and the cache really is per-preset: the default-banding entry is
+    // a distinct table. A pair caught by a 2-row band (both minhashes
+    // of the band collide) is always caught by 1-row banding (each
+    // minhash alone is a band), so default ⊆ b8 — never the same entry.
+    val defDf = Dedup.candidatePairsCached(d, "spreadspec-b8")
+    val b8Df = Dedup.candidatePairsCached(d, "spreadspec-b8", bandRows = 1)
+    assert(!(defDf eq b8Df), "presets must not share one cache entry")
+    val defPairs = defDf.select("doc_a", "doc_b").collect().toSet
+    val b8Pairs = b8Df.select("doc_a", "doc_b").collect().toSet
+    assert(defPairs.subsetOf(b8Pairs),
+      "2-row-band candidates must be a subset of 1-row-band candidates")
+  }
+}
