@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc spark confs for the forked runMain JVM (SparkSession picks
+  // up -Dspark.* system properties) — e.g. the event log for per-stage
+  // spill attribution: SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
+  // -Dspark.eventLog.dir=/tmp/eventlog"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -404,29 +404,36 @@ object Dedup {
       "shingle universe (bounded d^2 blowup; sizes and intersections both " +
       "capped); similarity carried only by ultra-common shingles is not " +
       "reported — boilerplate, not near-dups")
-    // the explicit isNotNull filters are semantic no-ops (doc_id and
-    // shingle are never null) but make every consumer branch's subtree
-    // IDENTICAL: the inner sizes-joins infer isnotnull(doc_id) onto
-    // their branch of the index, and a subtree that differs by an
-    // inferred filter defeats ReuseExchange — each branch would rescan
-    // documents instead of reading the one shuffled index copy.
-    // Spread the COMPACT doc table before the explode ([[Spread]] —
-    // round 17, closing the r16 `weak`: the distinct's partial
-    // aggregate was the §21.5 fallback shape, 7.0 GB of x30 spill
-    // for three rounds running).
-    val sh = TextAnalysis.shingles(
-        Spread.byId(docs, "doc_id", Spread.ShingleSetDocsPerPart), k)
-      .select(col("doc_id"), col("shingle"))
-      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
-      .distinct()
-    // two-phase skew-safe df: groupBy.count partially aggregates, so a
-    // stop-shingle in 10^9 docs collapses to one row per map partition
-    // instead of flooding a single window task (the count-over-window
-    // spelling this replaces moved every row of the hot key into ONE
-    // task — the exact straggler the cap exists to prevent). sh ends
-    // in distinct()'s exchange, which ReuseExchange shares across the
-    // df aggregate, the sizes path, and both self-join sides: still
-    // one scan of documents.
+    // ROW-LOCAL set shingles off the SPREAD doc table (round 17,
+    // closing the r16 `weak` — two measured mechanisms replaced here):
+    //  1. §21.5 explode-stage fallback: the old shingles().distinct()
+    //     partial-aggregated the whole explode fan inside the scan
+    //     stage's few input splits (7 GB x30 spill, phantom records —
+    //     the [[Spread]] treatment re-based x100 records 1.09B → 508M);
+    //  2. consumer re-reduction (§21.8, NEW): even spread, the
+    //     distinct's exchange is shared by ReuseExchange but only its
+    //     shuffle FILES are — the final dedup aggregate re-executed in
+    //     EVERY consumer stage, and each re-reduction of the 126.5M-row
+    //     x100 index under AQE-coalesced partitions sort-fallbacked
+    //     (~10.5 GB per consumer stage, the bulk of the residual 25 GB).
+    // [[TextAnalysis.shingleSets]] removes the work instead of
+    // re-sharing it: in-doc dedup is array_distinct before the explode
+    // (rows are globally distinct — duplicates of a (doc_id, shingle)
+    // pair only ever exist WITHIN a doc), so there is no corpus-wide
+    // distinct to re-reduce. The doc spread (UNCONDITIONAL — it is now
+    // the plan's ReuseExchange anchor, replacing the distinct exchange
+    // as the one-scan sharing point; PlanSpec pins the scan count)
+    // bounds every post-scan stage and, because doc_id hash-clusters
+    // everything the stage needs, the df aggregate's partials, the
+    // sizes aggregate AND the sizes equi-join all run INSIDE the
+    // spread stage.
+    val nDocs = Spread.memoCount(docs, "doc_id")
+    val sh = TextAnalysis.shingleSets(
+      Spread.anchorByKey(docs, nDocs, Spread.ShingleSetDocsPerPart, col("doc_id")), k)
+    // two-phase skew-safe df: groupBy.count partially aggregates
+    // map-side (in the spread stage), so a stop-shingle in 10^9 docs
+    // collapses to one count row per task instead of flooding a single
+    // reduce task before the cap can drop it
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // tiny blacklist by construction (each member appears in > maxDf
     // docs, so <= index/maxDf entries): broadcast anti-join removes
@@ -443,12 +450,29 @@ object Dedup {
     // crossed 10 MB, both post-agg joins went SMJ, and the candidate
     // table shuffled TWICE (records 2.08× the linear projection,
     // SCALE_r14_x100). One row per doc never broadcasts at 100 TB, so
-    // the scale-correct shape pays +8 bytes per shingle row through
-    // the one exchange the query already does (sizes ⋈ kept is
-    // doc-keyed, partial-agg-sized) and the candidate aggregate simply
-    // CARRIES both sizes (functionally dependent on the grouping key —
-    // max() picks the one value) — zero post-agg joins at any scale.
-    val sized = kept.join(sizes(kept), Seq("doc_id"))
+    // the scale-correct shape computes sizes colocated with the index
+    // (when the spread binds, zero extra exchanges: kept is
+    // doc_id-partitioned, so the groupBy and the equi-join are both
+    // in-stage) and the candidate aggregate simply CARRIES both sizes
+    // (functionally dependent on the grouping key — max() picks the
+    // one value) — zero post-agg joins at any scale.
+    val sized0 = kept.join(sizes(kept), Seq("doc_id"))
+    // REDUCE-SIDE sort parallelism (the lshRecall keptB treatment):
+    // the self-join's index sorts and the pair aggregate's partial
+    // pass run in the JOIN stage — at the session partition count
+    // that was ~1.5M join-output rows per task at 500k docs (measured
+    // mid-r17: 54.9 → 25.0 GB from this repartition alone, before
+    // shingleSets killed the rest). ON the join key, so it re-sizes
+    // the exchange the join already needs (no extra shuffle) and is
+    // exempt from AQE re-coalescing; /500 (the positional-plane
+    // divisor) because the join fan here is ~1k hit rows per doc, the
+    // dedup_spans profile, not the ~150 set-shingles-per-doc profile
+    // the /1500 map spread is sized for.
+    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val joinParts = Spread.parts(docs, nDocs, Spread.PositionalDocsPerPart)
+    val sized =
+      if (joinParts > defaultParts) sized0.repartition(joinParts, col("shingle"))
+      else sized0
     // The self-join runs on the FULL capped universe — deliberately no
     // df=1 semi-join prune (df=1 shingles match nothing, so results
     // are identical either way). The sort-merge self-join duplicates
@@ -457,12 +481,32 @@ object Dedup {
     // pass TWICE on top of the same full-index sort it was meant to
     // shrink — measured +25% on the whole query. df=1 rows cost one
     // extra streamed sort pass and zero join output.
-    sized.as("a")
+    val joined = sized.as("a")
       .join(sized.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    // PAIR-AGGREGATE parallelism (round 17, the LAST of the query's
+    // three measured spill mechanisms): most co-occurring pairs share
+    // 1-2 surviving shingles, so the partial aggregate's combine ratio
+    // in the join stage is ~1 — 126.5M partial rows for ~the same join
+    // output at the x100 rung — and AQE coalesced the pair exchange to
+    // 43 partitions (64 MB advisory), handing the FINAL aggregate
+    // ~3M rows per task: hash fallback, ~10.5 GB spill, paid TWICE
+    // (the declared orderBy's range sampling re-executes the plan).
+    // With combine worth ~nothing, repartitioning the RAW join output
+    // on the grouping keys is byte-neutral and pins the aggregate at
+    // joinParts (~126k rows/task) — both aggregate passes land above
+    // the explicit exchange, which AQE cannot re-coalesce. Below the
+    // session default the plan keeps the classic partial/final split.
+    val pairs =
+      if (joinParts > defaultParts)
+        joined.repartition(joinParts, col("doc_a"), col("doc_b"))
+      else joined
+    pairs
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"),
-        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
+        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -631,7 +675,22 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("fp")
-    val kept = fps.join(broadcast(overCap), Seq("fp"), "left_anti")
+    val kept0 = fps.join(broadcast(overCap), Seq("fp"), "left_anti")
+    // REDUCE-SIDE sort parallelism (round 17 — the first winnow rung
+    // past x30 measured 6.75 GB of x100 spill with records exactly
+    // linear at 0.945: the fp self-join's sorts and the pair
+    // aggregate's partial pass outgrow fixed task memory at the
+    // session partition count). Same shape and divisor as
+    // [[jaccardPairs]]' sized repartition — ON the join key, so it
+    // re-sizes the exchange the join already needs. No map-side
+    // spread here: winnowFingerprints' window already exchanges on
+    // doc_id before any aggregate, so the scan stage never explodes.
+    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val joinParts = Spread.parts(docs,
+      Spread.memoCount(docs, "doc_id"), Spread.PositionalDocsPerPart)
+    val kept =
+      if (joinParts > defaultParts) kept0.repartition(joinParts, col("fp"))
+      else kept0
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

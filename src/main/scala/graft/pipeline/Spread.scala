@@ -99,5 +99,16 @@ object Spread {
   def byId(df: DataFrame, idCol: String, rowsPerPart: Long): DataFrame =
     byKey(df, memoCount(df, idCol), rowsPerPart, org.apache.spark.sql.functions.col(idCol))
 
+  /** [[byKey]] that repartitions even below the session default — for
+    * plans whose consumer branches SHARE the spread exchange as their
+    * ReuseExchange anchor (e.g. [[Dedup.jaccardPairs]], where the df
+    * cap, both self-join sides and the sizes aggregate all read it):
+    * without an exchange, a sub-threshold corpus would be re-scanned
+    * once per branch. The compact table is tiny by definition, so the
+    * always-exchange costs one small shuffle and buys one-scan plans
+    * at every scale. */
+  def anchorByKey(df: DataFrame, n: Long, rowsPerPart: Long, keys: Column*): DataFrame =
+    df.repartition(parts(df, n, rowsPerPart), keys: _*)
+
   private[pipeline] def clearCache(): Unit = nCache.clear()
 }

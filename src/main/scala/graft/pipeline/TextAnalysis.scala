@@ -776,6 +776,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("toks"), col("pos"), lit(k)), " ").as("shingle"))
 
+  /** (doc_id, shingle) rows with SET semantics — the in-doc dedup is
+    * ROW-LOCAL (array_distinct before the explode), so set consumers
+    * need no corpus-wide `distinct()` at all. Round 17, the
+    * dedup_jaccard x100 finding: a shared `.distinct()` exchange is
+    * deduplicated by ReuseExchange, but only its shuffle FILES are
+    * shared — the final dedup aggregate re-executes in every consumer
+    * stage, and at 500k docs each re-reduction of the 126.5M-row index
+    * under AQE-coalesced partitions sort-fallbacked (~10.5 GB spill
+    * per consumer stage, the bulk of the query's 25 GB). Building the
+    * set row-local removes the work instead of re-sharing it. The
+    * transform/slice array build evaluates interpreted (~6× the
+    * codegen'd exploded spelling per shingle — the measured note at
+    * [[Dedup.minhashSignatures]]), which is the right trade exactly
+    * when it replaces a corpus-wide distinct; hash-aggregate consumers
+    * that tolerate multiset rows ([[Dedup.minhashSignatures]]) should
+    * keep [[shingles]]. */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), col("n") - (k - 1)),
+          p => array_join(slice(col("toks"), p, lit(k)), " ")))).as("shingle"))
+
   /** Winnowing-style fingerprint: min md5 over a doc's k-gram window
     * hashes — equal fingerprints flag heavy overlap. */
   def fingerprint(docs: DataFrame, k: Int = 5): DataFrame =
@@ -805,7 +831,16 @@ object TextAnalysis {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val frame = byDoc.orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    shingles(docs, k)
+    // MAP-SIDE spread (round 17 — the first x100 winnow rung measured
+    // 6.75 GB of spill INVARIANT under the pair-join's partition
+    // count: the window's own sort at the session partition count,
+    // ~1.3M positional rows per task at 500k docs). Spreading the
+    // COMPACT doc table satisfies the window's doc_id distribution,
+    // so the explode, both window passes, AND the trailing distinct
+    // (doc_id hash clusters (doc_id, fp) too) all run inside the
+    // spread stage over bounded per-task slices — no window exchange,
+    // no consumer re-dedup. Below the session default: identity.
+    shingles(Spread.byId(docs, "doc_id", Spread.PositionalDocsPerPart), k)
       .select(col("doc_id"), col("pos"), md5(col("shingle")).as("h"))
       .withColumn("n_pos", count(lit(1)).over(byDoc))
       .withColumn("fp", min("h").over(frame))
