@@ -628,9 +628,20 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // SAMPLE-BUCKET prefilter on the caught side (round 17 — the b8
+    // arm's last 2.6 GB of x300 spill, stage-attributed via the event
+    // log to the scored join's sort of the caught table): every
+    // `pairs` row has pb(doc_a) == pb(doc_b) by construction, so
+    // caught rows in different buckets can never match the left join —
+    // the filter is semantics-preserving and drops the caught side
+    // from O(all candidate pairs) to ~|caught ∩ sample| (≈ |caught|/B:
+    // bucket assignment is md5-random w.r.t. candidate structure). Two
+    // map-side md5s per row replace an external sort of the full
+    // candidate table under AQE-coalesced partitions.
     val caught = caughtPairs
       .getOrElse(minhashCandidates(docs, k, bandRows = bandRows))
       .select(col("doc_a"), col("doc_b"))
+      .filter(pbOf(col("doc_a")) === pbOf(col("doc_b")))
       .withColumn("caught", lit(1L))
     val scored = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -1112,13 +1123,18 @@ object Dedup {
     // job; an estimate that can be arbitrarily wrong is not a
     // partitioning input.)
     val nDocs = Spread.memoCount(docs, "doc_id")
-    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sortParts = Spread.parts(docs, nDocs, Spread.PositionalDocsPerPart)
+    val sortParts = Spread.parts(docs, nDocs, Spread.SpanDocsPerPart)
+    // bind at [[Spread.BindFloor]] raw parts, NOT the session default
+    // (round 17: the /1500 divisor left x30's raw 100 below 256 —
+    // identity — and the §21.5 fallback returned with 22.9 GB of
+    // spill; the fan outgrows the scan splits long before the derived
+    // partition count reaches the session default)
+    val bind = nDocs / Spread.SpanDocsPerPart >= Spread.BindFloor
     // MAP-SIDE spread (round 16, the lshRecall finding at 300× — now
     // the shared [[Spread]] helper, which carries the mechanism and
     // divisor rationale): bound each map task's exploded slice.
     val sh = TextAnalysis.shingles(
-      Spread.byKey(docs, nDocs, Spread.PositionalDocsPerPart, col("doc_id")), k)
+      Spread.byKeyFloored(docs, nDocs, Spread.SpanDocsPerPart, col("doc_id")), k)
     // df = distinct docs (positions within one doc must not count
     // toward the cap); tiny over-cap set -> broadcast anti-join drops
     // hot shingles map-side, before the self-join shuffle
@@ -1132,15 +1148,17 @@ object Dedup {
     // 24.5/86.5 GB at x30/x100 with records exactly linear at 1.04:
     // the positional self-join's shingle sort and the island window's
     // (doc_a, doc_b, diag) sort both outgrow fixed task sort memory).
-    // The /500 constant is the measured inflation: 500k docs became
-    // 556M shuffle records at the 100× rung (~1k hit rows per doc),
-    // so 500 docs is ~0.5M hit rows — one task's worth of sort. Gate
+    // The divisor is [[Spread.SpanDocsPerPart]] — coarsened 500 →
+    // 1500 in round 17 after the x300 block-count adjudication (this
+    // plane's post-join rows are narrow ints, so 3× larger slices
+    // still sort in-memory while cutting M×R shuffle blocks 9×; x300
+    // warm 219.9 → 92.9 s, spill 0 both ways). Gate
     // scales and the sf0.1 bench (5,000 docs) derive far below the
     // session default and keep their plans byte-identical; the
     // explicit repartitions are ON the join/window keys, so they
     // satisfy the required distributions instead of adding exchanges.
     val kept =
-      if (sortParts > defaultParts) kept0.repartition(sortParts, col("shingle"))
+      if (bind) kept0.repartition(sortParts, col("shingle"))
       else kept0
     val hits0 = kept.as("a")
       .join(kept.as("b"),
@@ -1149,7 +1167,7 @@ object Dedup {
         col("a.pos").as("pos_a"),
         (col("a.pos") - col("b.pos")).as("diag"))
     val hits =
-      if (sortParts > defaultParts)
+      if (bind)
         hits0.repartition(sortParts, col("doc_a"), col("doc_b"), col("diag"))
       else hits0
     // islands: consecutive pos_a on one diagonal = one maximal run.
@@ -1192,7 +1210,8 @@ object Dedup {
     // §21.5 fallback shape at corpus scale); the batch is ingest-sized
     // (batch << base by contract) and stays un-spread
     val shB = TextAnalysis.shingles(
-      Spread.byId(base, "doc_id", Spread.PositionalDocsPerPart))
+      Spread.byKeyFloored(base, Spread.memoCount(base, "doc_id"),
+        Spread.SpanDocsPerPart, col("doc_id")))
     val shN = TextAnalysis.shingles(batch)
     val overCap = shB.select("doc_id", "shingle").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))

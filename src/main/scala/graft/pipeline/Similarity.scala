@@ -178,7 +178,20 @@ object Similarity {
     log.info(s"annPairs: LSH buckets with > $maxBucket vectors are dropped from " +
       "the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by group-dedup, not pairwise")
-    val sigs = lshFamilySignatures(emb, numFamilies, numPlanes)
+    // Spread-policy rollout (round 17 — the family-cap probe's
+    // event-log attribution at n=1.6M measured the un-spread plane
+    // spilling 21.7 GB/pass in the [[Dedup.Spread]] triple:
+    // explode-in-scan, AQE-coalesced join sorts, re-reduced distinct;
+    // see [[Spread.SigVecsPerPart]]). All three treatments bind at
+    // [[Spread.BindFloor]] raw parts — gate scales (n ≤ 5k, raw 1)
+    // keep byte-identical plans, preserving the adaptive-path
+    // bit-identity the oracle gate relies on.
+    val nVec = corpusN(emb)
+    val sigParts = Spread.parts(emb, nVec, Spread.SigVecsPerPart)
+    val bind = nVec / Spread.SigVecsPerPart >= Spread.BindFloor
+    val sigs = lshFamilySignatures(
+      Spread.byKeyFloored(emb, nVec, Spread.SigVecsPerPart, col("vec_id")),
+      numFamilies, numPlanes)
     // two-phase skew-safe cap (see Dedup.minhashCandidates): partial-agg
     // counts -> tiny over-cap blacklist -> broadcast anti-join drops
     // mega-buckets map-side, before the self-join shuffle
@@ -186,12 +199,19 @@ object Similarity {
       .groupBy("family", "sig").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select(col("family"), col("sig"))
-    val kept = sigs.join(broadcast(overCap), Seq("family", "sig"), "left_anti")
+    val kept0 = sigs.join(broadcast(overCap), Seq("family", "sig"), "left_anti")
+    // JOIN-KEY pin: the SMJ's sorts run above this exchange (which the
+    // join needs anyway) at sigParts instead of AQE's 64 MB-advisory
+    // coalesce — signature rows are wide (q array), so the coalesced
+    // tasks sorted ~50 MB each and spilled 9.3 GB at n=1.6M
+    val kept =
+      if (bind) kept0.repartition(sigParts, col("family"), col("sig"))
+      else kept0
     val a = kept.select(col("family"), col("sig"), col("vec_id").as("id_a"),
       col("q").as("q_a"), col("n2").as("n2_a"))
     val b = kept.select(col("family"), col("sig"), col("vec_id").as("id_b"),
       col("q").as("q_b"), col("n2").as("n2_b"))
-    a.join(b, Seq("family", "sig"))
+    val scored = a.join(b, Seq("family", "sig"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         dot(emb.sparkSession, col("q_a"), col("q_b")).cast("double") /
@@ -201,7 +221,16 @@ object Similarity {
       // cosine each time (deterministic function of exact integers), so
       // distinct after the cheap threshold filter dedups the OR of bands
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
-      .distinct()
+    // PAIR-KEY pin before the distinct (§21.8: multi-family collisions
+    // are rare, so the partial distinct combines ~nothing and AQE
+    // coalesced the narrow pair exchange to 34 partitions at n=1.6M —
+    // 4.7 GB of re-reduction spill); the explicit exchange is
+    // byte-neutral and AQE-exempt, and both distinct passes land
+    // above it
+    val pinned =
+      if (bind) scored.repartition(sigParts, col("id_a"), col("id_b"))
+      else scored
+    pinned.distinct()
   }
 
   /** Corpus-sized LSH parameters — the round-13 answer to the byte

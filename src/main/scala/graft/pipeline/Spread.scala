@@ -50,13 +50,50 @@ object Spread {
     * above. */
   val ShingleSetDocsPerPart = 1500L
 
-  /** Docs per partition for POSITIONAL shingle consumers (span /
-    * winnow planes — every position survives the explode). */
+  /** Docs per partition for POSITIONAL consumers whose sort/join rows
+    * are WIDE (winnow's md5-keyed window and fp self-join, jaccard's
+    * shingle-keyed self-join pins): per-task slices must stay small
+    * because the sort keys are 30-60 B strings — jaccard at ~1.5M
+    * join rows per task measured 25 GB of x100 spill before this pin
+    * re-sized it (~0.5M rows/task). */
   val PositionalDocsPerPart = 500L
+
+  /** Docs per partition for the SPAN plane (spanPairs /
+    * spanPairsIncremental): its post-join rows are 4 narrow ints
+    * (doc_a, doc_b, pos_a, diag), so a 3× coarser slice still sorts
+    * in-memory (~36 MB/task at every measured rung) while cutting the
+    * shuffle BLOCK count 9× — the divisor trades per-task sort memory
+    * against M×R block growth, which is quadratic in the partition
+    * count. The x300 spans adjudication (event-log stage attribution,
+    * SCALE_r17_x300 vs the /1500 A/B): at /500 the rung ran 3000×3000
+    * partitions → 18M ~1 KB local block fetches → run-time 2× CPU+GC
+    * (file-op bound, spill 0, records exactly linear — wasted wall,
+    * not wasted work); at /1500 the same rung is 92.9 s vs 219.9 s
+    * warm, spill still 0, records identical. Env-overridable
+    * (SPARK_GRAFT_SPREAD_SPAN) for granularity A/Bs. */
+  val SpanDocsPerPart: Long = {
+    val v = sys.env.get("SPARK_GRAFT_SPREAD_SPAN")
+      .flatMap(_.toLongOption).getOrElse(1500L)
+    require(v > 0, s"SPARK_GRAFT_SPREAD_SPAN must be positive, got $v")
+    v
+  }
 
   /** Vectors per partition for PQ subspace explodes (fan PqM × PqK
     * per vector). */
   val SubspaceVecsPerPart = 500L
+
+  /** Vectors per partition for the ANN signature plane
+    * ([[Similarity.annPairs]]): the family explode is only 8 rows per
+    * vector but each row carries the quantized q array (~300 B), so
+    * 5000 vectors ≈ 12-14 MB of signature rows per task — one task's
+    * in-memory sort. Round 17, the family-cap probe's side finding
+    * (event-log attribution at n=1.6M): the un-spread plane spilled
+    * 21.7 GB per pass across three stages — the signature explode
+    * inside the 34-split scan (7.5 GB), the bucket join's SMJ sorts
+    * at 128 AQE-coalesced partitions (9.3 GB), and the pair distinct
+    * re-reduced at 34 AQE partitions (4.7 GB) — the §21.5 + §21.8
+    * triple, one plane later. */
+  val SigVecsPerPart = 5000L
 
   /** Memoized exact row count of a compact table — partitioning
     * INPUT, so it must be exact (Catalyst size estimates multiply
@@ -92,6 +129,29 @@ object Spread {
     val p = parts(df, n, rowsPerPart)
     if (p > defaultParts) df.repartition(p, keys: _*) else df
   }
+
+  /** Bind floor for [[byKeyFloored]]: the raw derived partition count
+    * (n / rowsPerPart) at which the spread fires even though it is
+    * below the session default. The identity-below-default heuristic
+    * of [[byKey]] conflates "few partitions needed" with "no spread
+    * needed" — the fallback fires whenever the exploded fan outgrows
+    * the SCAN stage's few input splits, which happens far below the
+    * session partition count: the /1500 span divisor left the x30
+    * rung (150k docs, raw 100 < 256) unspread and the §21.5 fallback
+    * returned with 22.9 GB of spill on a rung that was clean at /500
+    * only because 300 > 256 happened to bind. 64 raw parts ≈ 100k
+    * docs at the span divisor — comfortably below the measured x10
+    * clean-identity rung (50k docs, raw 33, spill 0) and the x30
+    * cliff. Gate scales (≤ 5k docs, raw ≤ 3) keep identity plans. */
+  val BindFloor = 64L
+
+  /** [[byKey]] that fires at [[BindFloor]] raw parts instead of the
+    * session default, spreading across max(session default, raw)
+    * partitions — for explode fans big enough to fallback while their
+    * derived partition count is still below the session default. */
+  def byKeyFloored(df: DataFrame, n: Long, rowsPerPart: Long, keys: Column*): DataFrame =
+    if (n / rowsPerPart >= BindFloor) df.repartition(parts(df, n, rowsPerPart), keys: _*)
+    else df
 
   /** [[byKey]] with the count supplied by [[memoCount]] on `idCol`,
     * which is also the hash key — the common "spread docs by doc_id"
