@@ -26,6 +26,70 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends QueryPack {
 
+  /** Run `body` with session confs set, restoring priors after — the
+    * per-query physical-tuning lever (rel_bloom_join's pattern, shared
+    * since round 17). Confs are read at EXECUTION time, so the body
+    * must materialize any result whose plan depends on them; callers
+    * here collect a bounded (LIMIT-ed) result and return it as a local
+    * relation. */
+  private def withScopedConfs[T](s: SparkSession,
+      confs: Seq[(String, String)])(body: => T): T = {
+    val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Collect `df` (bounded by contract — LIMIT / tiny-group queries
+    * only) and rebuild it as a local relation, snapshotting the result
+    * computed under the caller's scoped confs. */
+  private def materialized(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Un-materialized SQL plans of the scoped-conf TPC-H entries — the
+    * declared queries snapshot their result under scoped confs (so
+    * their own plan is a LocalRelation); plan-shape pins (PlanSpec's
+    * decorrelation guards) read these builders instead. */
+  private[graft] def q18Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private[graft] def q21Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 1200 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 1200 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   private val SESSION_GAP_US = 1800000000L // 30 min in microseconds
   val FUNNEL_WINDOW_US = 259200000000L // 72 h per-stage conversion window
 
@@ -585,17 +649,21 @@ object RelationalQueries extends QueryPack {
     // partitioning.
     "q18_big_orders" -> { (s, dir) =>
       Tables.registerViews(s, dir)
-      s.sql(
-        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-          |       round(sum(l_quantity), 2) AS sum_qty
-          |FROM customer, orders, lineitem
-          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-          |                     GROUP BY l_orderkey
-          |                     HAVING sum(l_quantity) > 300)
-          |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-          |ORDER BY o_totalprice DESC, o_orderkey
-          |LIMIT 100""".stripMargin)
+      // SORT-PRESSURE confs, scoped (round 17 x100 adjudication,
+      // SCALE_r17_rel + the event-log attribution): the per-order
+      // HAVING aggregate partial-aggregates inside the column-pruned
+      // SCAN stage, whose 128 MB splits hold ~17.6M two-column rows
+      // each at the 100× rung (5.73 GB of sort-fallback spill, the
+      // §21.5 shape with the fan coming from column pruning instead of
+      // an explode) — maxPartitionBytes bounds rows-per-split; the
+      // final join/sort stages were AQE-coalesced to ~35 partitions
+      // (4.1 GB) — the finer advisory keeps their sorts in-memory.
+      // Result is LIMIT 100, so the snapshot-under-confs is bounded.
+      withScopedConfs(s, Seq(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+        "spark.sql.files.maxPartitionBytes" -> "32m")) {
+        materialized(s, q18Sql(s, dir))
+      }
     },
     // TPC-H Q21: the hardest decorrelation in the suite — EXISTS and
     // NOT EXISTS over the SAME table with a supplier INEQUALITY and an
@@ -606,22 +674,17 @@ object RelationalQueries extends QueryPack {
     // late one among several.
     "q21_waiting_supplier" -> { (s, dir) =>
       Tables.registerViews(s, dir)
-      s.sql(
-        """SELECT s_name, count(*) AS numwait
-          |FROM supplier, lineitem l1, orders
-          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-          |  AND o_orderstatus = 'F'
-          |  AND l1.l_shipdate > o_orderdate + INTERVAL 1200 DAY
-          |  AND EXISTS (SELECT 1 FROM lineitem l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 1200 DAY)
-          |GROUP BY s_name
-          |ORDER BY numwait DESC, s_name
-          |LIMIT 100""".stripMargin)
+      // SORT-PRESSURE conf, scoped (round 17 x100 adjudication): the
+      // semi/anti SMJ stage was AQE-coalesced to 51 partitions —
+      // ~3.6M rows per task across its sorts, 13.78 GB of spill in
+      // that ONE stage. At the 16 MB advisory the same rung is
+      // spill 0 AND faster (13.3 → 11.7 s warm) — the coalesce
+      // advisory is a bytes-per-task knob, and sort-heavy stages want
+      // it finer than scan-heavy ones. LIMIT 100 bounds the snapshot.
+      withScopedConfs(s, Seq(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")) {
+        materialized(s, q21Sql(s, dir))
+      }
     },
     // TPC-H Q22: scalar aggregate subquery in a predicate + anti join
     // — well-funded customers in selected nations with no recent
@@ -946,13 +1009,10 @@ object RelationalQueries extends QueryPack {
     // driver's hash gate then proves the lever is answer-preserving.
     // AqeSpec holds the plan-shape pin.
     "rel_bloom_join" -> { (s, dir) =>
-      val confs = Seq(
+      withScopedConfs(s, Seq(
         "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
         val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
@@ -966,11 +1026,7 @@ object RelationalQueries extends QueryPack {
           _.exists(_.isInstanceOf[
             org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))),
           "runtime bloom filter did not inject — the gated lever is not firing")
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(joined.collect().toSeq.asJava, joined.schema)
-      } finally old.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
+        materialized(s, joined)
       }
     },
     // STATIC partition pruning over a date-partitioned fact layout:

@@ -568,8 +568,18 @@ class PlanSpec extends SparkSpec {
       "q18_big_orders" -> "LeftSemi",
       "q21_waiting_supplier" -> "LeftAnti",
       "q22_idle_balance" -> "LeftAnti")
+    // q18/q21's DECLARED entries snapshot their result under scoped
+    // sort-pressure confs (round 17), so their own plan is a
+    // LocalRelation — the decorrelation pin reads the un-materialized
+    // SQL builders instead
+    val rawSql = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "q18_big_orders" -> graft.apps.RelationalQueries.q18Sql,
+      "q21_waiting_supplier" -> graft.apps.RelationalQueries.q21Sql)
     semiAnti.foreach { case (q, jt) =>
-      val p = plan(q)
+      val p = rawSql.get(q)
+        .map(_(spark, sf0001).queryExecution.executedPlan)
+        .getOrElse(plan(q))
       val s = p.toString
       assert(!s.contains("BroadcastNestedLoopJoin"),
         s"$q failed to decorrelate — nested loop join:\n$s")
