@@ -35,6 +35,34 @@ class SpreadSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (0L until n))
   }
 
+  test("byKeyFloored binds at the raw-parts floor, not the session default") {
+    val d = docs100
+    // below the floor: identity (gate-scale contract — raw parts 0)
+    val below = Spread.byKeyFloored(d, 100L, Spread.SpanDocsPerPart, col("doc_id"))
+    assert(below eq d, "sub-floor spread must not touch the plan")
+    // at the floor: fires even though raw parts < the session default,
+    // spreading across max(default, raw) partitions — the x30 span
+    // cliff (raw 100 < 256 went identity and the scan-stage fallback
+    // returned with 22.9 GB of spill)
+    val n = Spread.BindFloor // rowsPerPart=1 -> raw parts == BindFloor
+    val dd = (0L until n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Spread.byKeyFloored(dd, n, 1L, col("doc_id"))
+    assert(!(out eq dd), "at-floor spread must repartition")
+    val default = spark.sessionState.conf.numShufflePartitions
+    assert(out.rdd.getNumPartitions == math.max(default.toLong, n).toInt)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (0L until n))
+  }
+
+  test("per-row-shape divisors: span plane coarser than the wide-key pins") {
+    // §22.5's lesson pinned: narrow-int span rows tolerate 3x coarser
+    // slices (fewer shuffle blocks); wide-string sort keys (winnow fp,
+    // jaccard shingle) keep the fine divisor. A future blanket merge
+    // of the constants should have to face this pin.
+    assert(Spread.SpanDocsPerPart == 3 * Spread.PositionalDocsPerPart)
+    assert(Spread.SigVecsPerPart > Spread.SubspaceVecsPerPart,
+      "signature rows fan 8/vector vs PQ's 256/vector — divisors must reflect it")
+  }
+
   test("memoCount returns the exact count and survives clearCache") {
     val d = docs100
     assert(Spread.memoCount(d, "doc_id") == 100L)
