@@ -11,9 +11,16 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q6_filter", "q3_join", "q5_join", "wc_wordcount", "kv_state")
     val spark = Tables.session("graft-explain",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    // the scoped-conf TPC-H entries snapshot their LIMIT-100 result (a
+    // LocalRelation plan); these aliases expose the underlying SQL
+    // builders so the computation's plan stays inspectable (r17)
+    val extra: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q18_sql" -> ((s, d) => graft.apps.RelationalQueries.q18Sql(s, d)),
+      "q21_sql" -> ((s, d) => graft.apps.RelationalQueries.q21Sql(s, d)))
     names.foreach { n =>
       println(s"\n===== $n =====")
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = extra.get(n).map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_RUN")) {
         // execute THIS queryExecution (count() would plan a new one) so
         // AQE finalizes: stage reuse and runtime join selections only
