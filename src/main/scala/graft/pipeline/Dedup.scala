@@ -221,8 +221,21 @@ object Dedup {
         Spread.byId(docs, "doc_id", Spread.ShingleSetDocsPerPart), k)
       .select(col("doc_id"), col("shingle")).distinct()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(ds.toDF("doc_a", "shingle"), Seq("doc_a"))
+    // REDUCE-SIDE pin on the intersection join (round 17 close-out,
+    // x300 decade-extension + event-log attribution): left to AQE,
+    // the second join's SMJ coalesced to 43 partitions and sorted the
+    // EXPANDED candidate×shingle intermediate there — 6.25 GB of
+    // spill in that one stage (the q21 over-coalesce shape, §22.8,
+    // with a join fan instead of column pruning as the row source).
+    // Repartitioning the expanded side on the join key it already
+    // exchanges on is byte-neutral and AQE-exempt; the coarse
+    // pair-join divisor keeps per-task sorts ~10-15 MB without the
+    // R×R block growth a finer pin would pay. Gate scales: identity.
+    val expandedA = Spread.byKeyFloored(
+      cand.join(ds.toDF("doc_a", "shingle"), Seq("doc_a")),
+      Spread.memoCount(docs, "doc_id"), Spread.PairJoinDocsPerPart,
+      col("doc_b"), col("shingle"))
+    val inter = expandedA
       .join(ds.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     est
@@ -691,17 +704,20 @@ object Dedup {
     // past x30 measured 6.75 GB of x100 spill with records exactly
     // linear at 0.945: the fp self-join's sorts and the pair
     // aggregate's partial pass outgrow fixed task memory at the
-    // session partition count). Same shape and divisor as
-    // [[jaccardPairs]]' sized repartition — ON the join key, so it
-    // re-sizes the exchange the join already needs. No map-side
-    // spread here: winnowFingerprints' window already exchanges on
-    // doc_id before any aggregate, so the scan stage never explodes.
-    val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val joinParts = Spread.parts(docs,
-      Spread.memoCount(docs, "doc_id"), Spread.PositionalDocsPerPart)
-    val kept =
-      if (joinParts > defaultParts) kept0.repartition(joinParts, col("fp"))
-      else kept0
+    // session partition count). ON the join key, so it re-sizes the
+    // exchange the join already needs — and at the COARSE pair-join
+    // divisor ([[Spread.PairJoinDocsPerPart]]): the fp table's fan is
+    // only ~100 rows/doc, so /1500 keeps per-task sorts in-memory
+    // while shrinking the self-join's R×R block matrix 9× (the x300
+    // close-out rung at the /500 pin was block-bound: 17.3M ~200 B
+    // local fetches per pass, run-time 3× CPU, spill 0). Bind-floor
+    // semantics so the pin, when it fires, is AQE-coalesce-exempt at
+    // every rung past ~100k docs; gate scales keep identity plans.
+    // No map-side spread here: winnowFingerprints' window already
+    // exchanges on doc_id before any aggregate, so the scan stage
+    // never explodes.
+    val kept = Spread.byKeyFloored(kept0,
+      Spread.memoCount(docs, "doc_id"), Spread.PairJoinDocsPerPart, col("fp"))
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

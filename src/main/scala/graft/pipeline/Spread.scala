@@ -78,6 +78,34 @@ object Spread {
     v
   }
 
+  /** Docs per partition for REDUCE-side pair-join pins whose per-doc
+    * fan is SMALL (~100-200 rows/doc: winnow's fp table, minhash_err's
+    * candidate×shingle intersection feed). Round 17 close-out, the
+    * x300 decade-extension of the shingle consumers: winnow's fp
+    * self-join at the /500 pin ran 3000 reduce partitions reading a
+    * 3000-map-side exchange — 17.3M ~200 B local block fetches per
+    * pass, run-time 3× CPU with ~0 fetch wait and spill 0 (the spans
+    * R×R block matrix, §22.5, re-found on the JOIN plane); and
+    * minhash_err's intersection SMJ, left to AQE, coalesced to 43
+    * partitions and spilled 6.25 GB sorting the expanded intermediate
+    * (the q21 over-coalesce shape, §22.8). The divisor splits the
+    * difference the row-shape law dictates: what binds task memory is
+    * rows/task = fan-per-doc × divisor, and these planes' fan is 10×
+    * smaller than jaccard's join fan (which measured 25 GB of spill at
+    * /1500 ≈ 1.5M rows/task), so /1500 here is ~150-250k rows
+    * (~10-15 MB sorts, in-memory) while the block matrix shrinks 9×
+    * vs /500. A/B at x300 (SCALE_r17_joinpins vs SCALE_r17_shingle300,
+    * same box): winnow warm 130.7 → 54.9 s with records identical
+    * (156.6M; the wall stage's per-pass local fetches 17.3M → ≤6.0M
+    * and its run-time fell from 3× CPU to near-CPU); minhash_err
+    * spill 6.25 GB → 0 at warm 93.0 → 109.0 s — the pin TRADES ~17%
+    * single-box wall (1000-way exchange overheads) for zero sort
+    * spill, the same direction as the accepted ivfpq /150 A/B: spill
+    * compounds with scale and concurrency, task-scheduling overhead
+    * amortizes across a real cluster's cores. x10/x30/x100: spill 0
+    * at every rung for both queries. */
+  val PairJoinDocsPerPart = 1500L
+
   /** Vectors per partition for PQ subspace explodes (fan PqM × PqK
     * per vector). */
   val SubspaceVecsPerPart = 500L

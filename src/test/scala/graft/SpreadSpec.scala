@@ -61,6 +61,14 @@ class SpreadSpec extends SparkSpec {
     assert(Spread.SpanDocsPerPart == 3 * Spread.PositionalDocsPerPart)
     assert(Spread.SigVecsPerPart > Spread.SubspaceVecsPerPart,
       "signature rows fan 8/vector vs PQ's 256/vector — divisors must reflect it")
+    // the round-close corollary: what binds task memory is rows/task
+    // = fan-per-doc x divisor, so SMALL-fan reduce-side pair joins
+    // (winnow fp ~100 rows/doc, minhash_err intersection) take the
+    // coarse divisor even though their keys are wide strings — the
+    // x300 rung at /500 was R x R block-bound (17.3M fetches, run
+    // 3x CPU), while jaccard's join fan (~1000+ rows/doc) must keep
+    // /500 (measured 25 GB spill at /1500).
+    assert(Spread.PairJoinDocsPerPart == 3 * Spread.PositionalDocsPerPart)
   }
 
   test("memoCount returns the exact count and survives clearCache") {
