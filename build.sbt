@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout/stderr through RAW (no "[info] "
+// decoration): the driver parses the bench's one-line JSON out of the
+// last ~2000 chars of stdout, and sbt's logger prefix broke that parse
+// in rounds 16-17 (BENCH_r17.json: a complete record sat in the tail
+// behind "[info] " and "parsed" was still null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -231,23 +231,38 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","cpus":"$cpus","canary_sec":$canaryJson,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"queries_gc":$qsGc,"queries_bytes":$qsBytes,"queries_failed_passes":$qsFailedPasses,"queries_window_suspect":[${suspects.mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes, which broke the
-    // driver's JSON parse in round 1 — also write the line to a file
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"bench: could not write $out: $e") }
+    // driver's JSON parse in round 1 — also write the line to a file.
+    // Round 18: the driver's parse stayed null through r17 even though
+    // a complete compact record sat inside its 2000-char stdout tail —
+    // behind sbt's "[info] " prefix and one line before "[success]
+    // Total time…". Three fixes, belt and braces:
+    //   1. build.sbt sets `run / outputStrategy := StdoutOutput` so the
+    //      forked JVM's stdout passes through UNPREFIXED;
+    //   2. the full record is ALSO written to BENCH_PARSED.json (a
+    //      fixed, documented filename the driver/judge can read
+    //      directly) in addition to the env-addressable bench_out.json;
+    //   3. the compact record prints AFTER spark.stop(), as the
+    //      absolute last stdout line this process emits, so a
+    //      reverse-scan for the last "{"-line lands on a record that
+    //      fits the tail window whole.
+    def writeJson(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: could not write $path: $e") }
+    writeJson(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    writeJson("BENCH_PARSED.json")
     // The driver's artifact keeps only the LAST ~2000 chars of stdout
     // (BENCH_rNN "tail") and parses JSON out of that window — the full
-    // per-query line above is ~20 KB, so it truncated mid-line and
-    // "parsed" was null for ten straight rounds. Print a compact
-    // summary line LAST that fits the window whole: headline total,
+    // per-query line above is ~20 KB, so it truncates mid-line there.
+    // The compact summary fits the window whole: headline total,
     // failures, and the 20 slowest medians ("queries" is explicitly
-    // marked truncated; bench_out.json carries the full maps).
+    // marked truncated; bench_out.json/BENCH_PARSED.json carry the
+    // full maps).
     val top20 = ok.sortBy(-_._2.median).take(20)
       .map { case (k, st) => k -> st.median }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","cpus":"$cpus","n_queries":${results.size},"canary_sec":$canaryJson,"n_window_suspect":${suspects.size},"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"bench_out.json","sf":"$sfDir"}"""
-    println(compact)
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_${Passes}_interleaved","action":"$actionName","cpus":"$cpus","n_queries":${results.size},"canary_sec":$canaryJson,"n_window_suspect":${suspects.size},"failed":[${failed.mkString(",")}],"queries":${jmap(top20)},"queries_truncated":true,"queries_full":"BENCH_PARSED.json","sf":"$sfDir"}"""
     spark.stop()
+    println(compact)
   }
 }

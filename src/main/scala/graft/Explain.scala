@@ -13,14 +13,17 @@ object Explain {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     // the scoped-conf TPC-H entries snapshot their LIMIT-100 result (a
     // LocalRelation plan); these aliases expose the underlying SQL
-    // builders so the computation's plan stays inspectable (r17)
+    // builders so the computation's plan stays inspectable (r17).
+    // The REGISTRY is consulted first (r17 advice): a future declared
+    // query named like an alias must win, never be silently shadowed.
     val extra: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "q18_sql" -> ((s, d) => graft.apps.RelationalQueries.q18Sql(s, d)),
       "q21_sql" -> ((s, d) => graft.apps.RelationalQueries.q21Sql(s, d)))
     names.foreach { n =>
       println(s"\n===== $n =====")
-      val df = extra.get(n).map(_(spark, sfDir))
-        .getOrElse(SparkEntry.queries(n)(spark, sfDir))
+      val df = SparkEntry.queries.get(n).map(_(spark, sfDir))
+        .orElse(extra.get(n).map(_(spark, sfDir)))
+        .getOrElse(sys.error(s"unknown query: $n"))
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_RUN")) {
         // execute THIS queryExecution (count() would plan a new one) so
         // AQE finalizes: stage reuse and runtime join selections only

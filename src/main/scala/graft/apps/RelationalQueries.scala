@@ -51,6 +51,45 @@ object RelationalQueries extends QueryPack {
     s.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
+  /** Scanned-input bind floor for the q18/q21 scoped sort-pressure
+    * confs (round 18, the Spread.BindFloor discipline applied to
+    * configuration): the 16m advisory / 32m split knobs are
+    * bytes-per-task levers justified by stage-attributed sort spill
+    * that only exists past ~x30 of sf0.1 (SCALE_r17_rel: q18 9.99 GB,
+    * q21 13.26 GB at x100 lineitem ≈ 1.1 GB) — but round 17 applied
+    * them unconditionally, paying +31/+54% at gate scale (sf0.1 min
+    * 1.72→2.25 s / 1.62→2.49 s: finer advisory = more tiny tasks on an
+    * 11 MB input). The confs now fire only when the scanned
+    * lineitem.parquet exceeds this size; below it the queries run on
+    * session defaults, exactly as every Spread lever keeps identity
+    * plans below its bind floor. 200 MB ≈ x20 of sf0.1 — comfortably
+    * below the first rung where spill was measured (x100) and above
+    * every gate scale. Env-overridable for threshold A/Bs. */
+  private val RelConfMinBytes: Long =
+    sys.env.get("SPARK_GRAFT_REL_CONF_MIN_BYTES")
+      .flatMap(_.toLongOption).getOrElse(200L << 20)
+
+  private val liBytesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Bytes of `$dir/lineitem.parquet` (file or directory), memoized
+    * per dir — one driver-side FS stat per data directory per
+    * session. */
+  private def lineitemBytes(s: SparkSession, dir: String): Long =
+    liBytesCache.getOrElseUpdate(dir, {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      try fs.getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    })
+
+  /** [[withScopedConfs]] gated on [[RelConfMinBytes]] — identity (body
+    * under session confs) below the floor. */
+  private def withScaledConfs[T](s: SparkSession, dir: String,
+      confs: Seq[(String, String)])(body: => T): T =
+    if (lineitemBytes(s, dir) >= RelConfMinBytes) withScopedConfs(s, confs)(body)
+    else body
+
   /** Un-materialized SQL plans of the scoped-conf TPC-H entries — the
     * declared queries snapshot their result under scoped confs (so
     * their own plan is a LocalRelation); plan-shape pins (PlanSpec's
@@ -659,7 +698,11 @@ object RelationalQueries extends QueryPack {
       // final join/sort stages were AQE-coalesced to ~35 partitions
       // (4.1 GB) — the finer advisory keeps their sorts in-memory.
       // Result is LIMIT 100, so the snapshot-under-confs is bounded.
-      withScopedConfs(s, Seq(
+      // Round 18: bind-floored on scanned lineitem bytes (the knobs
+      // cost +31% at sf0.1 for a trade that binds at x100 — see
+      // RelConfMinBytes); the snapshot itself stays unconditional so
+      // the declared plan is a LocalRelation at every scale.
+      withScaledConfs(s, dir, Seq(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
         "spark.sql.files.maxPartitionBytes" -> "32m")) {
         materialized(s, q18Sql(s, dir))
@@ -681,7 +724,9 @@ object RelationalQueries extends QueryPack {
       // spill 0 AND faster (13.3 → 11.7 s warm) — the coalesce
       // advisory is a bytes-per-task knob, and sort-heavy stages want
       // it finer than scan-heavy ones. LIMIT 100 bounds the snapshot.
-      withScopedConfs(s, Seq(
+      // Round 18: bind-floored on scanned lineitem bytes (+54% at
+      // sf0.1 otherwise — see RelConfMinBytes).
+      withScaledConfs(s, dir, Seq(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")) {
         materialized(s, q21Sql(s, dir))
       }

@@ -161,11 +161,23 @@ object Dedup {
   }
 
   def minhashCandidates(docs: DataFrame, k: Int = 3,
+      maxBucket: Long = MaxBandBucket, bandRows: Int = BandRows): DataFrame =
+    minhashCandidatesFromSig(minhashSignatures(docs, k), maxBucket, bandRows)
+
+  /** [[minhashCandidates]] from a prebuilt signature table — the
+    * banding-prefix split (round 18, VERDICT r17 #4): signatures are
+    * preset-INDEPENDENT (bandRows only regroups the mh columns), so
+    * cached builds for different presets share one signature pass
+    * ([[signaturesCached]]) instead of each re-paying the shingle
+    * explode + 8-way min aggregate — the bulk of the b8 arm's 76 s
+    * cold x300 build. Rows identical to the inline form by
+    * construction (same deterministic computation). */
+  private[pipeline] def minhashCandidatesFromSig(sig: DataFrame,
       maxBucket: Long = MaxBandBucket, bandRows: Int = BandRows): DataFrame = {
     log.info(s"minhashCandidates: band buckets with > $maxBucket docs are dropped " +
       "from the candidate join (bounded d^2 blowup); mega-cluster membership is " +
       "reported by group-dedup, not pairwise")
-    val bands0 = minhashBands(minhashSignatures(docs, k), bandRows)
+    val bands0 = minhashBands(sig, bandRows)
     // two-phase skew-safe cap: groupBy partially aggregates map-side,
     // so a mega-bucket collapses to one count row per map partition
     // (a count-over-window would instead move EVERY row of the hot
@@ -276,7 +288,30 @@ object Dedup {
     .empty[(org.apache.spark.sql.SparkSession, String, Int), NearDupIndex]
 
   def nearDupIndexCached(docs: DataFrame, tag: String, k: Int = 3): NearDupIndex =
-    indexCache.getOrElseUpdate((docs.sparkSession, tag, k), nearDupIndex(docs, k))
+    indexCache.getOrElseUpdate((docs.sparkSession, tag, k), {
+      // build from the SHARED signature checkpoint (round 18): the
+      // default and b8 presets band the same signatures, so the
+      // per-corpus signature pass is paid once across both cached
+      // builds. Rows identical to nearDupIndex(docs, k) — same
+      // deterministic band join over the same signature values.
+      val pairs = retain(minhashCandidatesFromSig(
+        signaturesCached(docs, tag, k)).localCheckpoint(true))
+      NearDupIndex(pairs, components(pairs))
+    })
+
+  /** Session-scoped cache of the checkpointed SIGNATURE table per
+    * (session, corpus tag, k) — the shared prefix of every banding
+    * preset's cached build (round 18, VERDICT r17 #4: the b8 arm's
+    * cold x300 build paid 76 s re-computing signatures the default
+    * arm had already computed; banding is a row-local regroup of the
+    * mh columns, so the presets legitimately share this table).
+    * Retained-checkpoint lifecycle: [[freeRetained]]. */
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
+
+  private def signaturesCached(docs: DataFrame, tag: String, k: Int): DataFrame =
+    sigCache.getOrElseUpdate((docs.sparkSession, tag, k),
+      retain(minhashSignatures(docs, k).localCheckpoint(true)))
 
   /** Session-scoped cache of the raw candidate-PAIR table per banding
     * preset — the build-once serve path for NON-default bandings
@@ -294,7 +329,8 @@ object Dedup {
   def candidatePairsCached(docs: DataFrame, tag: String, k: Int = 3,
       bandRows: Int = BandRows): DataFrame =
     pairsCache.getOrElseUpdate((docs.sparkSession, tag, k, bandRows),
-      retain(minhashCandidates(docs, k, bandRows = bandRows).localCheckpoint(true)))
+      retain(minhashCandidatesFromSig(signaturesCached(docs, tag, k),
+        bandRows = bandRows).localCheckpoint(true)))
 
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the minhash candidate graph's connected components form, with the
@@ -470,33 +506,60 @@ object Dedup {
     // (functionally dependent on the grouping key — max() picks the
     // one value) — zero post-agg joins at any scale.
     val sized0 = kept.join(sizes(kept), Seq("doc_id"))
-    // REDUCE-SIDE sort parallelism (the lshRecall keptB treatment):
-    // the self-join's index sorts and the pair aggregate's partial
-    // pass run in the JOIN stage — at the session partition count
-    // that was ~1.5M join-output rows per task at 500k docs (measured
-    // mid-r17: 54.9 → 25.0 GB from this repartition alone, before
-    // shingleSets killed the rest). ON the join key, so it re-sizes
-    // the exchange the join already needs (no extra shuffle) and is
-    // exempt from AQE re-coalescing; /500 (the positional-plane
-    // divisor) because the join fan here is ~1k hit rows per doc, the
-    // dedup_spans profile, not the ~150 set-shingles-per-doc profile
-    // the /1500 map spread is sized for.
+    // DICTIONARY-ENCODED SHINGLE IDS (round 18, VERDICT r17 #2 — guide
+    // §2.3 "shuffle keys and metadata instead of payloads"): the
+    // self-join's key was the 30-60 B shingle STRING, making the index
+    // exchange and both SMJ sorts string-bound and the x300
+    // shuffle-byte slope 1.152 against records 1.001 (key width grows
+    // with the corpus; longs don't). One extra compact pass assigns
+    // each joinable shingle a dense 8-byte id:
+    //  - the dictionary is built from the df aggregate's OUTPUT (one
+    //    row per distinct shingle — no second scan), keeping only
+    //    2 <= df <= maxDf: a df=1 shingle can never produce a pair
+    //    (a pair needs two docs sharing it), and sizes are computed
+    //    from `kept` BEFORE the encode, so dropping df=1 rows at the
+    //    encode join changes no result — the prune the round-15 note
+    //    below rejected as a semi-join comes free with the encode;
+    //  - ids are DETERMINISTIC without a global sort: an explicit
+    //    repartition(D, shingle) fixes each shingle's partition
+    //    (murmur3, AQE-exempt), sortWithinPartitions fixes the row
+    //    order totally (keys distinct), and monotonically_increasing_id
+    //    is a pure function of (partition index, row index) — so any
+    //    re-evaluation (the orderBy's range-sampling pass, task
+    //    retries, a failed ReuseExchange) reproduces identical ids;
+    //  - 64-bit HASHING of the key was rejected (r17 "not yet
+    //    optimized" #1): a collision would merge two shingles and
+    //    change reported intersections; the dictionary is injective by
+    //    construction.
     val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val dictParts = Spread.parts(docs, nDocs, Spread.ShingleSetDocsPerPart)
+    val dict = dfs
+      .filter(col("df") <= maxDf && col("df") >= 2).select("shingle")
+      .repartition(dictParts, col("shingle"))
+      .sortWithinPartitions("shingle")
+      .select(col("shingle"), monotonically_increasing_id().as("sid"))
+    // the encode join replaces the old string-keyed self-join pin: the
+    // index exchanges on shingle ONCE (the exchange the self-join
+    // previously needed anyway), emerges as (sid, doc_id, sz) — 8-byte
+    // key, fixed-width rows — and the strings never cross a wire again
+    val encoded = sized0.join(dict, Seq("shingle"))
+      .select(col("sid"), col("doc_id"), col("sz"))
+    // REDUCE-SIDE sort parallelism (the lshRecall keptB treatment): ON
+    // the join key, so it re-sizes the exchange the join already needs
+    // (no extra shuffle) and is exempt from AQE re-coalescing; /500
+    // (the positional-plane divisor) because the join fan here is ~1k
+    // hit rows per doc, the dedup_spans profile, not the ~150
+    // set-shingles-per-doc profile the /1500 map spread is sized for
+    // (at ~1.5M string-keyed join rows per task this stage measured
+    // 25 GB of x100 spill before the pin; the narrow sid rows sort in
+    // ~4× less task memory, headroom the round-18 divisor A/B sizes).
     val joinParts = Spread.parts(docs, nDocs, Spread.PositionalDocsPerPart)
     val sized =
-      if (joinParts > defaultParts) sized0.repartition(joinParts, col("shingle"))
-      else sized0
-    // The self-join runs on the FULL capped universe — deliberately no
-    // df=1 semi-join prune (df=1 shingles match nothing, so results
-    // are identical either way). The sort-merge self-join duplicates
-    // its input subtree per branch while ReuseExchange shares only the
-    // exchanges, so a pre-prune semi-join would run its sorts and SMJ
-    // pass TWICE on top of the same full-index sort it was meant to
-    // shrink — measured +25% on the whole query. df=1 rows cost one
-    // extra streamed sort pass and zero join output.
+      if (joinParts > defaultParts) encoded.repartition(joinParts, col("sid"))
+      else encoded
     val joined = sized.as("a")
       .join(sized.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
     // PAIR-AGGREGATE parallelism (round 17, the LAST of the query's
@@ -879,6 +942,7 @@ object Dedup {
     // recomputed, so the cache entries must go with the blocks
     indexCache.clear()
     pairsCache.clear()
+    sigCache.clear()
     spanCache.clear()
     Similarity.clearIndexCaches()
     TextAnalysis.clearCaches()

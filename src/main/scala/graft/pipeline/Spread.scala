@@ -50,12 +50,17 @@ object Spread {
     * above. */
   val ShingleSetDocsPerPart = 1500L
 
-  /** Docs per partition for POSITIONAL consumers whose sort/join rows
-    * are WIDE (winnow's md5-keyed window and fp self-join, jaccard's
-    * shingle-keyed self-join pins): per-task slices must stay small
-    * because the sort keys are 30-60 B strings — jaccard at ~1.5M
-    * join rows per task measured 25 GB of x100 spill before this pin
-    * re-sized it (~0.5M rows/task). */
+  /** Docs per partition for POSITIONAL consumers with a LARGE per-doc
+    * fan (~1k rows/doc: winnow's md5-keyed window, jaccard's self-join
+    * and pair-aggregate pins): per-task slices must stay small because
+    * the fan multiplies them — jaccard at ~1.5M join rows per task
+    * measured 25 GB of x100 spill before this pin re-sized it (~0.5M
+    * rows/task). Winnow's fp SELF-JOIN moved to the coarser
+    * [[PairJoinDocsPerPart]] in round 17 (its fan is ~10× smaller);
+    * jaccard's join keys narrowed from 30-60 B strings to 8 B
+    * dictionary ids in round 18 — the divisor survived its re-A/B at
+    * the narrower shape anyway because the fan, not the key width, is
+    * what binds task memory here. */
   val PositionalDocsPerPart = 500L
 
   /** Docs per partition for the SPAN plane (spanPairs /
