@@ -447,6 +447,32 @@ object Dedup {
     * underestimate that full-set sizes with capped intersections
     * would produce (which could silently drop a pair sharing one
     * boilerplate shingle below the threshold). */
+  /** Docs-per-partition divisor for jaccardPairs' self-join and
+    * pair-aggregate pins — env-overridable for granularity A/Bs
+    * (the SPARK_GRAFT_SPREAD_SPAN precedent). Default 1500 (round 18):
+    * the dictionary encoding narrowed the join rows from 30-60 B
+    * string keys to fixed-width longs (~1.7× smaller sort/agg rows),
+    * which moves the spill cliff past the /500 string pin and re-opens
+    * the block-matrix trade (guide §2.2 — coarser slices cut the M×R
+    * shuffle block count quadratically). Measured at x100/x300
+    * (SCALE_r18_jac*, same box back-to-back vs the r17 jar):
+    *  - /1500 narrow: x100 warm 38.6 s spill 0; x300 warm 147.0 s,
+    *    41.7 GB shuffle, 7139 tasks, spill 0 — vs r17 strings//500
+    *    163 s, 44.4 GB, 11105 tasks;
+    *  - /2500 narrow: x100 spill 54 GB — the cliff is the join-stage
+    *    pair-aggregate partial volume (rows/task = pair fan × divisor),
+    *    so the divisor cannot coarsen past ~3× even with narrow rows;
+    *  - /500 narrow: x100 warm 43.7 s — the encode's extra exchange
+    *    costs more than narrow sorts save until the divisor coarsens.
+    * Strings at /1500 measured 25 GB of x100 spill (r16) — the
+    * encoding is what BUYS this divisor. */
+  private val jaccardPairDivisor: Long = {
+    val v = sys.env.get("SPARK_GRAFT_JAC_DIVISOR")
+      .flatMap(_.toLongOption).getOrElse(1500L)
+    require(v > 0, s"SPARK_GRAFT_JAC_DIVISOR must be positive, got $v")
+    v
+  }
+
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxDf: Long = MaxShingleDf): DataFrame = {
     log.info(s"jaccardPairs: shingles with df > $maxDf are removed from the " +
@@ -532,7 +558,14 @@ object Dedup {
     //    change reported intersections; the dictionary is injective by
     //    construction.
     val defaultParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val dictParts = Spread.parts(docs, nDocs, Spread.ShingleSetDocsPerPart)
+    // dict partition count: a pure function of the corpus (determinism
+    // needs a FIXED explicit count — AQE must not renegotiate it), but
+    // floored at Spread.BindFloor rather than the session default so
+    // gate scales don't pay 256 near-empty dict tasks; the attach join
+    // co-partitions with it. At scale raw >= the session default and
+    // this equals Spread.parts.
+    val dictParts = math.max(Spread.BindFloor,
+      nDocs / Spread.ShingleSetDocsPerPart).toInt
     val dict = dfs
       .filter(col("df") <= maxDf && col("df") >= 2).select("shingle")
       .repartition(dictParts, col("shingle"))
@@ -553,7 +586,7 @@ object Dedup {
     // (at ~1.5M string-keyed join rows per task this stage measured
     // 25 GB of x100 spill before the pin; the narrow sid rows sort in
     // ~4× less task memory, headroom the round-18 divisor A/B sizes).
-    val joinParts = Spread.parts(docs, nDocs, Spread.PositionalDocsPerPart)
+    val joinParts = Spread.parts(docs, nDocs, jaccardPairDivisor)
     val sized =
       if (joinParts > defaultParts) encoded.repartition(joinParts, col("sid"))
       else encoded
