@@ -1415,8 +1415,29 @@ object Similarity {
     val qv = quantized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cent = kmeansCentroidsFrom(qv)
-      val cb = pqCodebookFrom(qv)
+      // OVERLAPPED training chains (round 18, guide §2.6 "overlap
+      // independent jobs"): the coarse-quantizer and codebook trainings
+      // are independent aggregates over the shared persisted corpus,
+      // but each is a chain of small sequential collect-jobs (init +
+      // `iters` Lloyd rounds), so run sequentially the build's wall is
+      // their SUM and the cluster idles through every tiny job's tail.
+      // Two driver threads submit both chains at once — the scheduler
+      // interleaves their jobs (FIFO backfill), the wall becomes
+      // ~max(chains), and each chain is internally unchanged, so both
+      // results are bit-identical to the sequential build (PipelineSpec
+      // pins sim_ivfpq_serve == sim_ivfpq_topk rows; the oracle pins
+      // the values). Event-log evidence: at sf0.1 the inline build is
+      // ~50 jobs of 0.02-0.5 s — a driver-side job-floor, not compute.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val (cent, cb) =
+        try {
+          val centF = Future(kmeansCentroidsFrom(qv))
+          val cbF = Future(pqCodebookFrom(qv))
+          (Await.result(centF, Duration.Inf), Await.result(cbF, Duration.Inf))
+        } finally pool.shutdown()
       val ccodes = Dedup.retain(
         pqCodes(qv, cb)
           .join(assignCells(qv, cent).select(col("vec_id"), col("cell")), Seq("vec_id"))
